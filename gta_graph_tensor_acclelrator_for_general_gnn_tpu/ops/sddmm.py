@@ -1,0 +1,120 @@
+"""Pallas TPU SDDMM: per-edge dot products of gathered node features.
+
+Computes ``e[k] = sum_d x_src[senders[k], d] * x_dst[receivers[k], d]`` for
+every edge — the sampled-dense-dense matmul behind attention logits (the
+reference expresses this as scatter+scatter+applyedge chains, e.g. GAT ops
+3/4/5/6 in vTCAD/GraphOP/genGraphOP.py:50-60).
+
+Same one-hot MXU strategy as :mod:`spmm`: for an edge tile in adjacency block
+(rb, cb),
+
+    S = onehot(src_local) @ Xsrc_cblock      # [ET, F] gather of source rows
+    D = onehot(dst_local) @ Xdst_rblock      # [ET, F] gather of dest rows
+    e = rowsum_per_head(S * D)                # VPU reduction, f32
+
+Multi-head: F = heads * head_dim with head-major feature layout; each head's
+dot lies inside one feature block (block size is a multiple of head_dim), so
+every output element is written exactly once — no cross-block accumulation.
+Output layout is [heads, T, ET] so the lane dimension is the (large) edge
+axis.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..graph import TiledGraph
+
+
+def _head_block(heads: int, per_head: int, feat_block: int) -> int:
+    """Largest divisor k of `heads` with k*per_head <= feat_block."""
+    best = 1
+    for k in range(1, heads + 1):
+        if heads % k == 0 and k * per_head <= max(feat_block, per_head):
+            best = k
+    return best
+
+
+def sddmm(
+    tg: TiledGraph,
+    x_src: jax.Array,
+    x_dst: jax.Array,
+    *,
+    heads: int = 1,
+    feat_block: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-edge per-head dots in tile layout: returns [heads, T, ET] float32.
+
+    Use :func:`tiles_to_edges` to map back to GraphTensor edge order.
+    """
+    f = x_src.shape[1]
+    assert f % heads == 0, (f, heads)
+    per_head = f // heads
+    hpb = _head_block(heads, per_head, feat_block)
+    fb = hpb * per_head
+    n_fb = heads // hpb
+
+    n_cols = tg.n_col_blocks * tg.block_cols
+    n_rows = tg.n_row_blocks * tg.block_rows
+    xs = jnp.zeros((n_cols, f), x_src.dtype).at[: x_src.shape[0]].set(x_src)
+    xd = jnp.zeros((n_rows, f), x_dst.dtype).at[: x_dst.shape[0]].set(x_dst)
+
+    T, ET = tg.n_tiles, tg.tile_edges
+
+    def kernel(rb, cb, src_ref, dst_ref, xsrc_ref, xdst_ref, o_ref):
+        src = src_ref[0, :]
+        dst = dst_ref[0, :]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (ET, tg.block_cols), 1)
+        gs = (src[:, None] == cols).astype(xsrc_ref.dtype)
+        s = jnp.dot(gs, xsrc_ref[:], preferred_element_type=jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (ET, tg.block_rows), 1)
+        gd = (dst[:, None] == rows).astype(xdst_ref.dtype)
+        d = jnp.dot(gd, xdst_ref[:], preferred_element_type=jnp.float32)
+        ph = (s * d).reshape(ET, hpb, per_head).sum(axis=2)   # [ET, hpb]
+        o_ref[:, 0, :] = ph.T                                  # [hpb, ET]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_fb, T),
+        in_specs=[
+            pl.BlockSpec((1, ET), lambda fi, t, rb, cb: (t, 0)),
+            pl.BlockSpec((1, ET), lambda fi, t, rb, cb: (t, 0)),
+            pl.BlockSpec((tg.block_cols, fb), lambda fi, t, rb, cb: (cb[t], fi)),
+            pl.BlockSpec((tg.block_rows, fb), lambda fi, t, rb, cb: (rb[t], fi)),
+        ],
+        out_specs=pl.BlockSpec(
+            (hpb, 1, ET), lambda fi, t, rb, cb: (fi, t, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((heads, T, ET), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * ET * (tg.block_cols + tg.block_rows) * f,
+            bytes_accessed=(xs.size + xd.size) * x_src.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(tg.tile_rb, tg.tile_cb, tg.src_local, tg.dst_local, xs, xd)
+    return out
+
+
+def tiles_to_edges(tg: TiledGraph, vals: jax.Array, e_pad: int) -> jax.Array:
+    """Map tile-layout values [heads, T, ET] back to edge order [e_pad, heads].
+
+    Each real edge occupies exactly one tile slot; padding slots point at the
+    last (masked) edge, which is harmlessly overwritten.
+    """
+    H = vals.shape[0]
+    flat = vals.reshape(H, -1).T                     # [T*ET, H]
+    idx = tg.edge_id.reshape(-1)
+    out = jnp.zeros((e_pad, H), vals.dtype)
+    return out.at[idx].set(flat, mode="drop")
+
+
+def edges_to_tiles(tg: TiledGraph, vals: jax.Array) -> jax.Array:
+    """Gather per-edge values [e_pad, ...] into tile layout [T, ET, ...]."""
+    return jnp.take(vals, tg.edge_id, axis=0)
