@@ -10,7 +10,10 @@ multi-chip and multi-host scaling (which the reference does not have at all).
 """
 
 from . import ir
-from .graph import GraphTensor, TiledGraph, build_graph, tile_graph, nnz_histogram
+from .graph import (
+    GraphTensor, HostGraph, TiledGraph,
+    build_graph, build_host_graph, tile_graph, nnz_histogram,
+)
 from .models.builders import build_op_graph, NETWORKS
 from .compiler.lower import lower, init_params
 from .data.datasets import load_dataset, Dataset, DATASET_STATS

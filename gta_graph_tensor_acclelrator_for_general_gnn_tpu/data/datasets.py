@@ -23,7 +23,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..graph import GraphTensor, build_graph
+from ..graph import GraphTensor, HostGraph, build_host_graph
 
 # name: (n_node, n_edge, n_feat, n_class)  — genGraphOP.py:183-199
 DATASET_STATS = {
@@ -40,7 +40,7 @@ DATASET_STATS = {
 @dataclasses.dataclass
 class Dataset:
     name: str
-    graph: GraphTensor
+    host_graph: HostGraph    # host twin — preprocessing reads this, never the device arrays
     x: np.ndarray            # [N, F] float32 node features
     y: np.ndarray            # [N] int32 labels
     train_mask: np.ndarray
@@ -48,6 +48,14 @@ class Dataset:
     test_mask: np.ndarray
     n_class: int
     synthetic: bool = True
+    _device_graph: Optional[GraphTensor] = None
+
+    @property
+    def graph(self) -> GraphTensor:
+        """Device GraphTensor (built lazily, exactly once)."""
+        if self._device_graph is None:
+            object.__setattr__(self, "_device_graph", self.host_graph.to_device())
+        return self._device_graph
 
 
 def synthetic_coo(n_node: int, n_edge: int, seed: int = 0, alpha: float = 0.8):
@@ -109,14 +117,14 @@ def load_dataset(
         test_mask = np.zeros(n_node, bool); test_mask[idx[n_tr + n_va:]] = True
         synthetic = True
 
-    g = build_graph(
+    g = build_host_graph(
         senders, receivers, n_node,
         add_self_loops=add_self_loops,
         symmetric_norm=symmetric_norm,
         edge_pad_multiple=edge_pad_multiple,
     )
     return Dataset(
-        name=name, graph=g, x=x, y=y,
+        name=name, host_graph=g, x=x, y=y,
         train_mask=train_mask, val_mask=val_mask, test_mask=test_mask,
         n_class=n_class, synthetic=synthetic,
     )

@@ -39,6 +39,39 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@dataclasses.dataclass(frozen=True)
+class HostGraph:
+    """Host-side (numpy) twin of :class:`GraphTensor`.
+
+    All preprocessing (tiling, partitioning, histograms) runs off this so it
+    never reads device buffers back: a device->host readback is (a) wasted
+    PCIe/tunnel traffic and (b) on the axon TPU tunnel it permanently degrades
+    every subsequent dispatch in the process (measured: 80us -> 26ms).  Build
+    once on host, `.to_device()` exactly once.
+    """
+
+    senders: np.ndarray
+    receivers: np.ndarray
+    edge_mask: np.ndarray
+    edge_weight: np.ndarray
+    n_node: int
+    n_edge: int
+
+    @property
+    def e_pad(self) -> int:
+        return int(self.senders.shape[0])
+
+    def to_device(self) -> "GraphTensor":
+        return GraphTensor(
+            senders=jnp.asarray(self.senders),
+            receivers=jnp.asarray(self.receivers),
+            edge_mask=jnp.asarray(self.edge_mask),
+            edge_weight=jnp.asarray(self.edge_weight),
+            n_node=self.n_node,
+            n_edge=self.n_edge,
+        )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class GraphTensor:
@@ -70,7 +103,7 @@ class GraphTensor:
         return _round_up(self.n_node + 1, 8)
 
 
-def build_graph(
+def build_host_graph(
     senders: np.ndarray,
     receivers: np.ndarray,
     n_node: int,
@@ -79,8 +112,8 @@ def build_graph(
     add_self_loops: bool = False,
     symmetric_norm: bool = False,
     edge_pad_multiple: int = 512,
-) -> GraphTensor:
-    """Build a sorted, padded :class:`GraphTensor` from COO arrays (host side)."""
+) -> HostGraph:
+    """Build a sorted, padded :class:`HostGraph` from COO arrays (host side)."""
     senders = np.asarray(senders, np.int32)
     receivers = np.asarray(receivers, np.int32)
     if add_self_loops:
@@ -114,13 +147,33 @@ def build_graph(
     mask = np.concatenate([np.ones(n_edge, bool), np.zeros(pad, bool)])
     edge_weight = np.concatenate([edge_weight, np.zeros(pad, np.float32)])
 
-    return GraphTensor(
-        senders=jnp.asarray(senders),
-        receivers=jnp.asarray(receivers),
-        edge_mask=jnp.asarray(mask),
-        edge_weight=jnp.asarray(edge_weight),
+    return HostGraph(
+        senders=senders,
+        receivers=receivers,
+        edge_mask=mask,
+        edge_weight=edge_weight,
         n_node=n_node,
         n_edge=n_edge,
+    )
+
+
+def build_graph(*args, **kwargs) -> GraphTensor:
+    """Device variant of :func:`build_host_graph` (same signature)."""
+    return build_host_graph(*args, **kwargs).to_device()
+
+
+def _as_host(g) -> HostGraph:
+    """HostGraph view of either graph type.  Readbacks from a device
+    GraphTensor are allowed only as a CPU-platform convenience (tests)."""
+    if isinstance(g, HostGraph):
+        return g
+    return HostGraph(
+        senders=np.asarray(g.senders),
+        receivers=np.asarray(g.receivers),
+        edge_mask=np.asarray(g.edge_mask),
+        edge_weight=np.asarray(g.edge_weight),
+        n_node=g.n_node,
+        n_edge=g.n_edge,
     )
 
 
@@ -166,21 +219,25 @@ class TiledGraph:
 
 
 def tile_graph(
-    g: GraphTensor,
+    g,
     *,
     block_rows: int = 256,
     block_cols: int = 256,
     tile_edges: int = 512,
 ) -> TiledGraph:
-    """Host-side tiling of a GraphTensor into the block-sparse edge format.
+    """Host-side tiling of a HostGraph (or GraphTensor) into the block-sparse
+    edge format.
 
     This replaces the reference's adjacency-tile nnz preprocessing
     (``preprocessing.py:calculate_sparsity``) — instead of a histogram fed to a
     simulator, we materialise the tiles themselves for real execution.
+    Prefer passing a :class:`HostGraph`: passing a device GraphTensor forces a
+    device->host readback (see HostGraph docstring).
     """
-    senders = np.asarray(g.senders)[: g.n_edge]
-    receivers = np.asarray(g.receivers)[: g.n_edge]
-    weight = np.asarray(g.edge_weight)[: g.n_edge]
+    g = _as_host(g)
+    senders = g.senders[: g.n_edge]
+    receivers = g.receivers[: g.n_edge]
+    weight = g.edge_weight[: g.n_edge]
     n = g.n_node
 
     rb = receivers // block_rows
@@ -252,10 +309,10 @@ def tile_graph(
     )
 
 
-def nnz_histogram(g: GraphTensor, tile_rows: int) -> np.ndarray:
+def nnz_histogram(g, tile_rows: int) -> np.ndarray:
     """nnz count per tile_rows-row stripe of the adjacency — the autotuner
     feature retained from the reference's preprocessing (SURVEY §7 layer 1)."""
-    receivers = np.asarray(g.receivers)[: g.n_edge]
+    receivers = _as_host(g).receivers[: g.n_edge]
     n_stripes = _round_up(g.n_node, tile_rows) // tile_rows
     hist = np.zeros(n_stripes, np.int64)
     np.add.at(hist, receivers // tile_rows, 1)

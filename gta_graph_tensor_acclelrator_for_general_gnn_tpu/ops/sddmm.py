@@ -45,11 +45,16 @@ def sddmm(
     heads: int = 1,
     feat_block: int = 512,
     interpret: bool = False,
+    precision=None,
 ) -> jax.Array:
     """Per-edge per-head dots in tile layout: returns [heads, T, ET] float32.
 
     Use :func:`tiles_to_edges` to map back to GraphTensor edge order.
     """
+    if precision is None:
+        # one-hot operands are bf16-exact; see spmm.py for the policy
+        precision = (jax.lax.Precision.HIGHEST if x_src.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
     f = x_src.shape[1]
     assert f % heads == 0, (f, heads)
     per_head = f // heads
@@ -65,41 +70,55 @@ def sddmm(
     T, ET = tg.n_tiles, tg.tile_edges
 
     def kernel(rb, cb, src_ref, dst_ref, xsrc_ref, xdst_ref, o_ref):
-        src = src_ref[0, :]
-        dst = dst_ref[0, :]
+        src = src_ref[0, 0, :]
+        dst = dst_ref[0, 0, :]
         cols = jax.lax.broadcasted_iota(jnp.int32, (ET, tg.block_cols), 1)
         gs = (src[:, None] == cols).astype(xsrc_ref.dtype)
-        s = jnp.dot(gs, xsrc_ref[:], preferred_element_type=jnp.float32)
+        s = jnp.dot(gs, xsrc_ref[:], preferred_element_type=jnp.float32,
+                    precision=precision)
         rows = jax.lax.broadcasted_iota(jnp.int32, (ET, tg.block_rows), 1)
         gd = (dst[:, None] == rows).astype(xdst_ref.dtype)
-        d = jnp.dot(gd, xdst_ref[:], preferred_element_type=jnp.float32)
-        ph = (s * d).reshape(ET, hpb, per_head).sum(axis=2)   # [ET, hpb]
-        o_ref[:, 0, :] = ph.T                                  # [hpb, ET]
+        d = jnp.dot(gd, xdst_ref[:], preferred_element_type=jnp.float32,
+                    precision=precision)
+        prod = s * d                                           # [ET, fb] f32
+        # per-head reduction as a head-selector matmul (no transpose/reshape —
+        # Mosaic-friendly): hsel[h, j] = 1 iff feature j belongs to head h
+        hrow = jax.lax.broadcasted_iota(jnp.int32, (hpb, fb), 0)
+        hcol = jax.lax.broadcasted_iota(jnp.int32, (hpb, fb), 1) // per_head
+        hsel = (hrow == hcol).astype(jnp.float32)
+        ph = jax.lax.dot_general(
+            hsel, prod, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)               # [hpb, ET]
+        o_ref[:, 0, 0, :] = ph
 
+    # [T, 1, ET] index layout and [H, T, 1, ET] output: the last two block
+    # dims must be (8k, 128k) or equal to the array dims on TPU.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_fb, T),
         in_specs=[
-            pl.BlockSpec((1, ET), lambda fi, t, rb, cb: (t, 0)),
-            pl.BlockSpec((1, ET), lambda fi, t, rb, cb: (t, 0)),
+            pl.BlockSpec((1, 1, ET), lambda fi, t, rb, cb: (t, 0, 0)),
+            pl.BlockSpec((1, 1, ET), lambda fi, t, rb, cb: (t, 0, 0)),
             pl.BlockSpec((tg.block_cols, fb), lambda fi, t, rb, cb: (cb[t], fi)),
             pl.BlockSpec((tg.block_rows, fb), lambda fi, t, rb, cb: (rb[t], fi)),
         ],
         out_specs=pl.BlockSpec(
-            (hpb, 1, ET), lambda fi, t, rb, cb: (fi, t, 0)),
+            (hpb, 1, 1, ET), lambda fi, t, rb, cb: (fi, t, 0, 0)),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((heads, T, ET), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((heads, T, 1, ET), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * ET * (tg.block_cols + tg.block_rows) * f,
             bytes_accessed=(xs.size + xd.size) * x_src.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(tg.tile_rb, tg.tile_cb, tg.src_local, tg.dst_local, xs, xd)
-    return out
+    )(tg.tile_rb, tg.tile_cb,
+      tg.src_local[:, None, :], tg.dst_local[:, None, :], xs, xd)
+    return out[:, :, 0, :]
 
 
 def tiles_to_edges(tg: TiledGraph, vals: jax.Array, e_pad: int) -> jax.Array:

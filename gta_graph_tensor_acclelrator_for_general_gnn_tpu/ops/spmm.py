@@ -49,7 +49,7 @@ def _spmm_kernel(
     src_ref, dst_ref, w_ref, x_ref,
     # output
     o_ref,
-    *, block_rows: int, block_cols: int, tile_edges: int,
+    *, block_rows: int, block_cols: int, tile_edges: int, precision,
 ):
     t = pl.program_id(1)
 
@@ -59,18 +59,20 @@ def _spmm_kernel(
     def _zero():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    src = src_ref[0, :]                                   # [ET]
-    dst = dst_ref[0, :]                                   # [ET]
-    w = w_ref[0, :]                                       # [ET]
+    src = src_ref[0, 0, :]                                # [ET]
+    dst = dst_ref[0, 0, :]                                # [ET]
+    w = w_ref[0, 0, :]                                    # [ET]
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile_edges, block_cols), 1)
     g = (src[:, None] == cols).astype(x_ref.dtype)        # [ET, C]
-    msg = jnp.dot(g, x_ref[:], preferred_element_type=jnp.float32)
+    msg = jnp.dot(g, x_ref[:], preferred_element_type=jnp.float32,
+                  precision=precision)
     msg = msg * w[:, None]                                # [ET, F]
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (block_rows, tile_edges), 0)
     s = (rows == dst[None, :]).astype(msg.dtype)          # [R, ET]
-    o_ref[:] += jnp.dot(s, msg, preferred_element_type=jnp.float32)
+    o_ref[:] += jnp.dot(s, msg, preferred_element_type=jnp.float32,
+                        precision=precision)
 
 
 def spmm(
@@ -80,6 +82,7 @@ def spmm(
     *,
     feat_block: int = 512,
     interpret: bool = False,
+    precision: Optional[jax.lax.Precision] = None,
 ) -> jax.Array:
     """Block-sparse SpMM: returns ``y`` [n_node, F] float32.
 
@@ -104,12 +107,20 @@ def spmm(
     if edge_vals is not None:
         w = w * jnp.take(edge_vals, tg.edge_id, axis=0)
 
+    # The one-hot operands are exactly representable in bf16, so the only
+    # precision loss is rounding x itself: for f32 inputs default to HIGHEST
+    # (exact gather/scatter-add); bf16 inputs take the fast single-pass MXU.
+    if precision is None:
+        precision = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+
     T = tg.n_tiles
     kernel = functools.partial(
         _spmm_kernel,
         block_rows=tg.block_rows,
         block_cols=tg.block_cols,
         tile_edges=tg.tile_edges,
+        precision=precision,
     )
     # grid: feature blocks outer, tiles inner -> output row blocks are
     # visited contiguously per feature block (accumulation stays in VMEM).
@@ -117,9 +128,12 @@ def spmm(
         num_scalar_prefetch=2,
         grid=(f_pad // fb, T),
         in_specs=[
-            pl.BlockSpec((1, tg.tile_edges), lambda fi, t, rb, cb: (t, 0)),
-            pl.BlockSpec((1, tg.tile_edges), lambda fi, t, rb, cb: (t, 0)),
-            pl.BlockSpec((1, tg.tile_edges), lambda fi, t, rb, cb: (t, 0)),
+            # [T, 1, ET] layout: TPU requires the last two block dims to be
+            # (8k, 128k) or equal to the array dims — (1, ET) blocks over a
+            # [T, ET] array are illegal, (1, 1, ET) over [T, 1, ET] are fine.
+            pl.BlockSpec((1, 1, tg.tile_edges), lambda fi, t, rb, cb: (t, 0, 0)),
+            pl.BlockSpec((1, 1, tg.tile_edges), lambda fi, t, rb, cb: (t, 0, 0)),
+            pl.BlockSpec((1, 1, tg.tile_edges), lambda fi, t, rb, cb: (t, 0, 0)),
             pl.BlockSpec(
                 (tg.block_cols, fb), lambda fi, t, rb, cb: (cb[t], fi)),
         ],
@@ -137,5 +151,6 @@ def spmm(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(tg.tile_rb, tg.tile_cb, tg.src_local, tg.dst_local, w, xp)
+    )(tg.tile_rb, tg.tile_cb,
+      tg.src_local[:, None, :], tg.dst_local[:, None, :], w[:, None, :], xp)
     return y[: tg.n_node, :f]

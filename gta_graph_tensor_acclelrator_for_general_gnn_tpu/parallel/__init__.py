@@ -1,0 +1,9 @@
+from .partition import PartitionedGraph, partition_graph, pad_nodes
+from .dist import (
+    AXIS,
+    halo_exchange,
+    lower_shard,
+    make_dist_apply,
+    make_sharded_train_step,
+    shard_part,
+)

@@ -1,0 +1,121 @@
+"""Distributed layer tests on the virtual 8-device CPU mesh.
+
+Correctness contract: the shard_mapped halo-partitioned forward must be
+allclose to the single-device lowering for every model family, and the
+distributed gradient must equal the single-device gradient (SURVEY §4
+implication: multi-chip tests on CPU virtual devices)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu import parallel
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.lower import init_params, lower
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.models.train import (
+    TrainState, make_train_step, masked_cross_entropy)
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.models.zoo import build_model
+
+from conftest import small_graph
+
+
+def _mesh(n=8):
+    return Mesh(np.array(jax.devices()[:n]), ("graph",))
+
+
+def _setup(rng, network, n=97, e=600, in_w=24, out_w=12, **kw):
+    s, r = small_graph(rng, n=n, e=e)
+    g = gta.build_graph(s, r, n, symmetric_norm=True, add_self_loops=True)
+    og = gta.build_op_graph(network, in_w, out_w, **kw)
+    params = init_params(og, jax.random.key(1))
+    x = rng.normal(size=(n, in_w)).astype(np.float32)
+    return g, og, params, x
+
+
+@pytest.mark.parametrize("network,kw", [
+    ("GCN", {}),
+    ("GCN", {"reorder": True}),
+    ("GAT", {"heads": 4}),
+    ("GraphSAGE", {}),
+    ("GIN", {}),
+    ("PNA", {}),
+])
+def test_dist_forward_matches_single(rng, network, kw):
+    mesh = _mesh()
+    g, og, params, x = _setup(rng, network, **kw)
+    ref = lower(og)(params, g, jnp.asarray(x))
+
+    part = parallel.partition_graph(g, mesh.size)
+    part = parallel.shard_part(part, mesh)
+    xp = jax.device_put(
+        jnp.asarray(parallel.pad_nodes(x, part)),
+        NamedSharding(mesh, P("graph", None)))
+    fwd = jax.jit(parallel.make_dist_apply([og], mesh))
+    out = fwd(params, part, xp)
+    np.testing.assert_allclose(
+        np.asarray(out)[: g.n_node], np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_dist_grads_match_single(rng):
+    mesh = _mesh()
+    n, n_class = 80, 5
+    s, r = small_graph(rng, n=n, e=500)
+    g = gta.build_graph(s, r, n, symmetric_norm=True, add_self_loops=True)
+    model = build_model("GCN", 16, n_class, hidden=8, n_layers=2)
+    params = model.init(jax.random.key(0))
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    y = rng.integers(0, n_class, size=n).astype(np.int32)
+    mask = np.zeros(n, bool); mask[: n // 2] = True
+
+    # single-device grads
+    apply = model.make_apply()
+    def loss_single(p):
+        return masked_cross_entropy(apply(p, g, jnp.asarray(x)), jnp.asarray(y),
+                                    jnp.asarray(mask))
+    g_ref = jax.grad(loss_single)(params)
+
+    # distributed grads
+    part = parallel.shard_part(parallel.partition_graph(g, mesh.size), mesh)
+    sh = NamedSharding(mesh, P("graph"))
+    xp = jax.device_put(jnp.asarray(parallel.pad_nodes(x, part)),
+                        NamedSharding(mesh, P("graph", None)))
+    yp = jax.device_put(jnp.asarray(parallel.pad_nodes(y, part)), sh)
+    mp = jax.device_put(jnp.asarray(parallel.pad_nodes(mask, part)), sh)
+    fwd = parallel.make_dist_apply(model.layers, mesh)
+    def loss_dist(p):
+        return masked_cross_entropy(fwd(p, part, xp), yp, mp)
+    g_dist = jax.grad(loss_dist)(params)
+
+    for k in g_ref:
+        np.testing.assert_allclose(
+            np.asarray(g_dist[k]), np.asarray(g_ref[k]), rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_train_step_loss_drops(rng):
+    mesh = _mesh()
+    n, n_class = 96, 4
+    s, r = small_graph(rng, n=n, e=500)
+    g = gta.build_graph(s, r, n, symmetric_norm=True, add_self_loops=True)
+    model = build_model("GCN", 12, n_class, hidden=16, n_layers=2)
+    params = model.init(jax.random.key(0))
+    centers = rng.normal(size=(n_class, 12)).astype(np.float32)
+    y = rng.integers(0, n_class, size=n).astype(np.int32)
+    x = centers[y] + rng.normal(size=(n, 12)).astype(np.float32)
+    mask = np.ones(n, bool)
+
+    part = parallel.shard_part(parallel.partition_graph(g, mesh.size), mesh)
+    sh = NamedSharding(mesh, P("graph"))
+    xp = jax.device_put(jnp.asarray(parallel.pad_nodes(x, part)),
+                        NamedSharding(mesh, P("graph", None)))
+    yp = jax.device_put(jnp.asarray(parallel.pad_nodes(y, part)), sh)
+    mp = jax.device_put(jnp.asarray(parallel.pad_nodes(mask, part)), sh)
+
+    tx = optax.adam(1e-2)
+    step = parallel.make_sharded_train_step(model.layers, mesh, tx)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    state, l0 = step(state, part, xp, yp, mp)
+    for _ in range(30):
+        state, loss = step(state, part, xp, yp, mp)
+    assert float(loss) < float(l0)
