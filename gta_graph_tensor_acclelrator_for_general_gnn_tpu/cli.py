@@ -1,0 +1,127 @@
+"""CLI driver — the reference's ``start.py`` (vTCAD/code/start.py:13-63)
+re-imagined for real execution.
+
+Reference flags and their TPU equivalents:
+  --dataset / --network            same
+  --isReorder                      --reorder (algebraically reordered graph)
+  --isSinput                       (subsumed: XLA handles sparse inputs)
+  --isPingpang                     (subsumed: Pallas pipelines double-buffer)
+  --isFlexibleBuffer               (subsumed: VMEM budget in the tile search)
+plus new commands the reference cannot do:
+  run       forward latency of the model on the dataset (per layer + total)
+  train     full training run, reports accuracy and epoch time
+  tune      schedule autotune (enumerative or --ga), prints the best schedule
+  bench     edges/s for the SpMM/SDDMM hot kernels
+
+The reference prints simulated latency-seconds and MB moved (start.py:57-58);
+``run`` prints *measured* latency and the analytic HBM traffic of the chosen
+schedule.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="gta-tpu",
+        description="TPU-native graph tensor accelerator for general GNNs")
+    p.add_argument("command", choices=["run", "train", "tune", "bench"])
+    p.add_argument("--dataset", default="cora")
+    p.add_argument("--network", default="GAT")
+    p.add_argument("--layers", type=int, default=2)
+    p.add_argument("--hidden", type=int, default=128)
+    p.add_argument("--heads", type=int, default=4)
+    p.add_argument("--reorder", action="store_true",
+                   help="use the algebraically reordered (trans) op graph")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--f32", dest="bf16", action="store_false")
+    p.add_argument("--ga", action="store_true", help="genetic tile search")
+    p.add_argument("--memo", default=None, help="schedule memo CSV path")
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--json", action="store_true", help="machine-readable output")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from . import build_op_graph, load_dataset
+    from .compiler.lower import init_params, lower
+    from .utils.benchmark import time_fn_pipelined
+
+    dtype = jnp.bfloat16 if args.bf16 else None
+    ds = load_dataset(args.dataset, seed=args.seed)
+    out = {"dataset": args.dataset, "network": args.network,
+           "synthetic_data": ds.synthetic}
+
+    if args.command == "train":
+        from .models.train import train_node_classifier
+        _, res = train_node_classifier(
+            ds, args.network, hidden=args.hidden, n_layers=args.layers,
+            heads=args.heads, epochs=args.epochs, lr=args.lr,
+            compute_dtype=dtype, seed=args.seed)
+        out.update(dict(
+            train_loss=res.train_loss, train_acc=res.train_acc,
+            val_acc=res.val_acc, test_acc=res.test_acc,
+            epoch_time_s=res.epoch_time_s, edges_per_s=res.edges_per_s))
+
+    elif args.command == "run":
+        from .models.zoo import build_model
+        model = build_model(args.network, ds.x.shape[1], ds.n_class,
+                            hidden=args.hidden, n_layers=args.layers,
+                            heads=args.heads, reorder=args.reorder)
+        params = jax.device_put(model.init(jax.random.key(args.seed)))
+        x = jax.device_put(jnp.asarray(ds.x))
+        fwd = jax.jit(model.make_apply(dtype))
+        lat = time_fn_pipelined(fwd, params, ds.graph, x, iters=args.iters)
+        out.update(dict(latency_us=lat * 1e6,
+                        edges_per_s=ds.host_graph.n_edge * args.layers / lat))
+
+    elif args.command == "tune":
+        graph = build_op_graph(
+            args.network, args.hidden, args.hidden, heads=args.heads,
+            reorder=args.reorder, layer_tag="tune")
+        params = jax.device_put(init_params(graph, jax.random.key(args.seed)))
+        x = jax.device_put(jax.random.normal(
+            jax.random.key(1), (ds.host_graph.n_node, args.hidden),
+            jnp.float32))
+        memo = args.memo or f"results/memo_{args.network}_{args.dataset}.csv"
+        if args.ga:
+            from .tune import GeneticTuner
+            tuner = GeneticTuner(graph, ds.host_graph, compute_dtype=dtype,
+                                 memo_path=memo, iters=args.iters)
+            res = tuner.search(params, ds.graph, x, verbose=not args.json)
+        else:
+            from .tune import autotune
+            res = autotune(graph, ds.host_graph, params, ds.graph, x,
+                           compute_dtype=dtype, memo_path=memo,
+                           iters=args.iters, verbose=not args.json)
+        out.update(dict(best_latency_us=res.latency_s * 1e6,
+                        best_schedule=res.best.key(),
+                        n_trials=len(res.trials)))
+        if not args.json:
+            print(res.report())
+
+    elif args.command == "bench":
+        from .graph import tile_graph
+        from .ops import spmm as spmm_mod
+        tg = tile_graph(ds.host_graph)
+        x = jax.device_put(jax.random.normal(
+            jax.random.key(1), (ds.host_graph.n_node, args.hidden),
+            jnp.bfloat16 if args.bf16 else jnp.float32))
+        f = jax.jit(lambda t, v: spmm_mod.spmm(t, v))
+        lat = time_fn_pipelined(f, tg, x, iters=args.iters)
+        out.update(dict(spmm_latency_us=lat * 1e6,
+                        spmm_edges_per_s=ds.host_graph.n_edge / lat))
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,157 @@
+"""Schedule lowering: fused blocks -> Pallas kernels, the rest -> XLA.
+
+The reference interpreter turns fused blocks into simulated fused
+instructions according to the ``hardware_info.yaml`` pattern table
+(vTCAD/code/interpreter.py:540-719: scatter+applyedge, applyedge+gather,
+x3 chains...).  Here a fused block that matches a kernel pattern executes as
+one Pallas call; unmatched blocks run op-by-op through the XLA primitives
+(and XLA fuses the elementwise chains on its own).
+
+Patterns implemented:
+  * SPMM  — scatter(C) [-> apply_edge MUL edge_weight] -> gather(ADD):
+    the neighbourhood aggregation of GCN/SGC/SAGE/GIN/DGN, one
+    block-sparse Pallas SpMM (ops/spmm.py).
+  * GAT   — the full edge-softmax attention block (scatters, logits,
+    stable softmax, weighted aggregation) as one online-softmax Pallas
+    kernel (ops/gat.py), when the block covers the canonical GAT op chain.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .. import ir
+from ..graph import GraphTensor, HostGraph, TiledGraph, tile_graph
+from ..ops import primitives as P
+from ..ops import spmm as spmm_mod
+from .lower import _eval_op
+from .schedule import Schedule, TileConfig
+
+
+@dataclasses.dataclass
+class _SpmmPlan:
+    in_op: int              # external producer (or X_INPUT) feeding the scatter
+    out_op: int             # the gather op id (block output)
+    weighted: bool          # True if the apply_edge MUL edge_weight is inside
+
+
+def match_spmm(graph: ir.OpGraph, block: Sequence[int]) -> Optional[_SpmmPlan]:
+    ops = [graph.by_id[o] for o in block]
+    kinds = sorted(op.kind for op in ops)
+    if len(ops) == 3:
+        if kinds != sorted([ir.SCATTER, ir.APPLY_EDGE, ir.GATHER]):
+            return None
+        sc = next(o for o in ops if o.kind == ir.SCATTER)
+        ae = next(o for o in ops if o.kind == ir.APPLY_EDGE)
+        ga = next(o for o in ops if o.kind == ir.GATHER)
+        if ae.compute != ir.MUL or set(ae.inputs) != {sc.op_id, ir.EDGE_WEIGHT}:
+            return None
+        if ga.inputs != [ae.op_id]:
+            return None
+        weighted = True
+    elif len(ops) == 2:
+        if kinds != sorted([ir.SCATTER, ir.GATHER]):
+            return None
+        sc = next(o for o in ops if o.kind == ir.SCATTER)
+        ga = next(o for o in ops if o.kind == ir.GATHER)
+        if ga.inputs != [sc.op_id]:
+            return None
+        weighted = False
+    else:
+        return None
+    if sc.order != "C" or sc.compute != ir.NONE:
+        return None
+    if ga.compute != ir.ADD or ga.order != "R":
+        return None
+    if len(sc.inputs) != 1:
+        return None
+    return _SpmmPlan(in_op=sc.inputs[0], out_op=ga.op_id, weighted=weighted)
+
+
+def lower_schedule(
+    graph: ir.OpGraph,
+    schedule: Schedule,
+    host_graph: HostGraph,
+    compute_dtype=None,
+    interpret: bool = False,
+) -> Callable[[Dict[str, jax.Array], GraphTensor, jax.Array], jax.Array]:
+    """Lower ``graph`` under ``schedule`` to ``apply(params, g, x)``.
+
+    Host-side: builds one TiledGraph per distinct (TileConfig, weighted)
+    used by a matched block (closured into the returned function — static
+    data, donated to the device once).
+    """
+    from ..ops import gat as gat_mod
+
+    tiled: Dict[tuple, TiledGraph] = {}
+
+    def get_tiled(tc: TileConfig, unit_weight: bool) -> TiledGraph:
+        key = (tc.block_rows, tc.block_cols, tc.tile_edges, unit_weight)
+        if key not in tiled:
+            tiled[key] = tile_graph(
+                host_graph,
+                block_rows=tc.block_rows,
+                block_cols=tc.block_cols,
+                tile_edges=tc.tile_edges,
+                unit_weight=unit_weight,
+            )
+        return tiled[key]
+
+    # --- match blocks at build time --------------------------------------
+    plans: List[tuple] = []
+    for block, tc in zip(schedule.blocks, schedule.tiles):
+        spmm_plan = match_spmm(graph, block) if tc.kernel else None
+        if spmm_plan is not None:
+            plans.append(("spmm", block, tc, spmm_plan,
+                          get_tiled(tc, unit_weight=not spmm_plan.weighted)))
+            continue
+        gat_plan = gat_mod.match_gat_block(graph, block) if tc.kernel else None
+        if gat_plan is not None:
+            plans.append(("gat", block, tc, gat_plan,
+                          get_tiled(tc, unit_weight=True)))
+            continue
+        plans.append(("xla", block, tc, None, None))
+
+    outputs = list(graph.outputs)
+
+    def apply(params: Dict[str, jax.Array], g: GraphTensor, x: jax.Array):
+        vals: Dict[int, jax.Array] = {}
+
+        def ref(i: int) -> jax.Array:
+            if i == ir.X_INPUT:
+                return x
+            if i == ir.EDGE_WEIGHT:
+                return g.edge_weight[:, None]
+            return vals[i]
+
+        def kin(v: jax.Array) -> jax.Array:
+            # kernel inputs follow the compute dtype (bf16 = single-pass MXU)
+            return v.astype(compute_dtype) if compute_dtype is not None else v
+
+        for kind, block, tc, plan, tg in plans:
+            if kind == "spmm":
+                y = spmm_mod.spmm(tg, kin(ref(plan.in_op)), interpret=interpret)
+                vals[plan.out_op] = y
+                # intermediates inside the block stay unmaterialised
+            elif kind == "gat":
+                vals[plan.out_op] = gat_mod.gat_attention(
+                    tg,
+                    h_src=kin(ref(plan.h_op)),
+                    a_src=kin(ref(plan.asrc_op)),
+                    a_dst=kin(ref(plan.adst_op)),
+                    heads=plan.heads,
+                    negative_slope=plan.negative_slope,
+                    interpret=interpret,
+                )
+            else:
+                for oid in block:
+                    op = graph.by_id[oid]
+                    vals[oid] = _eval_op(op, vals, params, g, x, compute_dtype)
+        if len(outputs) == 1:
+            return vals[outputs[0]]
+        return {o: vals[o] for o in outputs}
+
+    return apply

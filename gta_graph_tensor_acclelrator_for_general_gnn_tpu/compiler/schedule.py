@@ -1,0 +1,313 @@
+"""Schedules: fusion partitions + tile sizes, with an analytic cost model.
+
+This is the TPU re-design of the reference compiler (vTCAD/code/compiler.py):
+
+* the *fusion pattern* (one bit per op-DAG edge, ``generate_all_binaries``
+  :394-454) becomes a partition of the op graph into blocks; blocks matching
+  a Pallas kernel pattern execute fused on-chip, everything else lowers to
+  XLA ops (which XLA further fuses);
+* the *tile size search* (``binary_search`` under the 2MB buffer,
+  :67-131) becomes the Pallas block-size choice (block_rows/cols,
+  tile_edges) under the VMEM budget;
+* the *DRAM traffic model* (``cal_size`` :153-270) becomes
+  :func:`traffic_bytes` — HBM bytes per schedule, used to prune candidates
+  before measuring real latency (the reference pruned with
+  ``mem_access/BW > 1.1 x best`` — genetic_algorithm.py:108-111).
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+from .. import ir
+
+BYTES = 4  # f32; bf16 halves traffic (tracked via dtype_bytes arg)
+
+
+@dataclasses.dataclass(frozen=True)
+class TileConfig:
+    """Per-block execution config (the reference's per-block
+    ``[tile_rows, tile_cols]`` plus the MM-vs-VEC dispatch choice,
+    simulator.py:541-545).  ``kernel=False`` runs the block through the XLA
+    primitives instead of the Pallas one-hot kernel — the winning choice for
+    very sparse adjacency blocks, where one-hot MXU work scales with tile
+    *capacity* rather than real edges."""
+    block_rows: int = 256
+    block_cols: int = 256
+    tile_edges: int = 512
+    kernel: bool = True
+
+    def key(self) -> Tuple[int, int, int, bool]:
+        return (self.block_rows, self.block_cols, self.tile_edges, self.kernel)
+
+
+@dataclasses.dataclass(frozen=True)
+class Schedule:
+    """A fusion partition plus per-block tile configs.
+
+    ``blocks`` lists op-ids per fused block in topological order of the
+    quotient DAG; ``tiles[i]`` configures block i (only used when the block
+    lowers to a Pallas kernel)."""
+    blocks: Tuple[Tuple[int, ...], ...]
+    tiles: Tuple[TileConfig, ...]
+
+    def key(self) -> str:
+        bs = ";".join(",".join(map(str, b)) for b in self.blocks)
+        ts = ";".join("x".join(map(str, t.key())) for t in self.tiles)
+        return f"{bs}|{ts}"
+
+
+# ---------------------------------------------------------------------------
+# partition enumeration (the reference's fusion bitstrings)
+# ---------------------------------------------------------------------------
+
+
+def _components(n_ops: Sequence[int], fused_edges: Iterable[Tuple[int, int]]) -> List[List[int]]:
+    parent = {o: o for o in n_ops}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for u, v in fused_edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comps: Dict[int, List[int]] = {}
+    for o in n_ops:
+        comps.setdefault(find(o), []).append(o)
+    return [sorted(c) for c in comps.values()]
+
+
+def _order_blocks(graph: ir.OpGraph, blocks: List[List[int]]) -> List[List[int]]:
+    """Topologically order blocks by the quotient DAG (deterministic)."""
+    block_of = {o: i for i, b in enumerate(blocks) for o in b}
+    indeg = [0] * len(blocks)
+    succ: List[set] = [set() for _ in blocks]
+    for u, v in graph.edges():
+        a, b = block_of[u], block_of[v]
+        if a != b and b not in succ[a]:
+            succ[a].add(b)
+            indeg[b] += 1
+    ready = sorted(i for i, d in enumerate(indeg) if d == 0)
+    out = []
+    while ready:
+        a = ready.pop(0)
+        out.append(blocks[a])
+        for b in sorted(succ[a]):
+            indeg[b] -= 1
+            if indeg[b] == 0:
+                ready.append(b)
+        ready.sort(key=lambda i: blocks[i])
+    return out
+
+
+def enumerate_partitions(
+    graph: ir.OpGraph,
+    max_edges: int = 20,
+    limit: Optional[int] = None,
+) -> List[Tuple[Tuple[int, ...], ...]]:
+    """All legal fusion partitions of the op DAG (reference
+    ``generate_all_binaries``, compiler.py:394-454): one bit per DAG edge,
+    breakpoint edges forced to 0 (the reference's skip_bits), candidates with
+    an illegal block (internal breakpoint / quotient cycle) rejected."""
+    edges = graph.edges()
+    ids = [op.op_id for op in graph.ops]
+    free, forced_zero = [], []
+    for (u, v) in edges:
+        if ir.is_breakpoint(graph.by_id[u], graph.by_id[v]):
+            forced_zero.append((u, v))
+        else:
+            free.append((u, v))
+    if len(free) > max_edges:
+        raise ValueError(
+            f"{len(free)} free fusion edges > {max_edges}; use the GA search")
+    seen = set()
+    out: List[Tuple[Tuple[int, ...], ...]] = []
+    for bits in itertools.product((0, 1), repeat=len(free)):
+        fused = [e for e, b in zip(free, bits) if b]
+        blocks = _components(ids, fused)
+        key = tuple(tuple(b) for b in sorted(blocks))
+        if key in seen:
+            continue
+        seen.add(key)
+        if not ir.partition_is_legal(graph, blocks):
+            continue
+        ordered = _order_blocks(graph, blocks)
+        out.append(tuple(tuple(b) for b in ordered))
+        if limit and len(out) >= limit:
+            break
+    return out
+
+
+def singleton_partition(graph: ir.OpGraph) -> Tuple[Tuple[int, ...], ...]:
+    return tuple((o,) for o in graph.topo_order())
+
+
+def max_fusion_partition(graph: ir.OpGraph) -> Tuple[Tuple[int, ...], ...]:
+    """Greedy max fusion: fuse every non-breakpoint edge whose fusion keeps
+    the partition legal (the reference's 'fuse all' GA seed,
+    genetic_algorithm.py:87-99)."""
+    ids = [op.op_id for op in graph.ops]
+    fused: List[Tuple[int, int]] = []
+    for (u, v) in graph.edges():
+        if ir.is_breakpoint(graph.by_id[u], graph.by_id[v]):
+            continue
+        cand = fused + [(u, v)]
+        blocks = _components(ids, cand)
+        if ir.partition_is_legal(graph, blocks):
+            fused = cand
+    blocks = _components(ids, fused)
+    return tuple(tuple(b) for b in _order_blocks(graph, blocks))
+
+
+# ---------------------------------------------------------------------------
+# analytic cost model (the reference's cal_size / rw)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphStats:
+    """Static per-graph quantities the cost model needs (host-side)."""
+    n_node: int
+    n_edge: int
+    e_pad: int
+
+
+def traffic_bytes(
+    graph: ir.OpGraph,
+    blocks: Sequence[Sequence[int]],
+    stats: GraphStats,
+    dtype_bytes: int = 4,
+) -> int:
+    """HBM bytes for one forward under the partition: every cross-block value
+    is written by its producer and read by each consuming block; intra-block
+    values stay on chip.  Mirrors the reference's rw accounting
+    (compiler.py:153-270) with edge-domain rows = e_pad, node rows = n_node.
+    Weights count once per MM op (streamed from HBM)."""
+    block_of = {o: i for i, b in enumerate(blocks) for o in b}
+
+    def rows(domain: str) -> int:
+        return stats.n_node if domain == ir.NODE else stats.e_pad
+
+    total = 0
+    for op in graph.ops:
+        w = op.extra.get("weight")
+        if w is not None:
+            _, iw, ow = w
+            total += iw * ow * dtype_bytes
+        # reads of graph inputs (X / edge_weight) by each block touching them
+        for i in op.inputs:
+            if i == ir.X_INPUT:
+                total += stats.n_node * graph.in_width * dtype_bytes
+            elif i == ir.EDGE_WEIGHT:
+                total += stats.e_pad * dtype_bytes
+    consumers: Dict[int, set] = {}
+    for u, v in graph.edges():
+        if block_of[u] != block_of[v]:
+            consumers.setdefault(u, set()).add(block_of[v])
+    for op in graph.ops:
+        nbytes = rows(op.out_domain) * max(op.out_width, 1) * dtype_bytes
+        outside = consumers.get(op.op_id, set())
+        if outside or op.op_id in graph.outputs:
+            total += nbytes                       # producer writes once
+        total += nbytes * len(outside)            # each consumer block reads
+    return total
+
+
+def vmem_bytes(tile: TileConfig, feat_width: int, dtype_bytes: int = 4) -> int:
+    """Double-buffered VMEM footprint of one Pallas aggregation block: the
+    x column block, the output row block, and the edge-tile arrays (the
+    reference's buffer constraint W + (N+E)*2 < 2MB, compiler.py:67-131;
+    the TPU budget is VMEM, default checked against ~16MB)."""
+    x_blk = tile.block_cols * feat_width * dtype_bytes
+    o_blk = tile.block_rows * feat_width * 4          # f32 accumulator
+    edges = tile.tile_edges * (3 * 4 + dtype_bytes)   # src/dst/eid + weight
+    onehot = tile.tile_edges * max(tile.block_rows, tile.block_cols) * dtype_bytes
+    return 2 * (x_blk + edges) + o_blk + 2 * onehot
+
+
+def tile_is_feasible(
+    tile: TileConfig,
+    feat_width: int,
+    vmem_budget: int = 16 * 2**20,
+    dtype_bytes: int = 4,
+) -> bool:
+    return vmem_bytes(tile, feat_width, dtype_bytes) <= vmem_budget
+
+
+def pattern_partition(graph: ir.OpGraph) -> Optional[Tuple[Tuple[int, ...], ...]]:
+    """Super-fused partition: the whole GAT attention chain as ONE block.
+
+    The chain crosses two gather->scatter breakpoint edges, which the
+    reference can never fuse (compiler.py:472-473 — its buffer model needs
+    the node-aligned intermediates materialised).  The online-softmax Pallas
+    kernel CAN cross them: per-row max/den/num stay in VMEM for the whole
+    row stripe, so the 'materialise + re-scatter' the breakpoint rule guards
+    against never happens.  This is the fusion the simulated hardware could
+    not express — and the main source of the TPU win."""
+    from ..ops.gat import find_gat_chain
+    plan = find_gat_chain(graph)
+    if plan is None:
+        return None
+    rest = [o for o in graph.topo_order() if o not in plan.ops]
+    blocks = [[o] for o in rest] + [sorted(plan.ops)]
+    return tuple(tuple(b) for b in _order_blocks(graph, blocks))
+
+
+def partition_is_legal_with_patterns(
+    graph: ir.OpGraph, blocks: Sequence[Sequence[int]]
+) -> bool:
+    """Partition legality with the kernel-pattern exemption: a block that
+    exactly matches a fused-kernel pattern may contain breakpoint edges."""
+    from ..ops.gat import match_gat_block
+    if ir.partition_is_legal(graph, blocks):
+        return True
+    exempt = [b for b in blocks if match_gat_block(graph, b) is not None]
+    if not exempt:
+        return False
+    # re-check with exempt blocks collapsed to opaque nodes: internal edges
+    # of exempt blocks are ignored; quotient must still be a DAG and the
+    # remaining blocks must be breakpoint-free.
+    exempt_ids = {id(tuple(b)) for b in exempt}
+    block_of = {}
+    for i, b in enumerate(blocks):
+        for o in b:
+            if o in block_of:
+                return False
+            block_of[o] = i
+    if set(block_of) != set(graph.by_id):
+        return False
+    exempt_idx = {i for i, b in enumerate(blocks)
+                  if any(tuple(b) == tuple(e) for e in exempt)}
+    for u, v in graph.edges():
+        if block_of[u] == block_of[v] and block_of[u] not in exempt_idx \
+                and ir.is_breakpoint(graph.by_id[u], graph.by_id[v]):
+            return False
+    qedges = {(block_of[u], block_of[v]) for u, v in graph.edges()
+              if block_of[u] != block_of[v]}
+    indeg = {i: 0 for i in range(len(blocks))}
+    succ = {i: [] for i in range(len(blocks))}
+    for a, b in qedges:
+        indeg[b] += 1
+        succ[a].append(b)
+    ready = [i for i, d in indeg.items() if d == 0]
+    seen = 0
+    while ready:
+        a = ready.pop()
+        seen += 1
+        for b in succ[a]:
+            indeg[b] -= 1
+            if indeg[b] == 0:
+                ready.append(b)
+    return seen == len(blocks)
+
+
+def default_schedule(graph: ir.OpGraph) -> Schedule:
+    """Best static schedule: pattern super-fusion when available, else max
+    legal fusion."""
+    blocks = pattern_partition(graph) or max_fusion_partition(graph)
+    return Schedule(blocks=blocks, tiles=tuple(TileConfig() for _ in blocks))

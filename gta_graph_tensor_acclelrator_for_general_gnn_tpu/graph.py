@@ -224,6 +224,7 @@ def tile_graph(
     block_rows: int = 256,
     block_cols: int = 256,
     tile_edges: int = 512,
+    unit_weight: bool = False,
 ) -> TiledGraph:
     """Host-side tiling of a HostGraph (or GraphTensor) into the block-sparse
     edge format.
@@ -237,13 +238,14 @@ def tile_graph(
     g = _as_host(g)
     senders = g.senders[: g.n_edge]
     receivers = g.receivers[: g.n_edge]
-    weight = g.edge_weight[: g.n_edge]
+    weight = (np.ones(g.n_edge, np.float32) if unit_weight
+              else g.edge_weight[: g.n_edge])
     n = g.n_node
 
     rb = receivers // block_rows
     cb = senders // block_cols
-    n_row_blocks = _round_up(n, block_rows) // block_rows
-    n_col_blocks = _round_up(n, block_cols) // block_cols
+    n_row_blocks = max(_round_up(n, block_rows) // block_rows, 1)
+    n_col_blocks = max(_round_up(n, block_cols) // block_cols, 1)
 
     # sort edges by (row block, col block) — stable keeps dst order within
     key = rb.astype(np.int64) * n_col_blocks + cb
@@ -281,13 +283,24 @@ def tile_graph(
             t_eid.append(ei)
             t_w.append(w)
 
-    n_tiles = max(len(t_rb), 1)
-    if not t_rb:  # empty graph: one all-padding tile
-        t_rb, t_cb = [0], [0]
-        t_src = [np.full(tile_edges, block_cols, np.int32)]
-        t_dst = [np.full(tile_edges, block_rows, np.int32)]
-        t_eid = [np.full(tile_edges, g.e_pad - 1, np.int32)]
-        t_w = [np.zeros(tile_edges, np.float32)]
+    # guarantee every row block owns >=1 tile so fused kernels visit (and
+    # write) every output block, even for edge-less row stripes
+    present = set(t_rb)
+    for rb_missing in range(n_row_blocks):
+        if rb_missing not in present:
+            t_rb.append(rb_missing)
+            t_cb.append(0)
+            t_src.append(np.full(tile_edges, block_cols, np.int32))
+            t_dst.append(np.full(tile_edges, block_rows, np.int32))
+            t_eid.append(np.full(tile_edges, g.e_pad - 1, np.int32))
+            t_w.append(np.zeros(tile_edges, np.float32))
+    order2 = np.argsort(np.asarray(t_rb), kind="stable")
+    t_rb = [t_rb[i] for i in order2]
+    t_cb = [t_cb[i] for i in order2]
+    t_src = [t_src[i] for i in order2]
+    t_dst = [t_dst[i] for i in order2]
+    t_eid = [t_eid[i] for i in order2]
+    t_w = [t_w[i] for i in order2]
 
     tile_rb = np.asarray(t_rb, np.int32)
     row_first = np.searchsorted(tile_rb, np.arange(n_row_blocks + 1)).astype(np.int32)

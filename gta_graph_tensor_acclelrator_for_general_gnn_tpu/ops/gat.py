@@ -1,0 +1,393 @@
+"""Fused GAT attention: one Pallas kernel for the whole edge-softmax block.
+
+The reference expresses GAT attention as 14 ops (scatters, add, LeakyReLU,
+segment-max, sub, exp, segment-sum, div, mul, segment-sum —
+vTCAD/GraphOP/genGraphOP.py:47-77) and fuses pairs/triples of the resulting
+instructions (interpreter.py:575-719).  On TPU the winning schedule fuses the
+*entire* block: an online-softmax (flash-attention-style) kernel that keeps
+every per-edge intermediate in VMEM — per-edge logits, exp weights, and
+normalised alphas never touch HBM.
+
+Per destination row block (tiles of one row stripe arrive consecutively —
+TiledGraph invariant), with running state m (max), den, num in VMEM scratch:
+
+    for each edge tile (rb, cb):
+        a_s   = onehot(src) @ Asrc_cb            # [ET, H]   MXU gather
+        a_d   = onehot(dst) @ Adst_rb            # [ET, H]
+        e     = leaky_relu(a_s + a_d)            # [ET, H]
+        m_t   = rowwise max of e over this tile  # [R,  H]   masked VPU max
+        m'    = max(m, m_t); s = exp(m - m')
+        p     = exp(e - m'[dst])                 # gather m' via onehot MXU
+        den   = den*s + onehot(dst)^T @ p
+        hs    = onehot(src) @ H_cb               # [ET, HD]
+        num   = num*s + onehot(dst)^T @ ((p @ B) * hs)   # B: head->feat expand
+    out_rb = num / max(den, eps)
+
+The mathematically identical result is what both reference GAT variants
+compute (normalise-on-edges, genGraphOP.py:47-62, and the aggregate-num/den
+'trans' variant :64-77), so one kernel serves both op-graph shapes.
+
+Training: gradients flow through an XLA recompute (custom_vjp) — the forward
+runs the fused kernel, the backward differentiates the segment-op reference
+formulation.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import ir
+from ..graph import TiledGraph
+
+NEG = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _gat_kernel(
+    rb_ref, cb_ref,
+    src_ref, dst_ref,
+    asrc_ref, h_ref, adst_ref, msrc_ref,
+    o_ref,
+    den_ref, num_ref,
+    *, R: int, C: int, ET: int, H: int, HD: int, slope: float, precision,
+):
+    """One edge tile of the softmax-aggregate.
+
+    Numerical scheme: softmax is shift-invariant per destination row, so
+    instead of tracking the running row max (flash-attention style, which
+    needs lane-dim reductions Mosaic dislikes), subtract the *constant* row
+    bound  b[r] = leaky_relu(max_s a_src[s] + a_dst[r])  >= every logit of
+    row r (leaky_relu is monotone).  exp(e - b) <= 1 — no overflow, no
+    rescaling, den/num accumulate across the row stripe unmodified.
+    """
+    t = pl.program_id(0)
+    prev_rb = jnp.where(t == 0, -1, rb_ref[jnp.maximum(t - 1, 0)])
+
+    @pl.when(rb_ref[t] != prev_rb)
+    def _reset():
+        den_ref[:] = jnp.zeros_like(den_ref)
+        num_ref[:] = jnp.zeros_like(num_ref)
+
+    src = src_ref[0, 0, :]                                    # [ET]
+    dst = dst_ref[0, 0, :]                                    # [ET]
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ET, C), 1)
+    oh_src = (src[:, None] == cols).astype(asrc_ref.dtype)    # [ET, C]
+    rows_er = jax.lax.broadcasted_iota(jnp.int32, (ET, R), 1)
+    oh_dst_er = (dst[:, None] == rows_er).astype(adst_ref.dtype)   # [ET, R]
+    rows_re = jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0)
+    oh_dst_re = (rows_re == dst[None, :]).astype(jnp.float32)      # [R, ET]
+
+    a_s = jnp.dot(oh_src, asrc_ref[:], preferred_element_type=jnp.float32,
+                  precision=precision)                        # [ET, H]
+    a_d = jnp.dot(oh_dst_er, adst_ref[:], preferred_element_type=jnp.float32,
+                  precision=precision)                        # [ET, H]
+
+    def leaky(v):
+        return jnp.where(v >= 0, v, slope * v)
+
+    e = leaky(a_s + a_d)
+    bound = leaky(msrc_ref[0, :][None, :] + a_d)              # [ET, H] (row-const)
+    # full-shape mask: a [ET, 1] bool broadcast against the narrow [ET, H]
+    # lane dim crashes Mosaic (bisected on v5e); broadcast_in_dim is fine
+    dmat = jax.lax.broadcast_in_dim(dst, (ET, H), (0,))
+    p = jnp.where(dmat < R, jnp.exp(e - bound), 0.0)          # [ET, H], <= 1
+
+    den_ref[:] += jnp.dot(oh_dst_re, p, preferred_element_type=jnp.float32,
+                          precision=precision)                # [R, H]
+
+    hs = jnp.dot(oh_src, h_ref[:], preferred_element_type=jnp.float32,
+                 precision=precision)                         # [ET, HD]
+    # head -> feature expansion: B[h, f] = 1 iff f // (HD//H) == h
+    brow = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 0)
+    bcol = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 1) // (HD // H)
+    B = (brow == bcol).astype(jnp.float32)
+    p_full = jnp.dot(p, B, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)     # [ET, HD]
+    num_ref[:] += jnp.dot(oh_dst_re, p_full * hs,
+                          preferred_element_type=jnp.float32,
+                          precision=precision)                # [R, HD]
+
+    # publish the stripe result every step; the last tile of the stripe wins
+    den_full = jnp.dot(jnp.maximum(den_ref[:], 1e-20), B,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)   # [R, HD]
+    o_ref[:] = num_ref[:] / den_full
+
+
+def _gat_forward(
+    tg: TiledGraph,
+    h_src: jax.Array,
+    a_src: jax.Array,
+    a_dst: jax.Array,
+    *,
+    negative_slope: float = 0.2,
+    interpret: bool = False,
+    precision=None,
+) -> jax.Array:
+    H = a_src.shape[1]
+    HD = h_src.shape[1]
+    assert HD % H == 0, (HD, H)
+    if precision is None:
+        precision = (jax.lax.Precision.HIGHEST if h_src.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+
+    R, C, ET, T = tg.block_rows, tg.block_cols, tg.tile_edges, tg.n_tiles
+    n_cols = tg.n_col_blocks * C
+    n_rows = tg.n_row_blocks * R
+    hs = jnp.zeros((n_cols, HD), h_src.dtype).at[: h_src.shape[0]].set(h_src)
+    asr = jnp.zeros((n_cols, H), a_src.dtype).at[: a_src.shape[0]].set(a_src)
+    ads = jnp.zeros((n_rows, H), a_dst.dtype).at[: a_dst.shape[0]].set(a_dst)
+    # global per-head source-logit max (over real nodes): the softmax shift
+    # bound — computed once in XLA, shared by every tile
+    msrc = jnp.max(a_src.astype(jnp.float32), axis=0, keepdims=True)  # [1, H]
+
+    kernel = functools.partial(
+        _gat_kernel, R=R, C=C, ET=ET, H=H, HD=HD,
+        slope=float(negative_slope), precision=precision)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
+            pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
+            pl.BlockSpec((C, H), lambda t, rb, cb: (cb[t], 0)),
+            pl.BlockSpec((C, HD), lambda t, rb, cb: (cb[t], 0)),
+            pl.BlockSpec((R, H), lambda t, rb, cb: (rb[t], 0)),
+            pl.BlockSpec((1, H), lambda t, rb, cb: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((R, HD), lambda t, rb, cb: (rb[t], 0)),
+        scratch_shapes=[
+            pltpu.VMEM((R, H), jnp.float32),
+            pltpu.VMEM((R, HD), jnp.float32),
+        ],
+    )
+    flops = 2 * T * ET * (C * (H + HD) + R * (2 * H)) + 2 * T * R * ET * (H + HD)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, HD), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(hs.size + asr.size + ads.size) * h_src.dtype.itemsize,
+            transcendentals=T * ET * H,
+        ),
+        interpret=interpret,
+    )(tg.tile_rb, tg.tile_cb,
+      tg.src_local[:, None, :], tg.dst_local[:, None, :], asr, hs, ads, msrc)
+    return out[: tg.n_node]
+
+
+def _gat_reference(tg: TiledGraph, h_src, a_src, a_dst, negative_slope):
+    """XLA segment-op formulation over the tile edge lists — the
+    differentiable twin of the kernel (used for the custom VJP backward)."""
+    n = tg.n_node
+    H = a_src.shape[1]
+    HD = h_src.shape[1]
+    D = HD // H
+    src = tg.src_local.reshape(-1) + tg.tile_cb[:, None].repeat(
+        tg.tile_edges, 1).reshape(-1) * tg.block_cols
+    dst = tg.dst_local.reshape(-1) + tg.tile_rb[:, None].repeat(
+        tg.tile_edges, 1).reshape(-1) * tg.block_rows
+    valid = (tg.dst_local.reshape(-1) < tg.block_rows) & (
+        tg.src_local.reshape(-1) < tg.block_cols)
+    src = jnp.where(valid, src, n)
+    dst = jnp.where(valid, dst, n)
+
+    pad = jnp.zeros((1, HD), h_src.dtype)
+    hs = jnp.concatenate([h_src.astype(jnp.float32),
+                          pad.astype(jnp.float32)], 0)[src]
+    asr = jnp.concatenate([a_src.astype(jnp.float32),
+                           jnp.zeros((1, H))], 0)[src]
+    ads = jnp.concatenate([a_dst.astype(jnp.float32),
+                           jnp.zeros((1, H))], 0)[dst]
+    e = jax.nn.leaky_relu(asr + ads, negative_slope)
+    e = jnp.where(valid[:, None], e, NEG)
+    m = jax.ops.segment_max(e, dst, n + 1)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    p = jnp.where(valid[:, None], jnp.exp(e - m[dst]), 0.0)
+    den = jax.ops.segment_sum(p, dst, n + 1)
+    num = jax.ops.segment_sum(
+        jnp.repeat(p, D, axis=1) * hs, dst, n + 1)
+    out = num / jnp.maximum(den, 1e-20).repeat(D, axis=1)
+    return out[:n]
+
+
+def gat_attention(
+    tg: TiledGraph,
+    h_src: jax.Array,
+    a_src: jax.Array,
+    a_dst: jax.Array,
+    heads: int = 1,
+    negative_slope: float = 0.2,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused multi-head GAT edge-softmax + aggregation.  [N,HD],[N,H],[N,H]
+    -> [N,HD] f32.  Forward = Pallas online-softmax kernel; backward =
+    autodiff of the XLA segment formulation (numerically identical result,
+    so the VJP is exact)."""
+
+    @jax.custom_vjp
+    def f(h, s, d):
+        return _gat_forward(tg, h, s, d, negative_slope=negative_slope,
+                            interpret=interpret)
+
+    def fwd(h, s, d):
+        return f(h, s, d), (h, s, d)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(
+            lambda h, s, d: _gat_reference(tg, h, s, d, negative_slope), *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f(h_src, a_src, a_dst)
+
+
+# ---------------------------------------------------------------------------
+# block matcher for the schedule lowerer
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class GatPlan:
+    h_op: int
+    asrc_op: int
+    adst_op: int
+    out_op: int
+    heads: int
+    negative_slope: float
+    ops: frozenset           # exact op ids covered by the fused kernel
+
+
+def match_gat_block(graph: ir.OpGraph, block: Sequence[int]) -> Optional[GatPlan]:
+    """Match the canonical GAT attention chain (either reference variant)
+    within ``block``.  Returns a plan only if the matched chain covers the
+    block exactly (no stray ops that the kernel would silently drop).
+
+    Chain: scatter(C) h / scatter(C) a_src / scatter(R) a_dst ->
+    ADD -> SF(leaky_relu) -> gather MAX -> scatter R -> SUB -> SF(exp) ->
+    then either {gather ADD den, scatter R, DIV, MUL h, gather ADD} (the
+    normalise-on-edges variant, genGraphOP.py:47-62) or
+    {MUL h, gather ADD num, gather ADD den, apply_node DIV} ('trans')."""
+    plan = find_gat_chain(graph, block)
+    if plan is None or plan.ops != frozenset(block):
+        return None
+    return plan
+
+
+def find_gat_chain(
+    graph: ir.OpGraph,
+    within: Optional[Sequence[int]] = None,
+) -> Optional[GatPlan]:
+    """Find a GAT attention chain among ``within`` (default: all ops)."""
+    ids = list(within) if within is not None else [op.op_id for op in graph.ops]
+    B = {o: graph.by_id[o] for o in ids}
+
+    def find(pred):
+        return [o for o, op in B.items() if pred(op)]
+
+    adds = find(lambda op: op.kind == ir.APPLY_EDGE and op.compute == ir.ADD
+                and len(op.inputs) == 2
+                and all(i in B and B[i].kind == ir.SCATTER for i in op.inputs))
+    for add in adds:
+        s1, s2 = (B[i] for i in B[add].inputs)
+        if {s1.order, s2.order} != {"R", "C"}:
+            continue
+        asrc_sc = s1 if s1.order == "C" else s2
+        adst_sc = s1 if s1.order == "R" else s2
+        sfs = find(lambda op: op.kind == ir.APPLY_EDGE and op.compute == ir.SF
+                   and op.inputs == [add])
+        if not sfs or B[sfs[0]].extra.get("sf") != "leaky_relu":
+            continue
+        lrelu = sfs[0]
+        gmax = find(lambda op: op.kind == ir.GATHER and op.compute == ir.MAX
+                    and op.inputs == [lrelu])
+        if not gmax:
+            continue
+        mscat = find(lambda op: op.kind == ir.SCATTER and op.order == "R"
+                     and op.inputs == gmax)
+        if not mscat:
+            continue
+        subs = find(lambda op: op.kind == ir.APPLY_EDGE and op.compute == ir.SUB
+                    and op.inputs == [lrelu, mscat[0]])
+        if not subs:
+            continue
+        exps = find(lambda op: op.kind == ir.APPLY_EDGE and op.compute == ir.SF
+                    and op.inputs == subs and op.extra.get("sf") == "exp")
+        if not exps:
+            continue
+        expo = exps[0]
+        h_cands = find(lambda op: op.kind == ir.SCATTER and op.order == "C"
+                       and op.op_id != asrc_sc.op_id)
+        for h_id in h_cands:
+            h_sc = B[h_id]
+            core = [asrc_sc.op_id, adst_sc.op_id, add, lrelu, gmax[0],
+                    mscat[0], subs[0], expo, h_id]
+            # variant A: den -> scatter -> DIV -> MUL h -> gather
+            dens = find(lambda op: op.kind == ir.GATHER
+                        and op.compute == ir.ADD and op.inputs == [expo])
+            for den in dens:
+                dscat = find(lambda op: op.kind == ir.SCATTER
+                             and op.order == "R" and op.inputs == [den])
+                if not dscat:
+                    continue
+                divs = find(lambda op: op.kind == ir.APPLY_EDGE
+                            and op.compute == ir.DIV
+                            and op.inputs == [expo, dscat[0]])
+                if not divs:
+                    continue
+                muls = find(lambda op: op.kind == ir.APPLY_EDGE
+                            and op.compute == ir.MUL
+                            and sorted(op.inputs) == sorted([divs[0], h_id]))
+                if not muls:
+                    continue
+                gsum = find(lambda op: op.kind == ir.GATHER
+                            and op.compute == ir.ADD and op.inputs == muls)
+                if gsum:
+                    return GatPlan(
+                        h_op=h_sc.inputs[0],
+                        asrc_op=asrc_sc.inputs[0],
+                        adst_op=adst_sc.inputs[0],
+                        out_op=gsum[0],
+                        heads=asrc_sc.out_width,
+                        negative_slope=B[lrelu].extra.get(
+                            "negative_slope", 0.2),
+                        ops=frozenset(core + [den, dscat[0], divs[0],
+                                              muls[0], gsum[0]]),
+                    )
+            # variant B: MUL h -> gather num; gather den; node DIV
+            muls = find(lambda op: op.kind == ir.APPLY_EDGE
+                        and op.compute == ir.MUL
+                        and sorted(op.inputs) == sorted([expo, h_id]))
+            if muls:
+                gnum = find(lambda op: op.kind == ir.GATHER
+                            and op.compute == ir.ADD and op.inputs == muls)
+                gden = find(lambda op: op.kind == ir.GATHER
+                            and op.compute == ir.ADD and op.inputs == [expo])
+                if gnum and gden:
+                    divs = find(lambda op: op.kind == ir.APPLY_NODE
+                                and op.compute == ir.DIV
+                                and op.inputs == [gnum[0], gden[0]])
+                    if divs:
+                        return GatPlan(
+                            h_op=h_sc.inputs[0],
+                            asrc_op=asrc_sc.inputs[0],
+                            adst_op=adst_sc.inputs[0],
+                            out_op=divs[0],
+                            heads=asrc_sc.out_width,
+                            negative_slope=B[lrelu].extra.get(
+                                "negative_slope", 0.2),
+                            ops=frozenset(core + [muls[0], gnum[0],
+                                                  gden[0], divs[0]]),
+                        )
+    return None

@@ -1,0 +1,2 @@
+from .search import autotune, TuneResult, Measurement, Memo, TILE_PALETTE
+from .genetic import GeneticTuner, Genome

@@ -1,0 +1,223 @@
+"""Schedule autotuning with measured fitness.
+
+The reference searches its schedule space two ways — exhaustive enumeration
+with tile-scale sweeps (code/enumeration.py:87-101) and a genetic algorithm
+(vTCAD/code/genetic_algorithm.py) — with *simulated* latency as fitness and a
+CSV memo doubling as crash-resume (:550-608).  Here the space is the same in
+spirit (fusion partition x per-block tile config x kernel-vs-XLA dispatch),
+but fitness is **measured wall time on the real TPU** and the analytic HBM
+traffic model prunes before paying for a compile+measure.
+"""
+from __future__ import annotations
+
+import csv
+import dataclasses
+import itertools
+import os
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ir
+from ..compiler import schedule as S
+from ..compiler.fusion import lower_schedule
+from ..graph import HostGraph
+from ..utils.benchmark import time_fn_pipelined
+
+# tile palette swept per pattern block (reference sweeps tile scale factors
+# {0.25,0.5,0.75,1} of the buffer-maximal tile — enumeration.py:93-99)
+TILE_PALETTE = (
+    S.TileConfig(128, 128, 256),
+    S.TileConfig(256, 256, 512),
+    S.TileConfig(512, 512, 512),
+    S.TileConfig(512, 512, 1024),
+    S.TileConfig(1024, 1024, 2048),
+)
+
+
+@dataclasses.dataclass
+class Measurement:
+    schedule: S.Schedule
+    latency_s: float
+    traffic: int
+
+
+@dataclasses.dataclass
+class TuneResult:
+    best: S.Schedule
+    latency_s: float
+    trials: List[Measurement]
+
+    def report(self) -> str:
+        lines = [f"{len(self.trials)} schedules measured; best "
+                 f"{self.latency_s*1e6:.1f}us"]
+        for m in sorted(self.trials, key=lambda m: m.latency_s)[:10]:
+            lines.append(f"  {m.latency_s*1e6:9.1f}us  traffic={m.traffic:>12}  "
+                         f"{m.schedule.key()}")
+        return "\n".join(lines)
+
+
+class Memo:
+    """(schedule key) -> latency CSV memo; the reference's
+    check_csv_for_sample / save_sample_to_csv (genetic_algorithm.py:550-608),
+    which doubles as search-resume state."""
+
+    def __init__(self, path: Optional[str]):
+        self.path = path
+        self.data: Dict[str, float] = {}
+        if path and os.path.exists(path):
+            with open(path) as f:
+                for row in csv.reader(f):
+                    if len(row) == 2:
+                        self.data[row[0]] = float(row[1])
+
+    def get(self, key: str) -> Optional[float]:
+        return self.data.get(key)
+
+    def put(self, key: str, latency: float):
+        self.data[key] = latency
+        if self.path:
+            d = os.path.dirname(self.path)
+            if d:
+                os.makedirs(d, exist_ok=True)
+            with open(self.path, "a", newline="") as f:
+                csv.writer(f).writerow([key, latency])
+
+
+def _exec_signature(graph: ir.OpGraph, sched: S.Schedule) -> tuple:
+    """Signature of what actually executes.  All-XLA schedules lower to the
+    same jitted program regardless of partition (jit re-fuses everything), so
+    only kernel-dispatched blocks differentiate candidates — measuring two
+    schedules with the same signature is paying a tunnel compile for nothing.
+    """
+    from ..ops.gat import match_gat_block
+    from ..compiler.fusion import match_spmm
+    sig = []
+    for b, tc in zip(sched.blocks, sched.tiles):
+        if not tc.kernel:
+            continue
+        if match_spmm(graph, b) is not None:
+            sig.append(("spmm", tuple(b), tc.key()))
+        elif match_gat_block(graph, b) is not None:
+            sig.append(("gat", tuple(b), tc.key()))
+    return tuple(sorted(sig))
+
+
+def _candidate_schedules(
+    graph: ir.OpGraph,
+    max_partitions: int,
+    tile_palette: Sequence[S.TileConfig],
+) -> List[S.Schedule]:
+    """Candidate pool, deduplicated by execution signature: one all-XLA
+    schedule plus each distinct set of kernel-dispatched pattern blocks
+    swept over the tile palette."""
+    # order matters: the first partition with a given execution signature is
+    # the representative that gets measured, and XLA fuses aggressively on
+    # its own — so lead with the max-fused partitions (their modelled traffic
+    # reflects what the all-XLA executable actually moves).
+    parts: List[Tuple[Tuple[int, ...], ...]] = []
+    pp = S.pattern_partition(graph)
+    if pp is not None:
+        parts.append(pp)
+    mf = S.max_fusion_partition(graph)
+    if mf not in parts:
+        parts.append(mf)
+    try:
+        for part in S.enumerate_partitions(graph, limit=max_partitions):
+            if part not in parts:
+                parts.append(part)
+    except ValueError:
+        if S.singleton_partition(graph) not in parts:
+            parts.append(S.singleton_partition(graph))
+
+    from ..ops.gat import match_gat_block
+    from ..compiler.fusion import match_spmm
+
+    out: List[S.Schedule] = []
+    seen = set()
+
+    def add(sched: S.Schedule):
+        sig = _exec_signature(graph, sched)
+        if sig not in seen:
+            seen.add(sig)
+            out.append(sched)
+
+    for part in parts:
+        pattern_idx = [i for i, b in enumerate(part)
+                       if match_spmm(graph, b) is not None
+                       or match_gat_block(graph, b) is not None]
+        base = tuple(S.TileConfig(kernel=False) for _ in part)
+        add(S.Schedule(blocks=part, tiles=base))
+        if pattern_idx:
+            for tc in tile_palette:
+                tiles = list(base)
+                for i in pattern_idx:
+                    tiles[i] = tc
+                add(S.Schedule(blocks=part, tiles=tuple(tiles)))
+    return out
+
+
+def autotune(
+    graph: ir.OpGraph,
+    host_graph: HostGraph,
+    params,
+    g_dev,
+    x,
+    *,
+    compute_dtype=None,
+    memo_path: Optional[str] = None,
+    max_partitions: int = 64,
+    tile_palette: Sequence[S.TileConfig] = TILE_PALETTE,
+    traffic_prune: float = 4.0,
+    iters: int = 30,
+    feat_width: Optional[int] = None,
+    verbose: bool = False,
+) -> TuneResult:
+    """Measure candidate schedules, return the fastest.
+
+    ``traffic_prune``: skip candidates whose modelled HBM traffic exceeds
+    ``traffic_prune x`` the best modelled traffic (reference prunes at 1.5x
+    traffic / 1.1x latency-bound; we are looser because kernel dispatch can
+    beat lower-traffic schedules).
+    """
+    stats = S.GraphStats(
+        n_node=host_graph.n_node,
+        n_edge=host_graph.n_edge,
+        e_pad=host_graph.e_pad,
+    )
+    fw = feat_width or graph.in_width
+    memo = Memo(memo_path)
+    cands = _candidate_schedules(graph, max_partitions, tile_palette)
+    traffics = [S.traffic_bytes(graph, c.blocks, stats) for c in cands]
+    t_min = min(traffics)
+
+    trials: List[Measurement] = []
+    for i, (sched, traffic) in enumerate(zip(cands, traffics)):
+        if i > 0 and traffic > traffic_prune * t_min:
+            continue  # the first candidate (all-XLA baseline) never prunes
+        if any(tc.kernel and not S.tile_is_feasible(tc, fw)
+               for tc in sched.tiles):
+            continue
+        key = f"{graph.name}|{sched.key()}"
+        lat = memo.get(key)
+        if lat is None:
+            try:
+                fn = jax.jit(lower_schedule(
+                    graph, sched, host_graph, compute_dtype))
+                lat = time_fn_pipelined(fn, params, g_dev, x,
+                                        iters=iters, warmup=3, reps=3)
+            except Exception as ex:  # Mosaic rejection etc: infinite cost
+                if verbose:
+                    print(f"  candidate failed: {type(ex).__name__}")
+                lat = float("inf")
+            if np.isfinite(lat):
+                memo.put(key, lat)
+        trials.append(Measurement(sched, lat, traffic))
+        if verbose:
+            print(f"  {lat*1e6:9.1f}us  {sched.key()}")
+
+    best = min(trials, key=lambda m: m.latency_s)
+    return TuneResult(best=best.schedule, latency_s=best.latency_s,
+                      trials=trials)

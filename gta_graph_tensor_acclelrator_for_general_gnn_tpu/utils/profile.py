@@ -1,0 +1,110 @@
+"""Observability: profiler traces and per-op cost reports.
+
+The reference simulator writes per-unit text timelines, a Chrome trace-event
+JSON, per-instruction-type cycle aggregates, and a read/write byte ledger
+(vTCAD/code/simulator.py:357-421).  The real-hardware equivalents:
+
+* :func:`trace` — jax.profiler capture around a callable; the output dir
+  loads into Perfetto/TensorBoard (superset of the Chrome trace the
+  reference emits at simulator.py:360-383);
+* :func:`op_report` / :func:`schedule_report` — analytic per-op FLOPs and
+  HBM bytes under a schedule (the rw_record/aggregate_timeline ledger,
+  simulator.py:118-157, computed from the model instead of replayed).
+"""
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import jax
+
+from .. import ir
+from ..compiler import schedule as S
+
+
+@contextlib.contextmanager
+def trace(outdir: str = "/tmp/gta_trace"):
+    """Capture a profiler trace: ``with trace('dir'): fn(...)``."""
+    jax.profiler.start_trace(outdir)
+    try:
+        yield outdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+@dataclasses.dataclass
+class OpCost:
+    op_id: int
+    kind: str
+    compute: str
+    rows: int
+    width: int
+    flops: int
+    hbm_bytes: int
+    fused: bool          # True if the value never touches HBM
+
+
+def op_report(
+    graph: ir.OpGraph,
+    blocks: Sequence[Sequence[int]],
+    stats: S.GraphStats,
+    dtype_bytes: int = 4,
+) -> List[OpCost]:
+    """Per-op FLOPs + HBM bytes under a fusion partition."""
+    block_of = {o: i for i, b in enumerate(blocks) for o in b}
+    consumers: Dict[int, set] = {}
+    for u, v in graph.edges():
+        if block_of[u] != block_of[v]:
+            consumers.setdefault(u, set()).add(block_of[v])
+
+    out = []
+    for oid in graph.topo_order():
+        op = graph.by_id[oid]
+        rows = stats.n_node if op.out_domain == ir.NODE else stats.e_pad
+        w = max(op.out_width, 1)
+        if op.compute == ir.MM:
+            _, iw, ow = op.extra["weight"]
+            in_rows = stats.n_node if op.in_domain == ir.NODE else stats.e_pad
+            flops = 2 * in_rows * iw * ow
+        elif op.kind == ir.GATHER:
+            flops = stats.n_edge * w
+        elif op.compute in (ir.ADD, ir.MUL, ir.SUB, ir.DIV, ir.SF):
+            flops = rows * w
+        else:
+            flops = 0
+        outside = consumers.get(oid, set())
+        materialised = bool(outside) or oid in graph.outputs
+        hbm = rows * w * dtype_bytes * (1 + len(outside)) if materialised else 0
+        out.append(OpCost(oid, op.kind, op.compute, rows, w, flops, hbm,
+                          fused=not materialised))
+    return out
+
+
+def schedule_report(
+    graph: ir.OpGraph,
+    sched: S.Schedule,
+    stats: S.GraphStats,
+    measured_s: Optional[float] = None,
+    dtype_bytes: int = 4,
+) -> str:
+    """Human-readable cost table (the reference's save_timeline_info +
+    save_rw_record_to_file rolled into one)."""
+    costs = op_report(graph, sched.blocks, stats, dtype_bytes)
+    total_f = sum(c.flops for c in costs)
+    total_b = S.traffic_bytes(graph, sched.blocks, stats, dtype_bytes)
+    lines = [f"schedule report: {graph.name}  blocks={len(sched.blocks)}",
+             f"{'op':>4} {'kind':<11} {'comp':<5} {'rows':>9} {'w':>5} "
+             f"{'MFLOP':>9} {'KB-hbm':>9}  fused"]
+    for c in costs:
+        lines.append(f"{c.op_id:>4} {c.kind:<11} {c.compute:<5} {c.rows:>9} "
+                     f"{c.width:>5} {c.flops/1e6:>9.2f} {c.hbm_bytes/1024:>9.1f}"
+                     f"  {'*' if c.fused else ''}")
+    lines.append(f"total: {total_f/1e9:.3f} GFLOP, {total_b/2**20:.2f} MiB HBM "
+                 f"(modelled)")
+    if measured_s:
+        lines.append(
+            f"measured: {measured_s*1e6:.1f} us -> "
+            f"{total_f/measured_s/1e12:.2f} TFLOP/s, "
+            f"{total_b/measured_s/2**30:.1f} GiB/s effective")
+    return "\n".join(lines)

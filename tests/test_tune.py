@@ -1,0 +1,84 @@
+"""Autotuner tests (CPU: measured latencies are meaningless but the machinery
+— candidate generation, legality, memoization, GA operators — must work)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler import schedule as S
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.lower import init_params, lower
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.tune import (
+    GeneticTuner, Memo, autotune)
+
+from conftest import small_graph
+
+
+def _setup(rng, network="GCN", n=64, e=300, iw=16, ow=8, **kw):
+    s, r = small_graph(rng, n=n, e=e)
+    hg = gta.build_host_graph(s, r, n, add_self_loops=True, symmetric_norm=True)
+    og = gta.build_op_graph(network, iw, ow, **kw)
+    params = init_params(og, jax.random.key(0))
+    x = jnp.asarray(rng.normal(size=(n, iw)).astype(np.float32))
+    return hg, hg.to_device(), og, params, x
+
+
+def test_autotune_gcn_returns_valid_best(rng, tmp_path):
+    hg, g, og, params, x = _setup(rng)
+    res = autotune(og, hg, params, g, x,
+                   memo_path=str(tmp_path / "memo.csv"), iters=2)
+    assert np.isfinite(res.latency_s)
+    assert len(res.trials) >= 2
+    # best schedule must produce correct numbers
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.fusion import (
+        lower_schedule)
+    ref = lower(og)(params, g, x)
+    out = lower_schedule(og, res.best, hg, interpret=True)(params, g, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_memo_roundtrip(tmp_path):
+    p = str(tmp_path / "m.csv")
+    m = Memo(p)
+    m.put("k1", 1.5e-4)
+    m2 = Memo(p)
+    assert m2.get("k1") == 1.5e-4
+    assert m2.get("nope") is None
+
+
+def test_genetic_tuner_gat(rng, tmp_path):
+    hg, g, og, params, x = _setup(rng, "GAT", iw=12, ow=8, heads=2)
+    tuner = GeneticTuner(og, hg, memo_path=str(tmp_path / "memo.csv"),
+                         max_generations=2, n_offspring=4, iters=2)
+    res = tuner.search(params, g, x)
+    assert np.isfinite(res.latency_s)
+    # decode covers pattern genomes
+    pattern_trials = [m for m in res.trials
+                      if any(len(b) == 14 for b in m.schedule.blocks)]
+    assert pattern_trials, "pattern super-block never evaluated"
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.fusion import (
+        lower_schedule)
+    ref = lower(og)(params, g, x)
+    out = lower_schedule(og, res.best, hg, interpret=True)(params, g, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_genome_decode_always_legal(rng):
+    hg, g, og, params, x = _setup(rng, "GAT", iw=8, ow=8, heads=2)
+    tuner = GeneticTuner(og, hg)
+    rnd = np.random.default_rng(0)
+    n = len(tuner.free)
+    checked = 0
+    for _ in range(50):
+        from gta_graph_tensor_acclelrator_for_general_gnn_tpu.tune import Genome
+        gen = Genome(tuple(int(b) for b in rnd.integers(0, 2, n)),
+                     int(rnd.integers(0, 5)), bool(rnd.integers(0, 2)),
+                     bool(rnd.integers(0, 2)))
+        sched = tuner.decode(gen)
+        if sched is None:
+            continue
+        checked += 1
+        assert S.partition_is_legal_with_patterns(
+            og, [list(b) for b in sched.blocks])
+    assert checked > 10
