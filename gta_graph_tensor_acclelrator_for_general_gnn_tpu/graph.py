@@ -125,16 +125,25 @@ def build_host_graph(
         )
     n_edge = int(senders.shape[0])
 
-    order = np.argsort(receivers, kind="stable")
+    from . import native
+    order = (native.sort_by_receiver_native(receivers, n_node)
+             if native.HAVE_NATIVE else None)
+    if order is None:
+        order = np.argsort(receivers, kind="stable")
     senders, receivers = senders[order], receivers[order]
     if edge_weight is not None:
         edge_weight = np.asarray(edge_weight, np.float32)[order]
 
     if symmetric_norm:
-        deg = np.zeros(n_node, np.float64)
-        np.add.at(deg, receivers, 1.0)
-        out_deg = np.zeros(n_node, np.float64)
-        np.add.at(out_deg, senders, 1.0)
+        degs = (native.degrees_native(senders, receivers, n_node)
+                if native.HAVE_NATIVE else None)
+        if degs is not None:
+            out_deg, deg = degs
+        else:
+            deg = np.zeros(n_node, np.float64)
+            np.add.at(deg, receivers, 1.0)
+            out_deg = np.zeros(n_node, np.float64)
+            np.add.at(out_deg, senders, 1.0)
         inv = 1.0 / np.sqrt(np.maximum(deg[receivers] * out_deg[senders], 1.0))
         edge_weight = inv.astype(np.float32)
     if edge_weight is None:
@@ -247,71 +256,97 @@ def tile_graph(
     n_row_blocks = max(_round_up(n, block_rows) // block_rows, 1)
     n_col_blocks = max(_round_up(n, block_cols) // block_cols, 1)
 
-    # sort edges by (row block, col block) — stable keeps dst order within
-    key = rb.astype(np.int64) * n_col_blocks + cb
-    order = np.argsort(key, kind="stable")
-    senders, receivers, weight, key = (
-        senders[order], receivers[order], weight[order], key[order])
-    edge_ids = np.arange(g.n_edge, dtype=np.int32)[order]
+    from . import native
+    nat = native.tile_edges_native(
+        senders, receivers, weight, n_row_blocks, n_col_blocks,
+        block_rows, block_cols, tile_edges, g.e_pad) if native.HAVE_NATIVE \
+        else None
+    if nat is not None:
+        data_rb, data_cb, nsrc, ndst, neid, nw = nat
+        T_data = len(data_rb)
+        parts = dict(src=nsrc, dst=ndst, eid=neid, w=nw)
+    else:
+        # vectorised numpy fallback (no per-run Python loop): sort edges by
+        # (row block, col block), then compute each edge's tile and slot
+        # analytically from its offset within its (rb, cb) run.
+        key = rb.astype(np.int64) * n_col_blocks + cb
+        order = np.argsort(key, kind="stable")
+        senders, receivers, weight, key = (
+            senders[order], receivers[order], weight[order], key[order])
+        edge_ids = np.arange(g.n_edge, dtype=np.int32)[order]
 
-    # split into per-block runs, then chunks of tile_edges
-    boundaries = np.flatnonzero(np.diff(key)) + 1
-    runs = np.split(np.arange(len(key)), boundaries)
+        ne = len(key)
+        if ne:
+            starts = np.flatnonzero(
+                np.concatenate([[True], key[1:] != key[:-1]]))
+            run_len = np.diff(np.concatenate([starts, [ne]]))
+            run_keys = key[starts]                          # per run (rb, cb)
+            tiles_per_run = -(-run_len // tile_edges)       # ceil
+            tile_base = np.concatenate([[0], np.cumsum(tiles_per_run)[:-1]])
+            run_of_edge = np.searchsorted(
+                starts, np.arange(ne), side="right") - 1
+            offset = np.arange(ne) - starts[run_of_edge]
+            tile_of_edge = tile_base[run_of_edge] + offset // tile_edges
+            slot = (offset % tile_edges).astype(np.int64)
+            T_data = int(tiles_per_run.sum())
+            data_rb = np.repeat((run_keys // n_col_blocks).astype(np.int32),
+                                tiles_per_run)
+            data_cb = np.repeat((run_keys % n_col_blocks).astype(np.int32),
+                                tiles_per_run)
+        else:
+            T_data = 0
+            tile_of_edge = slot = np.zeros(0, np.int64)
+            data_rb = data_cb = np.zeros(0, np.int32)
 
-    t_rb, t_cb, t_src, t_dst, t_eid, t_w = [], [], [], [], [], []
-    for run in runs:
-        if len(run) == 0:
-            continue
-        block_key = key[run[0]]
-        block_rb = int(block_key // n_col_blocks)
-        block_cb = int(block_key % n_col_blocks)
-        for off in range(0, len(run), tile_edges):
-            idx = run[off : off + tile_edges]
-            k = len(idx)
-            sl = np.full(tile_edges, block_cols, np.int32)
-            dl = np.full(tile_edges, block_rows, np.int32)
-            ei = np.full(tile_edges, g.e_pad - 1, np.int32)
-            w = np.zeros(tile_edges, np.float32)
-            sl[:k] = senders[idx] - block_cb * block_cols
-            dl[:k] = receivers[idx] - block_rb * block_rows
-            ei[:k] = edge_ids[idx]
-            w[:k] = weight[idx]
-            t_rb.append(block_rb)
-            t_cb.append(block_cb)
-            t_src.append(sl)
-            t_dst.append(dl)
-            t_eid.append(ei)
-            t_w.append(w)
+        nsrc = np.full((T_data, tile_edges), block_cols, np.int32)
+        ndst = np.full((T_data, tile_edges), block_rows, np.int32)
+        neid = np.full((T_data, tile_edges), max(g.e_pad - 1, 0), np.int32)
+        nw = np.zeros((T_data, tile_edges), np.float32)
+        if ne:
+            nsrc[tile_of_edge, slot] = (
+                senders - data_cb[tile_of_edge] * block_cols)
+            ndst[tile_of_edge, slot] = (
+                receivers - data_rb[tile_of_edge] * block_rows)
+            neid[tile_of_edge, slot] = edge_ids
+            nw[tile_of_edge, slot] = weight
 
     # guarantee every row block owns >=1 tile so fused kernels visit (and
     # write) every output block, even for edge-less row stripes
-    present = set(t_rb)
-    for rb_missing in range(n_row_blocks):
-        if rb_missing not in present:
-            t_rb.append(rb_missing)
-            t_cb.append(0)
-            t_src.append(np.full(tile_edges, block_cols, np.int32))
-            t_dst.append(np.full(tile_edges, block_rows, np.int32))
-            t_eid.append(np.full(tile_edges, g.e_pad - 1, np.int32))
-            t_w.append(np.zeros(tile_edges, np.float32))
-    order2 = np.argsort(np.asarray(t_rb), kind="stable")
-    t_rb = [t_rb[i] for i in order2]
-    t_cb = [t_cb[i] for i in order2]
-    t_src = [t_src[i] for i in order2]
-    t_dst = [t_dst[i] for i in order2]
-    t_eid = [t_eid[i] for i in order2]
-    t_w = [t_w[i] for i in order2]
+    missing = np.setdiff1d(np.arange(n_row_blocks, dtype=np.int32),
+                           np.unique(data_rb))
+    T = T_data + len(missing)
+    if len(missing):
+        src_l = np.concatenate(
+            [nsrc, np.full((len(missing), tile_edges), block_cols, np.int32)])
+        dst_l = np.concatenate(
+            [ndst, np.full((len(missing), tile_edges), block_rows, np.int32)])
+        eid = np.concatenate(
+            [neid, np.full((len(missing), tile_edges), max(g.e_pad - 1, 0),
+                           np.int32)])
+        w = np.concatenate(
+            [nw, np.zeros((len(missing), tile_edges), np.float32)])
+        tile_rb = np.concatenate([data_rb, missing])
+        tile_cb = np.concatenate([data_cb, np.zeros(len(missing), np.int32)])
+        # sort tiles by row block (stable keeps cb order within a stripe)
+        torder = np.argsort(tile_rb, kind="stable")
+        tile_rb, tile_cb = tile_rb[torder], tile_cb[torder]
+        src_l, dst_l = src_l[torder], dst_l[torder]
+        eid, w = eid[torder], w[torder]
+    else:
+        # both producers emit tiles already rb-major; skip the 4x big-array
+        # gather (at Reddit scale these arrays are GBs)
+        src_l, dst_l, eid, w = nsrc, ndst, neid, nw
+        tile_rb, tile_cb = data_rb, data_cb
 
-    tile_rb = np.asarray(t_rb, np.int32)
     row_first = np.searchsorted(tile_rb, np.arange(n_row_blocks + 1)).astype(np.int32)
 
     return TiledGraph(
         tile_rb=jnp.asarray(tile_rb),
-        tile_cb=jnp.asarray(np.asarray(t_cb, np.int32)),
-        src_local=jnp.asarray(np.stack(t_src)),
-        dst_local=jnp.asarray(np.stack(t_dst)),
-        edge_id=jnp.asarray(np.stack(t_eid)),
-        weight=jnp.asarray(np.stack(t_w)),
+        tile_cb=jnp.asarray(tile_cb),
+        src_local=jnp.asarray(src_l),
+        dst_local=jnp.asarray(dst_l),
+        edge_id=jnp.asarray(eid),
+        weight=jnp.asarray(w),
         row_first_tile=jnp.asarray(row_first),
         block_rows=block_rows,
         block_cols=block_cols,

@@ -135,3 +135,65 @@ def train_node_classifier(
         edges_per_s=ds.graph.n_edge / dt if dt > 0 else 0.0,
     )
     return state, res
+
+
+def train_sampled(
+    ds: Dataset,
+    *,
+    fanouts=(10, 10),
+    batch_size: int = 256,
+    epochs: int = 3,
+    hidden: int = 128,
+    lr: float = 1e-2,
+    compute_dtype=None,
+    seed: int = 0,
+    network: str = "GraphSAGE",
+) -> Tuple[TrainState, FitResult]:
+    """Minibatch training with neighbour sampling (the Reddit-scale path).
+
+    Every batch has identical static shapes, so ONE jitted train step serves
+    the whole run; per-step host work is the sampler + feature gather.
+    """
+    import numpy as np
+    from ..data.sampling import NeighborSampler, gather_features
+
+    model = build_model(network, ds.x.shape[1], ds.n_class,
+                        hidden=hidden, n_layers=len(fanouts))
+    apply = model.make_apply(compute_dtype)
+    params = model.init(jax.random.key(seed))
+    tx = optax.adamw(lr, weight_decay=5e-4)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(apply, tx), donate_argnums=0)
+
+    sampler = NeighborSampler(ds.host_graph, fanouts, batch_size, seed=seed)
+    train_nodes = np.flatnonzero(ds.train_mask)
+    n_steps = 0
+    t0 = time.perf_counter()
+    loss = jnp.zeros(())
+    for _ in range(epochs):
+        for batch in sampler.epoch(train_nodes):
+            xb = jnp.asarray(gather_features(ds.x, batch))
+            valid = batch.node_ids >= 0
+            yb = np.zeros(batch.cap_nodes, np.int32)
+            yb[valid] = ds.y[batch.node_ids[valid]]
+            state, loss = step(state, batch.graph.to_device(), xb,
+                               jnp.asarray(yb), jnp.asarray(batch.seed_mask))
+            n_steps += 1
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / max(epochs, 1)
+
+    # full-graph eval (host features may be large; fine for the published sets)
+    eval_fn = jax.jit(apply)
+    logits = eval_fn(state.params, ds.graph, jnp.asarray(ds.x))
+    y = jnp.asarray(ds.y)
+    res = FitResult(
+        train_loss=float(loss),
+        train_acc=float(accuracy(logits, y, jnp.asarray(ds.train_mask))),
+        val_acc=float(accuracy(logits, y, jnp.asarray(ds.val_mask))),
+        test_acc=float(accuracy(logits, y, jnp.asarray(ds.test_mask))),
+        epochs=epochs,
+        epoch_time_s=dt,
+        edges_per_s=(n_steps // max(epochs, 1)) * sampler.cap_edges / dt
+        if dt > 0 else 0.0,
+    )
+    return state, res

@@ -1,0 +1,117 @@
+"""ctypes loader for the native preprocessing library.
+
+Builds lazily with make on first import if the .so is missing and a
+toolchain exists; everything falls back to the numpy paths when native code
+is unavailable (``HAVE_NATIVE``)."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libgta_native.so")
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _DIR], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) and not _build():
+        return None
+    lib = ctypes.CDLL(_SO)
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.gta_block_count.argtypes = [
+        i32p, i32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, i64p]
+    lib.gta_tile_fill.argtypes = [
+        i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i64p, i64p, i32p, i32p, i32p, f32p]
+    lib.gta_sort_by_receiver.argtypes = [
+        i32p, ctypes.c_int64, ctypes.c_int32, i64p, i64p]
+    lib.gta_degrees.argtypes = [i32p, i32p, ctypes.c_int64, f64p, f64p]
+    _lib = lib
+    return lib
+
+
+HAVE_NATIVE = _load() is not None
+
+
+def tile_edges_native(senders, receivers, weight, n_row_blocks, n_col_blocks,
+                      block_rows, block_cols, tile_edges, e_pad):
+    """Native two-pass tiling.  Returns (tile_rb, tile_cb, src_l, dst_l,
+    eid, w) for the data tiles (row-block sorted), or None if unavailable.
+    Output matches the numpy path exactly (stable within-block edge order).
+    """
+    lib = _load()
+    B = n_row_blocks * n_col_blocks
+    if lib is None or B > (1 << 26):
+        return None
+    ne = len(senders)
+    senders = np.ascontiguousarray(senders, np.int32)
+    receivers = np.ascontiguousarray(receivers, np.int32)
+    weight = np.ascontiguousarray(weight, np.float32)
+    nnz = np.zeros(B, np.int64)
+    lib.gta_block_count(senders, receivers, ne, n_col_blocks,
+                        block_rows, block_cols, nnz)
+    tiles_per_block = -(-nnz // tile_edges)
+    base = np.concatenate([[0], np.cumsum(tiles_per_block)[:-1]])
+    T = int(tiles_per_block.sum())
+    src_l = np.full(T * tile_edges, block_cols, np.int32)
+    dst_l = np.full(T * tile_edges, block_rows, np.int32)
+    eid = np.full(T * tile_edges, max(e_pad - 1, 0), np.int32)
+    w = np.zeros(T * tile_edges, np.float32)
+    cursor = np.zeros(B, np.int64)
+    lib.gta_tile_fill(senders, receivers, weight, ne, n_col_blocks,
+                      block_rows, block_cols, tile_edges, base, cursor,
+                      src_l, dst_l, eid, w)
+    nonempty = np.flatnonzero(tiles_per_block)
+    tile_rb = np.repeat((nonempty // n_col_blocks).astype(np.int32),
+                        tiles_per_block[nonempty])
+    tile_cb = np.repeat((nonempty % n_col_blocks).astype(np.int32),
+                        tiles_per_block[nonempty])
+    shape = (T, tile_edges)
+    return (tile_rb, tile_cb, src_l.reshape(shape), dst_l.reshape(shape),
+            eid.reshape(shape), w.reshape(shape))
+
+
+def sort_by_receiver_native(receivers, n_node):
+    """Stable counting-sort permutation by receiver, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    receivers = np.ascontiguousarray(receivers, np.int32)
+    ne = len(receivers)
+    counts = np.zeros(n_node + 1, np.int64)
+    order = np.zeros(ne, np.int64)
+    lib.gta_sort_by_receiver(receivers, ne, n_node, counts, order)
+    return order
+
+
+def degrees_native(senders, receivers, n_node):
+    lib = _load()
+    if lib is None:
+        return None
+    senders = np.ascontiguousarray(senders, np.int32)
+    receivers = np.ascontiguousarray(receivers, np.int32)
+    out_deg = np.zeros(n_node, np.float64)
+    in_deg = np.zeros(n_node, np.float64)
+    lib.gta_degrees(senders, receivers, len(senders), out_deg, in_deg)
+    return out_deg, in_deg

@@ -76,56 +76,65 @@ def partition_graph(
     D = n_shards
     n_local = _round_up(g.n_node, D * 8) // D
 
-    owner_s = senders // n_local
-    owner_r = receivers // n_local
+    owner_s = (senders // n_local).astype(np.int64)
+    owner_r = (receivers // n_local).astype(np.int64)
 
-    # --- halo plan: unique remote senders per (src_owner p, dst_owner q) ----
-    pair_send: dict = {}
+    # --- halo plan: unique remote senders per (src_owner p, dst_owner q) ---
+    # fully vectorised (Reddit is 114M edges; no per-edge Python)
     remote = owner_s != owner_r
-    for p in range(D):
-        for q in range(D):
-            if p == q:
-                continue
-            sel = remote & (owner_s == p) & (owner_r == q)
-            pair_send[(p, q)] = np.unique(senders[sel])
-    H = max([len(v) for v in pair_send.values()] + [1])
+    pair_key = owner_s[remote] * D + owner_r[remote]          # (p, q) id
+    uniq = np.unique(pair_key * (n_local * D) + senders[remote])
+    u_pair = uniq // (n_local * D)
+    u_node = (uniq % (n_local * D)).astype(np.int64)
+    # slot index of each unique halo node within its (p, q) group
+    if len(uniq):
+        grp_starts = np.flatnonzero(
+            np.concatenate([[True], u_pair[1:] != u_pair[:-1]]))
+        grp_len = np.diff(np.concatenate([grp_starts, [len(uniq)]]))
+        grp_of = np.searchsorted(grp_starts, np.arange(len(uniq)),
+                                 side="right") - 1
+        u_slot = np.arange(len(uniq)) - grp_starts[grp_of]
+        H = int(grp_len.max())
+    else:
+        u_slot = np.zeros(0, np.int64)
+        H = 1
     H = _round_up(H, halo_pad_multiple)
 
     send_idx = np.zeros((D, D, H), np.int32)
     send_mask = np.zeros((D, D, H), bool)
-    # halo slot lookup: for shard q, sender s owned by p lives at combined row
-    # n_local + p*H + slot  (after the local rows)
-    slot_of = [dict() for _ in range(D)]  # per dst shard q: global sender -> slot row
-    for (p, q), nodes in pair_send.items():
-        k = len(nodes)
-        send_idx[p, q, :k] = nodes - p * n_local
-        send_mask[p, q, :k] = True
-        for j, s in enumerate(nodes):
-            slot_of[q][int(s)] = n_local + p * H + j
+    u_p = (u_pair // D).astype(np.int64)
+    u_q = (u_pair % D).astype(np.int64)
+    send_idx[u_p, u_q, u_slot] = (u_node - u_p * n_local).astype(np.int32)
+    send_mask[u_p, u_q, u_slot] = True
 
-    # --- per-shard edge arrays -------------------------------------------
+    # halo row lookup per dst shard: halo_row[q, s] = combined-table row of
+    # global sender s on shard q (n_local + p*H + slot), dump if absent
+    dump_row = n_local + D * H  # a guaranteed-zero row in the combined table
+    halo_row = np.full((D, n_local * D), dump_row, np.int64)
+    halo_row[u_q, u_node] = n_local + u_p * H + u_slot
+
+    # --- per-shard edge arrays --------------------------------------------
     counts = np.bincount(owner_r, minlength=D)
     E_l = _round_up(int(counts.max()) if len(counts) else 1, edge_pad_multiple)
     E_l = max(E_l, edge_pad_multiple)
-    dump_row = n_local + D * H  # a guaranteed-zero row in the combined table
+
+    # edges sorted by owner shard; per-edge slot = offset within the shard
+    eorder = np.argsort(owner_r, kind="stable")
+    so, ro, wo, oo = (senders[eorder], receivers[eorder], weight[eorder],
+                      owner_r[eorder])
+    shard_start = np.searchsorted(oo, np.arange(D))
+    slot = np.arange(len(oo)) - shard_start[oo]
 
     e_src = np.full((D, E_l), dump_row, np.int32)
     e_dst = np.full((D, E_l), n_local, np.int32)
     e_w = np.zeros((D, E_l), np.float32)
     e_mask = np.zeros((D, E_l), bool)
-    for q in range(D):
-        sel = np.flatnonzero(owner_r == q)
-        k = len(sel)
-        s_q, r_q = senders[sel], receivers[sel]
-        src_rows = np.where(
-            s_q // n_local == q,
-            s_q - q * n_local,
-            np.array([slot_of[q].get(int(s), dump_row) for s in s_q], np.int64),
-        )
-        e_src[q, :k] = src_rows
-        e_dst[q, :k] = r_q - q * n_local
-        e_w[q, :k] = weight[sel]
-        e_mask[q, :k] = True
+    local = (so // n_local) == oo
+    src_rows = np.where(local, so - oo * n_local, halo_row[oo, so])
+    e_src[oo, slot] = src_rows.astype(np.int32)
+    e_dst[oo, slot] = (ro - oo * n_local).astype(np.int32)
+    e_w[oo, slot] = wo
+    e_mask[oo, slot] = True
 
     return PartitionedGraph(
         send_idx=jnp.asarray(send_idx),

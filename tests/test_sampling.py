@@ -1,0 +1,47 @@
+"""Neighbour-sampling pipeline tests."""
+import numpy as np
+
+import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.data.datasets import load_dataset
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.data.sampling import (
+    NeighborSampler, gather_features)
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.models.train import train_sampled
+
+from conftest import small_graph
+
+
+def test_sampled_batches_static_shapes(rng):
+    s, r = small_graph(rng, n=200, e=1500, multi_edges=True)
+    hg = gta.build_host_graph(s, r, 200)
+    sampler = NeighborSampler(hg, fanouts=[5, 3], batch_size=16, seed=0)
+    shapes = set()
+    for batch in sampler.epoch(np.arange(100)):
+        shapes.add((batch.cap_nodes, batch.graph.e_pad))
+        # every sampled edge must exist in the original graph
+        g = batch.graph
+        ls = g.senders[: g.n_edge]
+        ld = g.receivers[: g.n_edge]
+        gs = batch.node_ids[ls]
+        gd = batch.node_ids[ld]
+        real_pairs = set(zip(s.tolist(), r.tolist()))
+        for a, b in zip(gs.tolist(), gd.tolist()):
+            assert a == b or (a, b) in real_pairs  # self-loop or real edge
+    assert len(shapes) == 1  # static!
+
+
+def test_sampled_seeds_lead(rng):
+    s, r = small_graph(rng, n=100, e=600)
+    hg = gta.build_host_graph(s, r, 100)
+    sampler = NeighborSampler(hg, fanouts=[4], batch_size=8, seed=0)
+    seeds = np.array([5, 9, 13, 17, 21, 25, 29, 33])
+    batch = sampler.sample(seeds)
+    np.testing.assert_array_equal(batch.node_ids[:8], seeds)
+    assert batch.seed_mask[:8].all() and not batch.seed_mask[8:].any()
+
+
+def test_train_sampled_converges():
+    ds = load_dataset("tiny")
+    _, res = train_sampled(ds, fanouts=(5, 5), batch_size=16, epochs=8,
+                           hidden=32)
+    assert np.isfinite(res.train_loss)
+    assert res.train_acc > 0.5, res
