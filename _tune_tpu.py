@@ -1,0 +1,21 @@
+import json
+import jax
+import jax.numpy as jnp
+import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.lower import init_params
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.tune import autotune
+
+ds = gta.load_dataset("cora")
+og = gta.build_op_graph("GAT", 128, 128, heads=4, layer_tag="bench")
+params = jax.device_put(init_params(og, jax.random.key(0)))
+x = jax.device_put(jax.random.normal(jax.random.key(1), (ds.host_graph.n_node, 128), jnp.float32))
+res = autotune(og, ds.host_graph, params, ds.graph, x,
+               compute_dtype=jnp.bfloat16, iters=512, verbose=True,
+               memo_path="results/memo_gat_cora128.csv")
+print(res.report())
+best = res.best
+json.dump({"blocks": [list(b) for b in best.blocks],
+           "tiles": [list(t.key()) for t in best.tiles],
+           "latency_us": res.latency_s * 1e6},
+          open("results/best_gat_cora128.json", "w"))
+print("saved best")

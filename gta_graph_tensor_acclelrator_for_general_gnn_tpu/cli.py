@@ -52,7 +52,7 @@ def main(argv=None):
 
     from . import build_op_graph, load_dataset
     from .compiler.lower import init_params, lower
-    from .utils.benchmark import time_fn_pipelined
+    from .utils.benchmark import time_layer_device
 
     dtype = jnp.bfloat16 if args.bf16 else None
     ds = load_dataset(args.dataset, seed=args.seed)
@@ -77,8 +77,9 @@ def main(argv=None):
                             heads=args.heads, reorder=args.reorder)
         params = jax.device_put(model.init(jax.random.key(args.seed)))
         x = jax.device_put(jnp.asarray(ds.x))
-        fwd = jax.jit(model.make_apply(dtype))
-        lat = time_fn_pipelined(fwd, params, ds.graph, x, iters=args.iters)
+        fwd = model.make_apply(dtype)
+        lat = time_layer_device(fwd, params, ds.graph, x,
+                                k_small=8, k_big=8 + args.iters)
         out.update(dict(latency_us=lat * 1e6,
                         edges_per_s=ds.host_graph.n_edge * args.layers / lat))
 
@@ -114,8 +115,9 @@ def main(argv=None):
         x = jax.device_put(jax.random.normal(
             jax.random.key(1), (ds.host_graph.n_node, args.hidden),
             jnp.bfloat16 if args.bf16 else jnp.float32))
-        f = jax.jit(lambda t, v: spmm_mod.spmm(t, v))
-        lat = time_fn_pipelined(f, tg, x, iters=args.iters)
+        lat = time_layer_device(
+            lambda p, t, v: spmm_mod.spmm(t, v), None, tg, x,
+            k_small=8, k_big=8 + args.iters)
         out.update(dict(spmm_latency_us=lat * 1e6,
                         spmm_edges_per_s=ds.host_graph.n_edge / lat))
 

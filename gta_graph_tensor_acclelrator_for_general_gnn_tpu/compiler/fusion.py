@@ -28,6 +28,7 @@ from ..graph import GraphTensor, HostGraph, TiledGraph, tile_graph
 from ..ops import primitives as P
 from ..ops import spmm as spmm_mod
 from .lower import _eval_op
+from . import schedule as S
 from .schedule import Schedule, TileConfig
 
 
@@ -104,16 +105,19 @@ def lower_schedule(
     plans: List[tuple] = []
     for block, tc in zip(schedule.blocks, schedule.tiles):
         spmm_plan = match_spmm(graph, block) if tc.kernel else None
-        if spmm_plan is not None:
+        gat_plan = (gat_mod.match_gat_block(graph, block)
+                    if tc.kernel and spmm_plan is None else None)
+        if tc.path == S.PATH_STREAM and (spmm_plan or gat_plan):
+            kind = "spmm_stream" if spmm_plan else "gat_stream"
+            plans.append((kind, block, tc, spmm_plan or gat_plan, None))
+        elif spmm_plan is not None:
             plans.append(("spmm", block, tc, spmm_plan,
                           get_tiled(tc, unit_weight=not spmm_plan.weighted)))
-            continue
-        gat_plan = gat_mod.match_gat_block(graph, block) if tc.kernel else None
-        if gat_plan is not None:
+        elif gat_plan is not None:
             plans.append(("gat", block, tc, gat_plan,
                           get_tiled(tc, unit_weight=True)))
-            continue
-        plans.append(("xla", block, tc, None, None))
+        else:
+            plans.append(("xla", block, tc, None, None))
 
     outputs = list(graph.outputs)
 
@@ -136,6 +140,26 @@ def lower_schedule(
                 y = spmm_mod.spmm(tg, kin(ref(plan.in_op)), interpret=interpret)
                 vals[plan.out_op] = y
                 # intermediates inside the block stay unmaterialised
+            elif kind == "spmm_stream":
+                from ..ops import chunked
+                if plan.weighted:
+                    vals[plan.out_op] = chunked.spmm_chunked(
+                        g, kin(ref(plan.in_op)), chunk=tc.tile_edges * 2048)
+                else:
+                    gw = dataclasses.replace(
+                        g, edge_weight=g.edge_mask.astype(jnp.float32))
+                    vals[plan.out_op] = chunked.spmm_chunked(
+                        gw, kin(ref(plan.in_op)), chunk=tc.tile_edges * 2048)
+            elif kind == "gat_stream":
+                from ..ops import chunked
+                vals[plan.out_op] = chunked.gat_chunked(
+                    g,
+                    kin(ref(plan.h_op)),
+                    kin(ref(plan.asrc_op)),
+                    kin(ref(plan.adst_op)),
+                    negative_slope=plan.negative_slope,
+                    chunk=tc.tile_edges * 2048,
+                )
             elif kind == "gat":
                 vals[plan.out_op] = gat_mod.gat_attention(
                     tg,

@@ -25,21 +25,37 @@ from .. import ir
 BYTES = 4  # f32; bf16 halves traffic (tracked via dtype_bytes arg)
 
 
+PATH_XLA = "xla"         # per-op XLA primitives (materialised edge tensors)
+PATH_ONEHOT = "onehot"   # Pallas one-hot MXU kernel (dense-block regime)
+PATH_STREAM = "stream"   # lax.scan edge streaming (memory-bounded regime)
+PATHS = (PATH_XLA, PATH_ONEHOT, PATH_STREAM)
+
+
 @dataclasses.dataclass(frozen=True)
 class TileConfig:
     """Per-block execution config (the reference's per-block
     ``[tile_rows, tile_cols]`` plus the MM-vs-VEC dispatch choice,
-    simulator.py:541-545).  ``kernel=False`` runs the block through the XLA
-    primitives instead of the Pallas one-hot kernel — the winning choice for
-    very sparse adjacency blocks, where one-hot MXU work scales with tile
-    *capacity* rather than real edges."""
+    simulator.py:541-545, generalised to three paths):
+
+    * ``xla``    — per-op XLA lowering; fastest for sparse graphs that fit
+      ([E, F] edge tensors materialise in HBM);
+    * ``onehot`` — the Pallas one-hot MXU kernel; wins on dense adjacency
+      blocks (work scales with tile capacity, not real edges);
+    * ``stream`` — chunked lax.scan streaming; required once [E, F] exceeds
+      HBM (Reddit full-batch).
+    block_* / tile_edges parameterise the onehot kernel; ``tile_edges`` also
+    sets the stream chunk (x 2048)."""
     block_rows: int = 256
     block_cols: int = 256
     tile_edges: int = 512
-    kernel: bool = True
+    path: str = PATH_ONEHOT
 
-    def key(self) -> Tuple[int, int, int, bool]:
-        return (self.block_rows, self.block_cols, self.tile_edges, self.kernel)
+    def key(self) -> Tuple[int, int, int, str]:
+        return (self.block_rows, self.block_cols, self.tile_edges, self.path)
+
+    @property
+    def kernel(self) -> bool:   # legacy alias
+        return self.path != PATH_XLA
 
 
 @dataclasses.dataclass(frozen=True)

@@ -357,6 +357,36 @@ def tile_graph(
     )
 
 
+def reorder_nodes(g: HostGraph, method: str = "degree"):
+    """Relabel nodes to densify adjacency blocks (returns (HostGraph, perm),
+    where perm[new_id] = old_id; apply ``x[perm]`` to node features).
+
+    Power-law graphs under arbitrary labelling spread edges uniformly over
+    the block grid, which is the worst case for block-sparse kernels (every
+    tile nearly empty).  Degree-descending relabelling concentrates edges in
+    the low-index blocks — the classic densification the reference's own
+    per-tile nnz statistics exist to exploit (preprocessing.py).
+    """
+    s = g.senders[: g.n_edge]
+    r = g.receivers[: g.n_edge]
+    if method == "degree":
+        deg = np.bincount(r, minlength=g.n_node) + np.bincount(
+            s, minlength=g.n_node)
+        perm = np.argsort(-deg, kind="stable").astype(np.int64)
+    elif method == "none":
+        perm = np.arange(g.n_node, dtype=np.int64)
+    else:
+        raise ValueError(f"unknown reorder method {method!r}")
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(g.n_node)
+    out = build_host_graph(
+        inv[s].astype(np.int32), inv[r].astype(np.int32), g.n_node,
+        edge_weight=g.edge_weight[: g.n_edge],
+        edge_pad_multiple=g.e_pad,   # preserve the static edge padding
+    )
+    return out, perm
+
+
 def nnz_histogram(g, tile_rows: int) -> np.ndarray:
     """nnz count per tile_rows-row stripe of the adjacency — the autotuner
     feature retained from the reference's preprocessing (SURVEY §7 layer 1)."""

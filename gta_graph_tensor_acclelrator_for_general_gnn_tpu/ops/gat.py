@@ -67,7 +67,11 @@ def _gat_kernel(
     needs lane-dim reductions Mosaic dislikes), subtract the *constant* row
     bound  b[r] = leaky_relu(max_s a_src[s] + a_dst[r])  >= every logit of
     row r (leaky_relu is monotone).  exp(e - b) <= 1 — no overflow, no
-    rescaling, den/num accumulate across the row stripe unmodified.
+    rescaling, num/den accumulate across the row stripe unmodified.
+
+    (A packed [C, HD+H] operand combining the narrow and wide matmuls was
+    tried and measured SLOWER — unaligned 132-lane operands cost more than
+    the narrow-matmul waste they remove.)
     """
     t = pl.program_id(0)
     prev_rb = jnp.where(t == 0, -1, rb_ref[jnp.maximum(t - 1, 0)])
@@ -80,16 +84,22 @@ def _gat_kernel(
     src = src_ref[0, 0, :]                                    # [ET]
     dst = dst_ref[0, 0, :]                                    # [ET]
 
+    # two one-hot builds total (VPU compares are a first-order cost):
+    # oh_src serves the packed src gather; oh_dst serves the dst gather AND
+    # the scatter-reduction (transposed-contraction dot_general).
     cols = jax.lax.broadcasted_iota(jnp.int32, (ET, C), 1)
     oh_src = (src[:, None] == cols).astype(asrc_ref.dtype)    # [ET, C]
     rows_er = jax.lax.broadcasted_iota(jnp.int32, (ET, R), 1)
-    oh_dst_er = (dst[:, None] == rows_er).astype(adst_ref.dtype)   # [ET, R]
-    rows_re = jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0)
-    oh_dst_re = (rows_re == dst[None, :]).astype(jnp.float32)      # [R, ET]
+    oh_dst = (dst[:, None] == rows_er).astype(adst_ref.dtype)  # [ET, R]
+
+    def scatter_rows(vals):  # [ET, F] -> [R, F] summed by dst
+        return jax.lax.dot_general(
+            oh_dst, vals, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
 
     a_s = jnp.dot(oh_src, asrc_ref[:], preferred_element_type=jnp.float32,
                   precision=precision)                        # [ET, H]
-    a_d = jnp.dot(oh_dst_er, adst_ref[:], preferred_element_type=jnp.float32,
+    a_d = jnp.dot(oh_dst, adst_ref[:], preferred_element_type=jnp.float32,
                   precision=precision)                        # [ET, H]
 
     def leaky(v):
@@ -102,8 +112,7 @@ def _gat_kernel(
     dmat = jax.lax.broadcast_in_dim(dst, (ET, H), (0,))
     p = jnp.where(dmat < R, jnp.exp(e - bound), 0.0)          # [ET, H], <= 1
 
-    den_ref[:] += jnp.dot(oh_dst_re, p, preferred_element_type=jnp.float32,
-                          precision=precision)                # [R, H]
+    den_ref[:] += scatter_rows(p)                             # [R, H]
 
     hs = jnp.dot(oh_src, h_ref[:], preferred_element_type=jnp.float32,
                  precision=precision)                         # [ET, HD]
@@ -113,9 +122,7 @@ def _gat_kernel(
     B = (brow == bcol).astype(jnp.float32)
     p_full = jnp.dot(p, B, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)     # [ET, HD]
-    num_ref[:] += jnp.dot(oh_dst_re, p_full * hs,
-                          preferred_element_type=jnp.float32,
-                          precision=precision)                # [R, HD]
+    num_ref[:] += scatter_rows(p_full * hs)                   # [R, HD]
 
     # publish the stripe result every step; the last tile of the stripe wins
     den_full = jnp.dot(jnp.maximum(den_ref[:], 1e-20), B,
@@ -144,7 +151,7 @@ def _gat_forward(
     R, C, ET, T = tg.block_rows, tg.block_cols, tg.tile_edges, tg.n_tiles
     n_cols = tg.n_col_blocks * C
     n_rows = tg.n_row_blocks * R
-    hs = jnp.zeros((n_cols, HD), h_src.dtype).at[: h_src.shape[0]].set(h_src)
+    hsx = jnp.zeros((n_cols, HD), h_src.dtype).at[: h_src.shape[0]].set(h_src)
     asr = jnp.zeros((n_cols, H), a_src.dtype).at[: a_src.shape[0]].set(a_src)
     ads = jnp.zeros((n_rows, H), a_dst.dtype).at[: a_dst.shape[0]].set(a_dst)
     # global per-head source-logit max (over real nodes): the softmax shift
@@ -171,19 +178,19 @@ def _gat_forward(
             pltpu.VMEM((R, HD), jnp.float32),
         ],
     )
-    flops = 2 * T * ET * (C * (H + HD) + R * (2 * H)) + 2 * T * R * ET * (H + HD)
+    flops = 2 * T * ET * (C + R) * (H + HD)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, HD), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(hs.size + asr.size + ads.size) * h_src.dtype.itemsize,
+            bytes_accessed=(hsx.size + asr.size + ads.size) * h_src.dtype.itemsize,
             transcendentals=T * ET * H,
         ),
         interpret=interpret,
     )(tg.tile_rb, tg.tile_cb,
-      tg.src_local[:, None, :], tg.dst_local[:, None, :], asr, hs, ads, msrc)
+      tg.src_local[:, None, :], tg.dst_local[:, None, :], asr, hsx, ads, msrc)
     return out[: tg.n_node]
 
 

@@ -69,10 +69,14 @@ def _spmm_kernel(
                   precision=precision)
     msg = msg * w[:, None]                                # [ET, F]
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (block_rows, tile_edges), 0)
-    s = (rows == dst[None, :]).astype(msg.dtype)          # [R, ET]
-    o_ref[:] += jnp.dot(s, msg, preferred_element_type=jnp.float32,
-                        precision=precision)
+    # scatter-add via transposed-contraction dot_general on an [ET, R]
+    # one-hot (building the [R, ET] orientation separately costs an extra
+    # VPU compare pass — measurable at these tile sizes)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_edges, block_rows), 1)
+    s = (dst[:, None] == rows).astype(x_ref.dtype)        # [ET, R]
+    o_ref[:] += jax.lax.dot_general(
+        s, msg, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
 
 
 def spmm(

@@ -29,7 +29,7 @@ from .. import ir
 from ..compiler import schedule as S
 from ..compiler.fusion import lower_schedule, match_spmm
 from ..graph import HostGraph
-from ..utils.benchmark import time_fn_pipelined
+from ..utils.benchmark import time_layer_device
 from .search import Memo, Measurement, TILE_PALETTE, TuneResult
 
 
@@ -103,7 +103,7 @@ class GeneticTuner:
             if patt and gen.kernels:
                 tiles.append(self.palette[gen.tile_idx])
             else:
-                tiles.append(S.TileConfig(kernel=False))
+                tiles.append(S.TileConfig(path=S.PATH_XLA))
         return S.Schedule(blocks=part, tiles=tuple(tiles))
 
     # -- operators ----------------------------------------------------------
@@ -160,13 +160,13 @@ class GeneticTuner:
         if lat is not None:
             return lat
         fw = max(op.out_width for op in self.graph.ops)
-        if any(tc.kernel and not S.tile_is_feasible(tc, fw)
+        if any(tc.path == S.PATH_ONEHOT and not S.tile_is_feasible(tc, fw)
                for tc in sched.tiles):
             return float("inf")
         try:
-            fn = jax.jit(lower_schedule(self.graph, sched, self.hg, self.dtype))
-            lat = time_fn_pipelined(fn, params, g_dev, x,
-                                    iters=self.iters, warmup=3, reps=3)
+            fn = lower_schedule(self.graph, sched, self.hg, self.dtype)
+            lat = time_layer_device(fn, params, g_dev, x,
+                                    k_small=8, k_big=8 + self.iters)
         except Exception:
             lat = float("inf")
         if np.isfinite(lat):

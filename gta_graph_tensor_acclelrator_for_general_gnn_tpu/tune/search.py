@@ -24,16 +24,21 @@ from .. import ir
 from ..compiler import schedule as S
 from ..compiler.fusion import lower_schedule
 from ..graph import HostGraph
-from ..utils.benchmark import time_fn_pipelined
+from ..utils.benchmark import time_layer_device
 
 # tile palette swept per pattern block (reference sweeps tile scale factors
-# {0.25,0.5,0.75,1} of the buffer-maximal tile — enumeration.py:93-99)
+# {0.25,0.5,0.75,1} of the buffer-maximal tile — enumeration.py:93-99);
+# stream entries sweep the scan chunk (tile_edges x 2048 edges per chunk)
 TILE_PALETTE = (
-    S.TileConfig(128, 128, 256),
     S.TileConfig(256, 256, 512),
+    S.TileConfig(512, 512, 256),
     S.TileConfig(512, 512, 512),
+    S.TileConfig(512, 1024, 512),
+    S.TileConfig(1024, 512, 512),
     S.TileConfig(512, 512, 1024),
-    S.TileConfig(1024, 1024, 2048),
+    S.TileConfig(1024, 1024, 1024),
+    S.TileConfig(tile_edges=8, path=S.PATH_STREAM),     # 16k-edge chunks
+    S.TileConfig(tile_edges=128, path=S.PATH_STREAM),   # 256k-edge chunks
 )
 
 
@@ -148,7 +153,7 @@ def _candidate_schedules(
         pattern_idx = [i for i, b in enumerate(part)
                        if match_spmm(graph, b) is not None
                        or match_gat_block(graph, b) is not None]
-        base = tuple(S.TileConfig(kernel=False) for _ in part)
+        base = tuple(S.TileConfig(path=S.PATH_XLA) for _ in part)
         add(S.Schedule(blocks=part, tiles=base))
         if pattern_idx:
             for tc in tile_palette:
@@ -197,17 +202,17 @@ def autotune(
     for i, (sched, traffic) in enumerate(zip(cands, traffics)):
         if i > 0 and traffic > traffic_prune * t_min:
             continue  # the first candidate (all-XLA baseline) never prunes
-        if any(tc.kernel and not S.tile_is_feasible(tc, fw)
+        if any(tc.path == S.PATH_ONEHOT and not S.tile_is_feasible(tc, fw)
                for tc in sched.tiles):
             continue
         key = f"{graph.name}|{sched.key()}"
         lat = memo.get(key)
         if lat is None:
             try:
-                fn = jax.jit(lower_schedule(
-                    graph, sched, host_graph, compute_dtype))
-                lat = time_fn_pipelined(fn, params, g_dev, x,
-                                        iters=iters, warmup=3, reps=3)
+                fn = lower_schedule(
+                    graph, sched, host_graph, compute_dtype)
+                lat = time_layer_device(fn, params, g_dev, x,
+                                        k_small=8, k_big=8 + iters)
             except Exception as ex:  # Mosaic rejection etc: infinite cost
                 if verbose:
                     print(f"  candidate failed: {type(ex).__name__}")

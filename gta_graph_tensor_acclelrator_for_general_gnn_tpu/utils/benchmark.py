@@ -44,10 +44,12 @@ def time_fn_pipelined(
     **kwargs,
 ) -> float:
     """Seconds per call with dispatches pipelined: ``iters`` async launches,
-    one block at the end.  This amortises host->device dispatch latency (large
-    and jittery through the axon tunnel) and measures device execution
-    throughput — the right number for kernel comparisons.  Returns the best
-    of ``reps`` repetitions of the pipelined loop."""
+    one block at the end.
+
+    CAUTION (axon tunnel): ``jax.block_until_ready`` does NOT await device
+    completion there, so this measures the *dispatch* rate, not device time.
+    Use :func:`time_layer_device` for honest per-iteration latency through
+    the tunnel; this function remains correct on normal JAX backends."""
     for _ in range(warmup):
         out = fn(*args, **kwargs)
     jax.block_until_ready(out)
@@ -59,3 +61,54 @@ def time_fn_pipelined(
         jax.block_until_ready(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
+
+
+def time_layer_device(
+    apply: Callable,
+    params,
+    g,
+    x,
+    *,
+    k_small: int = 50,
+    k_big: int = 1050,
+) -> float:
+    """Honest per-iteration seconds for ``apply(params, g, x) -> y`` where y
+    broadcasts back to x's shape/dtype (square layers).
+
+    The iteration loop runs ON DEVICE (lax.fori_loop inside one jit), so one
+    execution performs k applications; a 4-byte readback forces completion;
+    the slope between two loop counts cancels every constant overhead
+    (compile, dispatch, tunnel RTT, readback).  This is the only reliable
+    timing through the axon tunnel, where per-execution overhead is
+    ~0.3-8 s and block_until_ready does not await completion.
+    """
+    import jax.numpy as jnp
+
+    def back_to_x(y, x):
+        """Feed y back as the next x (pad/slice widths for non-square layers;
+        the fixup is negligible next to the layer itself)."""
+        y = y.astype(x.dtype)
+        if y.shape == x.shape:
+            return y
+        w = min(y.shape[1], x.shape[1])
+        return jnp.zeros_like(x).at[:, :w].set(y[: x.shape[0], :w])
+
+    def repeat(k):
+        def fn(params, g, x):
+            def body(i, h):
+                return back_to_x(apply(params, g, h), x)
+            return jax.lax.fori_loop(0, k, body, x)
+        return jax.jit(fn)
+
+    f_small, f_big = repeat(k_small), repeat(k_big)
+    # compile + sync both (first syncs also flip the tunnel into its
+    # deterministic per-call mode, making the two timed runs comparable)
+    float(jnp.sum(f_small(params, g, x)))
+    float(jnp.sum(f_big(params, g, x)))
+    t0 = time.perf_counter()
+    float(jnp.sum(f_small(params, g, x)))
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(jnp.sum(f_big(params, g, x)))
+    t_big = time.perf_counter() - t0
+    return max((t_big - t_small) / (k_big - k_small), 1e-12)

@@ -93,3 +93,26 @@ def test_topo_and_edges():
     graph_def = build_op_graph("GCN", F, OUT)
     assert graph_def.topo_order() == [0, 1, 2, 3]
     assert (0, 1) in graph_def.edges() and (2, 3) in graph_def.edges()
+
+
+def test_reorder_nodes_density_and_correctness(rng):
+    """Degree relabelling must preserve semantics (logits permute)."""
+    import jax
+    import jax.numpy as jnp
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import reorder_nodes
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.lower import (
+        init_params, lower)
+    import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
+    from conftest import small_graph
+
+    s, r = small_graph(rng, n=120, e=900)
+    hg = gta.build_host_graph(s, r, 120, add_self_loops=True,
+                              symmetric_norm=True)
+    g2, perm = reorder_nodes(hg)
+    assert g2.e_pad == hg.e_pad and g2.n_edge == hg.n_edge
+    og = gta.build_op_graph("GCN", 10, 6)
+    params = init_params(og, jax.random.key(0))
+    x = rng.normal(size=(120, 10)).astype(np.float32)
+    out1 = np.asarray(lower(og)(params, hg.to_device(), jnp.asarray(x)))
+    out2 = np.asarray(lower(og)(params, g2.to_device(), jnp.asarray(x[perm])))
+    np.testing.assert_allclose(out2, out1[perm], rtol=2e-5, atol=2e-5)
