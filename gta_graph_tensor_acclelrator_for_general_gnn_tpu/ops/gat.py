@@ -112,7 +112,10 @@ def _gat_kernel(
     dmat = jax.lax.broadcast_in_dim(dst, (ET, H), (0,))
     p = jnp.where(dmat < R, jnp.exp(e - bound), 0.0)          # [ET, H], <= 1
 
-    den_ref[:] += scatter_rows(p)                             # [R, H]
+    # scatter operands cast to the input dtype: under the bf16 policy this
+    # keeps the MXU on single-pass bf16 (f32 operands force multi-pass);
+    # accumulation stays f32 via preferred_element_type
+    den_ref[:] += scatter_rows(p.astype(adst_ref.dtype))      # [R, H]
 
     hs = jnp.dot(oh_src, h_ref[:], preferred_element_type=jnp.float32,
                  precision=precision)                         # [ET, HD]
@@ -122,7 +125,7 @@ def _gat_kernel(
     B = (brow == bcol).astype(jnp.float32)
     p_full = jnp.dot(p, B, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)     # [ET, HD]
-    num_ref[:] += scatter_rows(p_full * hs)                   # [R, HD]
+    num_ref[:] += scatter_rows((p_full * hs).astype(adst_ref.dtype))  # [R, HD]
 
     # publish the stripe result every step; the last tile of the stripe wins
     den_full = jnp.dot(jnp.maximum(den_ref[:], 1e-20), B,

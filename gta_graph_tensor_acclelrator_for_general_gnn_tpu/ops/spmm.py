@@ -75,7 +75,7 @@ def _spmm_kernel(
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile_edges, block_rows), 1)
     s = (dst[:, None] == rows).astype(x_ref.dtype)        # [ET, R]
     o_ref[:] += jax.lax.dot_general(
-        s, msg, (((0,), (0,)), ((), ())),
+        s, msg.astype(x_ref.dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
 
 

@@ -166,7 +166,8 @@ class GeneticTuner:
         try:
             fn = lower_schedule(self.graph, sched, self.hg, self.dtype)
             lat = time_layer_device(fn, params, g_dev, x,
-                                    k_small=8, k_big=8 + self.iters)
+                                    k_small=50, k_big=50 + self.iters,
+                                    reps=2)
         except Exception:
             lat = float("inf")
         if np.isfinite(lat):

@@ -212,7 +212,8 @@ def autotune(
                 fn = lower_schedule(
                     graph, sched, host_graph, compute_dtype)
                 lat = time_layer_device(fn, params, g_dev, x,
-                                        k_small=8, k_big=8 + iters)
+                                        k_small=50, k_big=50 + iters,
+                                        reps=2)
             except Exception as ex:  # Mosaic rejection etc: infinite cost
                 if verbose:
                     print(f"  candidate failed: {type(ex).__name__}")

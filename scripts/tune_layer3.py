@@ -1,0 +1,24 @@
+"""Tune + measure the GAT layer at the reference's exact layer3 shape:
+in 64 -> out 16, attention width 16 (genGraphOP.py size_per_feature_list/
+weight_size: layer3 = [64 -> 16], A = weight_size[3] = 16)."""
+import json
+import jax
+import jax.numpy as jnp
+import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.lower import init_params
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.tune import autotune
+
+ds = gta.load_dataset("cora")
+og = gta.build_op_graph("GAT", 64, 16, heads=16, layer_tag="l3bench")
+params = jax.device_put(init_params(og, jax.random.key(0)))
+x = jax.device_put(jax.random.normal(jax.random.key(1), (ds.host_graph.n_node, 64), jnp.float32))
+res = autotune(og, ds.host_graph, params, ds.graph, x,
+               compute_dtype=jnp.bfloat16, iters=1500, verbose=True,
+               memo_path="results/memo_gat_cora_l3.csv")
+print(res.report())
+best = res.best
+json.dump({"blocks": [list(b) for b in best.blocks],
+           "tiles": [list(t.key()) for t in best.tiles],
+           "latency_us": res.latency_s * 1e6},
+          open("results/best_gat_cora_l3.json", "w"))
+print("saved")
