@@ -23,12 +23,17 @@ import json
 import os
 
 BASELINE_US = 81.66  # vTCAD/code/genetic_algorithm.py:749 (81,660 cycles @ 1 GHz)
-BEST_SCHEDULE_MEMO = "results/best_gat_cora128.json"
+BEST_SCHEDULE_MEMO = "results/best_gat_cora_l3.json"
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    try:  # persistent compile cache: tunnel compiles cost minutes
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
     from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.lower import (
@@ -37,9 +42,11 @@ def main():
         time_layer_device)
 
     ds = gta.load_dataset("cora")
-    n, f = ds.host_graph.n_node, 128
-    # reference layer-3 shape: 128 hidden features, 4 heads (changeyaml.py)
-    og = gta.build_op_graph("GAT", f, 128, heads=4, layer_tag="bench")
+    n, f = ds.host_graph.n_node, 64
+    # the reference's exact layer3 shape: in 64 -> out 16, attention width 16
+    # (genGraphOP.py: size_per_feature_list=[0,1433,128,64,16],
+    #  weight_size=[0,128,64,16], A=weight_size[3]=16)
+    og = gta.build_op_graph("GAT", f, 16, heads=16, layer_tag="l3bench")
     params = jax.device_put(init_params(og, jax.random.key(0)))
     x = jax.device_put(
         jax.random.normal(jax.random.key(1), (n, f), jnp.float32))
@@ -67,10 +74,10 @@ def main():
     # big loop counts: the tunnel's per-execution jitter is tens of ms, so
     # the slope signal (k_big - k_small iterations) must dwarf it
     best_s = time_layer_device(fn, params, ds.graph, x,
-                               k_small=100, k_big=4100, reps=3)
+                               k_small=100, k_big=2100, reps=2)
     us = best_s * 1e6
     print(json.dumps({
-        "metric": "gat_cora_layer128_latency",
+        "metric": "gat_cora_layer3_latency",
         "value": round(us, 2),
         "unit": "us",
         "vs_baseline": round(BASELINE_US / us, 3),

@@ -105,14 +105,20 @@ def lower_schedule(
     plans: List[tuple] = []
     for block, tc in zip(schedule.blocks, schedule.tiles):
         spmm_plan = match_spmm(graph, block) if tc.kernel else None
+        layer_plan = (gat_mod.match_gat_layer(graph, block)
+                      if tc.kernel and spmm_plan is None else None)
         gat_plan = (gat_mod.match_gat_block(graph, block)
-                    if tc.kernel and spmm_plan is None else None)
+                    if tc.kernel and spmm_plan is None and layer_plan is None
+                    else None)
         if tc.path == S.PATH_STREAM and (spmm_plan or gat_plan):
             kind = "spmm_stream" if spmm_plan else "gat_stream"
             plans.append((kind, block, tc, spmm_plan or gat_plan, None))
         elif spmm_plan is not None:
             plans.append(("spmm", block, tc, spmm_plan,
                           get_tiled(tc, unit_weight=not spmm_plan.weighted)))
+        elif layer_plan is not None and tc.path == S.PATH_ONEHOT:
+            plans.append(("gat_layer", block, tc, layer_plan,
+                          get_tiled(tc, unit_weight=True)))
         elif gat_plan is not None:
             plans.append(("gat", block, tc, gat_plan,
                           get_tiled(tc, unit_weight=True)))
@@ -159,6 +165,17 @@ def lower_schedule(
                     kin(ref(plan.adst_op)),
                     negative_slope=plan.negative_slope,
                     chunk=tc.tile_edges * 2048,
+                )
+            elif kind == "gat_layer":
+                vals[plan.out_op] = gat_mod.gat_layer(
+                    tg,
+                    kin(ref(plan.x_op)),
+                    kin(params[plan.w_name]),
+                    kin(params[plan.was_name]),
+                    kin(params[plan.wad_name]),
+                    negative_slope=plan.negative_slope,
+                    final_sf=plan.final_sf,
+                    interpret=interpret,
                 )
             elif kind == "gat":
                 vals[plan.out_op] = gat_mod.gat_attention(

@@ -274,15 +274,47 @@ def pattern_partition(graph: ir.OpGraph) -> Optional[Tuple[Tuple[int, ...], ...]
     return tuple(tuple(b) for b in _order_blocks(graph, blocks))
 
 
+def layer_partition(graph: ir.OpGraph) -> Optional[Tuple[Tuple[int, ...], ...]]:
+    """Whole-layer super-block: the complete GAT layer (projection MMs +
+    attention chain + activation) as ONE block for the mega-kernel
+    (ops/gat.py:gat_layer) — layer latency is op-count bound on TPU, so
+    collapsing the layer to a single pallas call is the deepest fusion."""
+    from ..ops.gat import match_gat_layer
+    all_ops = [op.op_id for op in graph.ops]
+    plan = match_gat_layer(graph, all_ops)
+    if plan is not None:
+        return (tuple(sorted(all_ops)),)
+    chain_part = pattern_partition(graph)
+    if chain_part is None:
+        return None
+    # try chain + MMs + sf merged, leaving any truly external ops out
+    from ..ops.gat import find_gat_chain
+    chain = find_gat_chain(graph)
+    cand = set(chain.ops)
+    for op in graph.ops:
+        if op.op_id in cand:
+            continue
+        if op.kind == ir.APPLY_NODE and op.compute in (ir.MM, ir.SF):
+            cand.add(op.op_id)
+    plan = match_gat_layer(graph, sorted(cand))
+    if plan is None:
+        return None
+    rest = [o for o in graph.topo_order() if o not in plan.ops]
+    blocks = [[o] for o in rest] + [sorted(plan.ops)]
+    return tuple(tuple(b) for b in _order_blocks(graph, blocks))
+
+
 def partition_is_legal_with_patterns(
     graph: ir.OpGraph, blocks: Sequence[Sequence[int]]
 ) -> bool:
     """Partition legality with the kernel-pattern exemption: a block that
     exactly matches a fused-kernel pattern may contain breakpoint edges."""
-    from ..ops.gat import match_gat_block
+    from ..ops.gat import match_gat_block, match_gat_layer
     if ir.partition_is_legal(graph, blocks):
         return True
-    exempt = [b for b in blocks if match_gat_block(graph, b) is not None]
+    exempt = [b for b in blocks
+              if match_gat_block(graph, b) is not None
+              or match_gat_layer(graph, b) is not None]
     if not exempt:
         return False
     # re-check with exempt blocks collapsed to opaque nodes: internal edges

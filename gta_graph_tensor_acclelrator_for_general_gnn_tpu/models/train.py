@@ -92,13 +92,18 @@ def train_node_classifier(
     seed: int = 0,
     remat: bool = False,
     model: Optional[Model] = None,
+    schedules=None,
     verbose: bool = False,
 ) -> Tuple[TrainState, FitResult]:
-    """Full-batch training of ``network`` on ``ds``; returns final state + metrics."""
+    """Full-batch training of ``network`` on ``ds``; returns final state +
+    metrics.  ``schedules`` routes layers through the fusion compiler
+    (tuned Pallas/stream execution) — training works through the fused
+    kernels' custom VJPs."""
     model = model or build_model(
         network, ds.x.shape[1], ds.n_class,
         hidden=hidden, n_layers=n_layers, heads=heads)
-    apply = model.make_apply(compute_dtype)
+    apply = model.make_apply(compute_dtype, schedules=schedules,
+                             host_graph=ds.host_graph if schedules else None)
     params = model.init(jax.random.key(seed))
     tx = optax.adamw(lr, weight_decay=weight_decay)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))

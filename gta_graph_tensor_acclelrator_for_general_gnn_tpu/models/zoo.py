@@ -33,8 +33,24 @@ class Model:
             params.update(L.init_params(g, sub, dtype))
         return params
 
-    def make_apply(self, compute_dtype=None):
-        fns = [L.lower(g, compute_dtype) for g in self.layers]
+    def make_apply(self, compute_dtype=None, schedules=None, host_graph=None):
+        """Forward over the layer stack.
+
+        ``schedules``: optional per-layer :class:`~..compiler.schedule.Schedule`
+        (or one schedule reused for all layers) — layers then lower through
+        the fusion compiler (Pallas kernels / streaming per the schedule) and
+        remain trainable (the fused attention kernel carries a custom VJP).
+        Requires ``host_graph`` for tile construction.
+        """
+        if schedules is None:
+            fns = [L.lower(g, compute_dtype) for g in self.layers]
+        else:
+            from ..compiler.fusion import lower_schedule
+            if not isinstance(schedules, (list, tuple)):
+                schedules = [schedules] * len(self.layers)
+            assert host_graph is not None, "schedules need host_graph"
+            fns = [lower_schedule(g, s, host_graph, compute_dtype)
+                   for g, s in zip(self.layers, schedules)]
 
         def apply(params, g: GraphTensor, x: jax.Array) -> jax.Array:
             h = x

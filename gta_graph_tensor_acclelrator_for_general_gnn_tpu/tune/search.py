@@ -97,7 +97,7 @@ def _exec_signature(graph: ir.OpGraph, sched: S.Schedule) -> tuple:
     only kernel-dispatched blocks differentiate candidates — measuring two
     schedules with the same signature is paying a tunnel compile for nothing.
     """
-    from ..ops.gat import match_gat_block
+    from ..ops.gat import match_gat_block, match_gat_layer
     from ..compiler.fusion import match_spmm
     sig = []
     for b, tc in zip(sched.blocks, sched.tiles):
@@ -105,6 +105,8 @@ def _exec_signature(graph: ir.OpGraph, sched: S.Schedule) -> tuple:
             continue
         if match_spmm(graph, b) is not None:
             sig.append(("spmm", tuple(b), tc.key()))
+        elif match_gat_layer(graph, b) is not None:
+            sig.append(("gat_layer", tuple(b), tc.key()))
         elif match_gat_block(graph, b) is not None:
             sig.append(("gat", tuple(b), tc.key()))
     return tuple(sorted(sig))
@@ -123,8 +125,11 @@ def _candidate_schedules(
     # its own — so lead with the max-fused partitions (their modelled traffic
     # reflects what the all-XLA executable actually moves).
     parts: List[Tuple[Tuple[int, ...], ...]] = []
+    lp = S.layer_partition(graph)
+    if lp is not None:
+        parts.append(lp)
     pp = S.pattern_partition(graph)
-    if pp is not None:
+    if pp is not None and pp not in parts:
         parts.append(pp)
     mf = S.max_fusion_partition(graph)
     if mf not in parts:
@@ -137,7 +142,7 @@ def _candidate_schedules(
         if S.singleton_partition(graph) not in parts:
             parts.append(S.singleton_partition(graph))
 
-    from ..ops.gat import match_gat_block
+    from ..ops.gat import match_gat_block, match_gat_layer
     from ..compiler.fusion import match_spmm
 
     out: List[S.Schedule] = []
@@ -152,6 +157,7 @@ def _candidate_schedules(
     for part in parts:
         pattern_idx = [i for i, b in enumerate(part)
                        if match_spmm(graph, b) is not None
+                       or match_gat_layer(graph, b) is not None
                        or match_gat_block(graph, b) is not None]
         base = tuple(S.TileConfig(path=S.PATH_XLA) for _ in part)
         add(S.Schedule(blocks=part, tiles=base))

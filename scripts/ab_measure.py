@@ -2,6 +2,8 @@ import sys; sys.path.insert(0, "/root/repo")
 """Decisive A/B of the candidate schedules with large-signal slope timing."""
 import time
 import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
 from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler import schedule as S

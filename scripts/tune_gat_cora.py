@@ -1,5 +1,8 @@
+import sys; sys.path.insert(0, "/root/repo")
 import json
 import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
 from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.lower import init_params

@@ -1,8 +1,11 @@
+import sys; sys.path.insert(0, "/root/repo")
 """Tune + measure the GAT layer at the reference's exact layer3 shape:
 in 64 -> out 16, attention width 16 (genGraphOP.py size_per_feature_list/
 weight_size: layer3 = [64 -> 16], A = weight_size[3] = 16)."""
 import json
 import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
 from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.lower import init_params

@@ -152,3 +152,47 @@ def test_fused_gat_gradients(rng):
     for k in g_ref:
         np.testing.assert_allclose(np.asarray(g_fused[k]), np.asarray(g_ref[k]),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_gat_layer_megakernel_matches_xla(rng):
+    """Whole-layer mega-kernel (projection+attention+activation in one
+    pallas call) must match the per-op XLA lowering."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops.gat import (
+        match_gat_layer)
+    hg, g = _graphs(rng, n=50, e=250)
+    og = gta.build_op_graph("GAT", 12, 8, heads=2, final_sf="elu")
+    params = init_params(og, jax.random.key(0))
+    x = jnp.asarray(rng.normal(size=(hg.n_node, 12)).astype(np.float32))
+    ref = lower(og)(params, g, x)
+
+    part = S.layer_partition(og)
+    assert part is not None and len(part) == 1
+    assert match_gat_layer(og, part[0]) is not None
+    tc = S.TileConfig(block_rows=32, block_cols=32, tile_edges=128)
+    fn = lower_schedule(og, S.Schedule(blocks=part, tiles=(tc,)), hg,
+                        interpret=True)
+    out = fn(params, g, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_gat_layer_megakernel_gradients(rng):
+    hg, g = _graphs(rng, n=40, e=200)
+    og = gta.build_op_graph("GAT", 8, 8, heads=2)
+    params = init_params(og, jax.random.key(0))
+    x = jnp.asarray(rng.normal(size=(hg.n_node, 8)).astype(np.float32))
+    part = S.layer_partition(og)
+    tc = S.TileConfig(block_rows=32, block_cols=32, tile_edges=128)
+    fn_fused = lower_schedule(og, S.Schedule(blocks=part, tiles=(tc,)), hg,
+                              interpret=True)
+    fn_ref = lower(og)
+
+    def loss(f):
+        return lambda p: jnp.sum(f(p, g, x) ** 2)
+
+    g_fused = jax.grad(loss(fn_fused))(params)
+    g_ref = jax.grad(loss(fn_ref))(params)
+    for k in g_ref:
+        np.testing.assert_allclose(np.asarray(g_fused[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=5e-4, atol=5e-5)

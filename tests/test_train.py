@@ -23,3 +23,27 @@ def test_train_bf16_compute():
     _, res = train_node_classifier(
         ds, "GCN", hidden=32, epochs=30, compute_dtype=jnp.bfloat16)
     assert res.train_acc > 0.6, res
+
+
+def test_train_with_fused_schedule():
+    """Training through the fused-kernel schedule path (interpret mode)."""
+    import jax
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler import (
+        schedule as S)
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.models.zoo import (
+        build_model)
+    ds = load_dataset("tiny")
+    model = build_model("GCN", ds.x.shape[1], ds.n_class, hidden=16,
+                        n_layers=2)
+    # per-layer schedules with the SpMM block dispatched to the stream path
+    # (runs everywhere, unlike the Pallas kernel which needs TPU/interpret)
+    scheds = []
+    for layer in model.layers:
+        part = S.max_fusion_partition(layer)
+        tiles = tuple(
+            S.TileConfig(path=S.PATH_STREAM, tile_edges=1) if len(b) >= 2
+            else S.TileConfig(path=S.PATH_XLA) for b in part)
+        scheds.append(S.Schedule(blocks=part, tiles=tiles))
+    _, res = train_node_classifier(ds, "GCN", hidden=16, epochs=30,
+                                   model=model, schedules=scheds)
+    assert res.train_acc > 0.6, res
