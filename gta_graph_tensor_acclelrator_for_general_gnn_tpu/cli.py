@@ -41,6 +41,11 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--f32", dest="bf16", action="store_false")
     p.add_argument("--ga", action="store_true", help="genetic tile search")
+    p.add_argument("--schedule", default=None,
+                   help="path to a tuned schedule JSON (results/best_*.json) "
+                        "to execute with (run/train)")
+    p.add_argument("--ckpt", default=None,
+                   help="checkpoint dir: train saves final state here")
     p.add_argument("--memo", default=None, help="schedule memo CSV path")
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
@@ -59,12 +64,27 @@ def main(argv=None):
     out = {"dataset": args.dataset, "network": args.network,
            "synthetic_data": ds.synthetic}
 
+    def load_schedule():
+        if not args.schedule:
+            return None
+        import json as _json
+        from .compiler import schedule as S
+        spec = _json.load(open(args.schedule))
+        return S.Schedule(
+            blocks=tuple(tuple(b) for b in spec["blocks"]),
+            tiles=tuple(S.TileConfig(*t) for t in spec["tiles"]))
+
     if args.command == "train":
         from .models.train import train_node_classifier
-        _, res = train_node_classifier(
+        sched = load_schedule()
+        state, res = train_node_classifier(
             ds, args.network, hidden=args.hidden, n_layers=args.layers,
             heads=args.heads, epochs=args.epochs, lr=args.lr,
-            compute_dtype=dtype, seed=args.seed)
+            compute_dtype=dtype, seed=args.seed,
+            schedules=sched and [sched] * args.layers)
+        if args.ckpt:
+            from .utils.checkpoint import save_state
+            out["ckpt_step"] = save_state(args.ckpt, state)
         out.update(dict(
             train_loss=res.train_loss, train_acc=res.train_acc,
             val_acc=res.val_acc, test_acc=res.test_acc,

@@ -1,0 +1,34 @@
+"""CLI driver tests (in-process; conftest pins the CPU platform)."""
+import json
+
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.cli import main
+
+
+def test_cli_train_json(capsys, tmp_path):
+    rc = main(["train", "--dataset", "tiny", "--network", "GCN",
+               "--epochs", "8", "--hidden", "16", "--json",
+               "--ckpt", str(tmp_path / "ck")])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["dataset"] == "tiny" and "train_acc" in out
+    assert out["ckpt_step"] == 8
+
+
+def test_cli_train_with_schedule(capsys, tmp_path):
+    import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler import (
+        schedule as S)
+    og = gta.build_op_graph("GCN", 16, 16)
+    part = S.max_fusion_partition(og)
+    spec = {"blocks": [list(b) for b in part],
+            "tiles": [[256, 256, 1, "stream"] if len(b) >= 2
+                      else [256, 256, 512, "xla"] for b in part]}
+    p = tmp_path / "sched.json"
+    p.write_text(json.dumps(spec))
+    rc = main(["train", "--dataset", "tiny", "--network", "GCN",
+               "--epochs", "8", "--hidden", "16", "--json",
+               "--schedule", str(p)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "train_acc" in out
