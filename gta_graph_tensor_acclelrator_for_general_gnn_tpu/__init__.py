@@ -10,12 +10,16 @@ multi-chip and multi-host scaling (which the reference does not have at all).
 """
 
 from . import ir
+from . import ir_io
 from .graph import (
     GraphTensor, HostGraph, TiledGraph,
-    build_graph, build_host_graph, tile_graph, nnz_histogram,
+    build_graph, build_host_graph, tile_graph, nnz_histogram, reorder_nodes,
 )
 from .models.builders import build_op_graph, NETWORKS
+from .models.zoo import build_model, Model
 from .compiler.lower import lower, init_params
+from .compiler.schedule import Schedule, TileConfig, default_schedule
+from .compiler.fusion import lower_schedule
 from .data.datasets import load_dataset, Dataset, DATASET_STATS
 
 __version__ = "0.1.0"
