@@ -178,14 +178,25 @@ def lower_schedule(
                     interpret=interpret,
                 )
             elif kind == "gat":
+                # when a_src is a linear map of h (the canonical GAT wiring:
+                # op asrc = MM(h)), pass the weight instead of the values —
+                # the kernel derives a_s from the gathered hs, dropping one
+                # K=block_cols one-hot gather; the now-unused XLA a_src op
+                # is dead-code-eliminated by jit
+                asrc_prod = graph.by_id.get(plan.asrc_op)
+                w_as = None
+                if (asrc_prod is not None and asrc_prod.compute == ir.MM
+                        and asrc_prod.inputs == [plan.h_op]):
+                    w_as = params[asrc_prod.extra["weight"][0]]
                 vals[plan.out_op] = gat_mod.gat_attention(
                     tg,
                     h_src=kin(ref(plan.h_op)),
-                    a_src=kin(ref(plan.asrc_op)),
+                    a_src=None if w_as is not None else kin(ref(plan.asrc_op)),
                     a_dst=kin(ref(plan.adst_op)),
                     heads=plan.heads,
                     negative_slope=plan.negative_slope,
                     interpret=interpret,
+                    w_asrc=None if w_as is None else kin(w_as),
                 )
             else:
                 for oid in block:
