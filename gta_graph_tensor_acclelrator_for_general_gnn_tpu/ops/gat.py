@@ -9,18 +9,18 @@ every per-edge intermediate in VMEM — per-edge logits, exp weights, and
 normalised alphas never touch HBM.
 
 Per destination row block (tiles of one row stripe arrive consecutively —
-TiledGraph invariant), with running state m (max), den, num in VMEM scratch:
+TiledGraph invariant), with accumulators den/num in VMEM scratch and the
+shift-bound softmax (per-row constant bound instead of a running max —
+softmax is shift-invariant and leaky_relu monotone, so
+b[r] = leaky(max_s a_src + a_dst[r]) dominates every logit of row r):
 
     for each edge tile (rb, cb):
-        a_s   = onehot(src) @ Asrc_cb            # [ET, H]   MXU gather
+        hs    = onehot(src) @ H_cb               # [ET, HD]  MXU gather
+        a_s   = hs @ w_asrc  (or onehot gather)  # [ET, H]
         a_d   = onehot(dst) @ Adst_rb            # [ET, H]
-        e     = leaky_relu(a_s + a_d)            # [ET, H]
-        m_t   = rowwise max of e over this tile  # [R,  H]   masked VPU max
-        m'    = max(m, m_t); s = exp(m - m')
-        p     = exp(e - m'[dst])                 # gather m' via onehot MXU
-        den   = den*s + onehot(dst)^T @ p
-        hs    = onehot(src) @ H_cb               # [ET, HD]
-        num   = num*s + onehot(dst)^T @ ((p @ B) * hs)   # B: head->feat expand
+        p     = exp(leaky(a_s + a_d) - b)        # [ET, H], <= 1, clamped
+        den  += onehot(dst)^T @ p                # transposed-contraction MXU
+        num  += onehot(dst)^T @ ((p @ B) * hs)   # B: head->feat expand
     out_rb = num / max(den, eps)
 
 The mathematically identical result is what both reference GAT variants
@@ -170,11 +170,9 @@ def _gat_forward(
         # a_src derived in-kernel from hs; static overflow-safe shift
         # (softmax is shift-invariant; the exp is clamped)
         asr = w_asrc.astype(h_src.dtype)                      # [HD, H]
-        asrc_rows = HD
         msrc = jnp.full((1, H), SHIFT, jnp.float32)
     else:
         asr = jnp.zeros((n_cols, H), a_src.dtype).at[: a_src.shape[0]].set(a_src)
-        asrc_rows = None
         # global per-head source-logit max (over real nodes): the softmax
         # shift bound — computed once in XLA, shared by every tile
         msrc = jnp.max(a_src.astype(jnp.float32), axis=0, keepdims=True)
