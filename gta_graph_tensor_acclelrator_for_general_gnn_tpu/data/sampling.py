@@ -14,7 +14,7 @@ in-neighbour list of node v is the contiguous range row_ptr[v]:row_ptr[v+1]
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 

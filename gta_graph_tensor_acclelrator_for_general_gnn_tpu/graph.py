@@ -27,7 +27,6 @@ a dump row that is sliced away.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax

@@ -8,7 +8,7 @@ XLA sees (and fuses across) the whole network.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

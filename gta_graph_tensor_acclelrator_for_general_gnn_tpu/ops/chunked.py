@@ -15,7 +15,6 @@ suffice — no materialised per-edge alpha, no third max pass.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

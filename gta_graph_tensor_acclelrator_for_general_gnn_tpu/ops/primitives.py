@@ -15,7 +15,7 @@ Semantics mirror the reference ops (vTCAD/GraphOP/genGraphOP.py):
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

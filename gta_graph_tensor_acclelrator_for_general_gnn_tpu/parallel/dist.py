@@ -16,8 +16,7 @@ data-parallel gradient — no hand-written collectives in the training step.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List
 
 import jax
 import jax.numpy as jnp

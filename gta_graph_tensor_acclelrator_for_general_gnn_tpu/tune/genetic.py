@@ -22,7 +22,6 @@ import dataclasses
 import random
 from typing import Dict, List, Optional, Sequence, Tuple
 
-import jax
 import numpy as np
 
 from .. import ir

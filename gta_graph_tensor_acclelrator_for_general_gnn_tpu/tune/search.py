@@ -12,12 +12,10 @@ from __future__ import annotations
 
 import csv
 import dataclasses
-import itertools
 import os
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .. import ir

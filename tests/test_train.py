@@ -7,7 +7,7 @@ from gta_graph_tensor_acclelrator_for_general_gnn_tpu.data.datasets import load_
 from gta_graph_tensor_acclelrator_for_general_gnn_tpu.models.train import train_node_classifier
 
 
-@pytest.mark.parametrize("network", ["GCN", "GAT", "GraphSAGE", "GIN"])
+@pytest.mark.parametrize("network", ["GCN", "GAT", "GraphSAGE", "GIN", "SGC", "DGN", "PNA"])
 def test_train_converges_tiny(network):
     ds = load_dataset("tiny")
     _, res = train_node_classifier(
