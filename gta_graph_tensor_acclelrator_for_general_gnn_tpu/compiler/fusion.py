@@ -31,6 +31,10 @@ from .lower import _eval_op
 from . import schedule as S
 from .schedule import Schedule, TileConfig
 
+# bump when kernel implementations change: memoised tuner latencies are
+# keyed on (KERNEL_VERSION, schedule) so stale measurements never resurface
+KERNEL_VERSION = 3
+
 
 @dataclasses.dataclass
 class _SpmmPlan:

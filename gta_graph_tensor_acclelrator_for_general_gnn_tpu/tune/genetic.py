@@ -26,7 +26,7 @@ import numpy as np
 
 from .. import ir
 from ..compiler import schedule as S
-from ..compiler.fusion import lower_schedule, match_spmm
+from ..compiler.fusion import KERNEL_VERSION, lower_schedule, match_spmm
 from ..graph import HostGraph
 from ..utils.benchmark import time_layer_device
 from .search import Memo, Measurement, TILE_PALETTE, TuneResult
@@ -154,7 +154,7 @@ class GeneticTuner:
 
     # -- fitness ------------------------------------------------------------
     def _measure(self, sched: S.Schedule, params, g_dev, x) -> float:
-        key = f"{self.graph.name}|{sched.key()}"
+        key = f"v{KERNEL_VERSION}|{self.graph.name}|{sched.key()}"
         lat = self.memo.get(key)
         if lat is not None:
             return lat

@@ -20,7 +20,7 @@ import numpy as np
 
 from .. import ir
 from ..compiler import schedule as S
-from ..compiler.fusion import lower_schedule
+from ..compiler.fusion import KERNEL_VERSION, lower_schedule
 from ..graph import HostGraph
 from ..utils.benchmark import time_layer_device
 
@@ -209,7 +209,7 @@ def autotune(
         if any(tc.path == S.PATH_ONEHOT and not S.tile_is_feasible(tc, fw)
                for tc in sched.tiles):
             continue
-        key = f"{graph.name}|{sched.key()}"
+        key = f"v{KERNEL_VERSION}|{graph.name}|{sched.key()}"
         lat = memo.get(key)
         if lat is None:
             try:
