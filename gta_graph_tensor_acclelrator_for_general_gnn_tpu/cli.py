@@ -97,7 +97,12 @@ def main(argv=None):
                             heads=args.heads, reorder=args.reorder)
         params = jax.device_put(model.init(jax.random.key(args.seed)))
         x = jax.device_put(jnp.asarray(ds.x))
-        fwd = model.make_apply(dtype)
+        sched = load_schedule()
+        fwd = model.make_apply(
+            dtype, schedules=sched and [sched] * args.layers,
+            host_graph=ds.host_graph if sched else None)
+        if sched:
+            out["schedule"] = sched.key()
         lat = time_layer_device(fwd, params, ds.graph, x,
                                 k_small=8, k_big=8 + args.iters)
         out.update(dict(latency_us=lat * 1e6,

@@ -33,7 +33,7 @@ from .schedule import Schedule, TileConfig
 
 # bump when kernel implementations change: memoised tuner latencies are
 # keyed on (KERNEL_VERSION, schedule) so stale measurements never resurface
-KERNEL_VERSION = 3
+KERNEL_VERSION = 4
 
 
 @dataclasses.dataclass
@@ -90,8 +90,11 @@ def lower_schedule(
     data, donated to the device once).
     """
     from ..ops import gat as gat_mod
+    from ..ops import dense as dense_mod
+    from ..graph import hybrid_graph
 
     tiled: Dict[tuple, TiledGraph] = {}
+    hybrids: Dict[tuple, object] = {}
 
     def get_tiled(tc: TileConfig, unit_weight: bool) -> TiledGraph:
         key = (tc.block_rows, tc.block_cols, tc.tile_edges, unit_weight)
@@ -105,6 +108,20 @@ def lower_schedule(
             )
         return tiled[key]
 
+    def get_hybrid(tc: TileConfig, unit_weight: bool, min_nnz: int):
+        key = (tc.block_rows, tc.block_cols, tc.tile_edges, unit_weight,
+               min_nnz)
+        if key not in hybrids:
+            hybrids[key] = hybrid_graph(
+                host_graph,
+                block_rows=tc.block_rows,
+                block_cols=tc.block_cols,
+                tile_edges=tc.tile_edges,
+                min_nnz=min_nnz,
+                unit_weight=unit_weight,
+            )
+        return hybrids[key]
+
     # --- match blocks at build time --------------------------------------
     plans: List[tuple] = []
     for block, tc in zip(schedule.blocks, schedule.tiles):
@@ -117,6 +134,17 @@ def lower_schedule(
         if tc.path == S.PATH_STREAM and (spmm_plan or gat_plan):
             kind = "spmm_stream" if spmm_plan else "gat_stream"
             plans.append((kind, block, tc, spmm_plan or gat_plan, None))
+        elif tc.path == S.PATH_HYBRID and spmm_plan is not None:
+            thr = dense_mod.spmm_dense_threshold(tc.block_rows, tc.block_cols)
+            plans.append(("spmm_hybrid", block, tc, spmm_plan,
+                          get_hybrid(tc, not spmm_plan.weighted, thr)))
+        elif tc.path == S.PATH_HYBRID and gat_plan is not None:
+            hd = graph.width_of(gat_plan.h_op)
+            thr = dense_mod.gat_dense_threshold(
+                tc.block_rows, tc.block_cols, gat_plan.heads,
+                hd // gat_plan.heads)
+            plans.append(("gat_hybrid", block, tc, gat_plan,
+                          get_hybrid(tc, True, thr)))
         elif spmm_plan is not None:
             plans.append(("spmm", block, tc, spmm_plan,
                           get_tiled(tc, unit_weight=not spmm_plan.weighted)))
@@ -150,6 +178,18 @@ def lower_schedule(
                 y = spmm_mod.spmm(tg, kin(ref(plan.in_op)), interpret=interpret)
                 vals[plan.out_op] = y
                 # intermediates inside the block stay unmaterialised
+            elif kind == "spmm_hybrid":
+                vals[plan.out_op] = dense_mod.spmm_hybrid(
+                    tg, g, kin(ref(plan.in_op)), weighted=plan.weighted,
+                    interpret=interpret)
+            elif kind == "gat_hybrid":
+                vals[plan.out_op] = dense_mod.gat_hybrid(
+                    tg, g,
+                    kin(ref(plan.h_op)),
+                    kin(ref(plan.asrc_op)),
+                    kin(ref(plan.adst_op)),
+                    negative_slope=plan.negative_slope,
+                    interpret=interpret)
             elif kind == "spmm_stream":
                 from ..ops import chunked
                 if plan.weighted:

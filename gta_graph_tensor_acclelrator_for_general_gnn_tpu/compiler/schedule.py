@@ -26,9 +26,13 @@ BYTES = 4  # f32; bf16 halves traffic (tracked via dtype_bytes arg)
 
 
 PATH_XLA = "xla"         # per-op XLA primitives (materialised edge tensors)
-PATH_ONEHOT = "onehot"   # Pallas one-hot MXU kernel (dense-block regime)
+PATH_ONEHOT = "onehot"   # Pallas one-hot MXU kernel (edge tiles)
 PATH_STREAM = "stream"   # lax.scan edge streaming (memory-bounded regime)
-PATHS = (PATH_XLA, PATH_ONEHOT, PATH_STREAM)
+PATH_HYBRID = "hybrid"   # density-split: dense blocks on MXU-direct kernels,
+                         # sparse remainder on one-hot edge tiles (the
+                         # reference's per-tile MM-vs-VEC dispatch,
+                         # simulator.py:541-545, generalised)
+PATHS = (PATH_XLA, PATH_ONEHOT, PATH_STREAM, PATH_HYBRID)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -38,6 +38,18 @@ class SampledBatch:
     def cap_nodes(self) -> int:
         return len(self.node_ids)
 
+    def device_graph(self) -> GraphTensor:
+        """GraphTensor with ``n_edge`` pinned to the static capacity.
+
+        ``n_edge`` is a static pytree field, and each sampled batch has a
+        different real edge count — shipping it verbatim would retrace the
+        jitted train step on nearly every batch (20-60 s per compile through
+        the tunnel).  Device-side the real count is irrelevant: padded edges
+        point at the dump row and carry mask/weight 0, so pinning
+        n_edge = e_pad keeps ONE compiled step for the whole run."""
+        gt = self.graph.to_device()
+        return dataclasses.replace(gt, n_edge=self.graph.e_pad)
+
 
 class NeighborSampler:
     """Uniform with-replacement k-hop in-neighbour sampler (GraphSAGE)."""

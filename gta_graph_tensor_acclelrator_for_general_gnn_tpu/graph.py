@@ -356,6 +356,141 @@ def tile_graph(
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DenseBlockGraph:
+    """Dense adjacency blocks for the MXU-direct aggregation path.
+
+    The reference re-dispatches edge tiles to its MM unit when a tile is
+    >90% dense (vTCAD/code/simulator.py:541-545).  The TPU equivalent goes
+    further: for adjacency blocks whose nnz exceeds the FLOP-balance
+    threshold, materialise the block as a dense [R, C] value matrix and
+    aggregate with a plain MXU matmul ``Y_rb += A_b @ X_cb`` — work scales
+    with R*C*F instead of nnz*(R+C)*128, no per-edge index arrays, and
+    (for attention) the per-edge softmax becomes a masked dense softmax.
+
+    Attributes (B = number of dense blocks, rb-major sorted):
+      blk_rb: int32[B]      row-block index
+      blk_cb: int32[B]      col-block index
+      values: bf16/f32[B, R, C]  summed edge weights (0 where no edge)
+    """
+
+    blk_rb: jax.Array
+    blk_cb: jax.Array
+    values: jax.Array
+    block_rows: int = dataclasses.field(metadata=dict(static=True))
+    block_cols: int = dataclasses.field(metadata=dict(static=True))
+    n_node: int = dataclasses.field(metadata=dict(static=True))
+    n_row_blocks: int = dataclasses.field(metadata=dict(static=True))
+    n_col_blocks: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_blocks(self) -> int:
+        return int(self.blk_rb.shape[0])
+
+
+@dataclasses.dataclass(frozen=True)
+class HybridGraph:
+    """Density-split graph: dense adjacency blocks (MXU-direct) + the sparse
+    remainder as edge tiles (one-hot kernels).  Same (R, C) grid for both so
+    the two kernels' outputs add elementwise.  ``dense`` is None when no
+    block passes the threshold (pure edge-tile execution)."""
+
+    dense: Optional[DenseBlockGraph]
+    tiles: TiledGraph
+    n_dense_edges: int
+    n_sparse_edges: int
+
+
+def block_nnz(g, block_rows: int, block_cols: int) -> np.ndarray:
+    """nnz per (row_block, col_block) adjacency block, shape [RB, CB].
+    The execution-time consumer of the reference's per-tile nnz statistics
+    (preprocessing.py:calculate_sparsity) — drives the dense-vs-sparse
+    dispatch."""
+    g = _as_host(g)
+    s = g.senders[: g.n_edge]
+    r = g.receivers[: g.n_edge]
+    rbn = max(_round_up(g.n_node, block_rows) // block_rows, 1)
+    cbn = max(_round_up(g.n_node, block_cols) // block_cols, 1)
+    key = (r // block_rows).astype(np.int64) * cbn + (s // block_cols)
+    return np.bincount(key, minlength=rbn * cbn).reshape(rbn, cbn)
+
+
+def hybrid_graph(
+    g,
+    *,
+    block_rows: int = 256,
+    block_cols: int = 256,
+    tile_edges: int = 512,
+    min_nnz: int,
+    unit_weight: bool = False,
+) -> HybridGraph:
+    """Split the adjacency by per-block density: blocks with
+    ``nnz >= min_nnz`` become dense [R, C] value matrices, the rest stays
+    edge-tiled.  ``min_nnz <= 0`` disables the dense path entirely."""
+    g = _as_host(g)
+    s = g.senders[: g.n_edge]
+    r = g.receivers[: g.n_edge]
+    w = (np.ones(g.n_edge, np.float32) if unit_weight
+         else g.edge_weight[: g.n_edge])
+
+    nnz = block_nnz(g, block_rows, block_cols)
+    rbn, cbn = nnz.shape
+    dense_mask2d = nnz >= max(min_nnz, 1) if min_nnz > 0 else np.zeros_like(nnz, bool)
+    dense_ids = np.flatnonzero(dense_mask2d.reshape(-1))      # rb-major order
+
+    if len(dense_ids) == 0:
+        tiles = tile_graph(g, block_rows=block_rows, block_cols=block_cols,
+                           tile_edges=tile_edges, unit_weight=unit_weight)
+        return HybridGraph(dense=None, tiles=tiles,
+                           n_dense_edges=0, n_sparse_edges=g.n_edge)
+
+    key = (r // block_rows).astype(np.int64) * cbn + (s // block_cols)
+    slot_of = np.full(rbn * cbn, -1, np.int64)
+    slot_of[dense_ids] = np.arange(len(dense_ids))
+    e_slot = slot_of[key]
+    in_dense = e_slot >= 0
+
+    values = np.zeros((len(dense_ids), block_rows, block_cols), np.float32)
+    np.add.at(values,
+              (e_slot[in_dense], r[in_dense] % block_rows,
+               s[in_dense] % block_cols), w[in_dense])
+    dense = DenseBlockGraph(
+        blk_rb=jnp.asarray((dense_ids // cbn).astype(np.int32)),
+        blk_cb=jnp.asarray((dense_ids % cbn).astype(np.int32)),
+        values=jnp.asarray(values),
+        block_rows=block_rows,
+        block_cols=block_cols,
+        n_node=g.n_node,
+        n_row_blocks=rbn,
+        n_col_blocks=cbn,
+    )
+
+    rest = HostGraph(
+        senders=np.concatenate(
+            [s[~in_dense], np.full(g.e_pad - int((~in_dense).sum()),
+                                   g.n_node, np.int32)]),
+        receivers=np.concatenate(
+            [r[~in_dense], np.full(g.e_pad - int((~in_dense).sum()),
+                                   g.n_node, np.int32)]),
+        edge_mask=np.concatenate(
+            [np.ones(int((~in_dense).sum()), bool),
+             np.zeros(g.e_pad - int((~in_dense).sum()), bool)]),
+        edge_weight=np.concatenate(
+            [w[~in_dense], np.zeros(g.e_pad - int((~in_dense).sum()),
+                                    np.float32)]),
+        n_node=g.n_node,
+        n_edge=int((~in_dense).sum()),
+    )
+    # rest.edge_weight already carries the requested weights (1s when
+    # unit_weight), so tile_graph must NOT re-unit them
+    tiles = tile_graph(rest, block_rows=block_rows, block_cols=block_cols,
+                       tile_edges=tile_edges, unit_weight=False)
+    return HybridGraph(dense=dense, tiles=tiles,
+                       n_dense_edges=int(in_dense.sum()),
+                       n_sparse_edges=rest.n_edge)
+
+
 def reorder_nodes(g: HostGraph, method: str = "degree"):
     """Relabel nodes to densify adjacency blocks (returns (HostGraph, perm),
     where perm[new_id] = old_id; apply ``x[perm]`` to node features).

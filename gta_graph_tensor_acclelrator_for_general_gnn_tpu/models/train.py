@@ -181,7 +181,8 @@ def train_sampled(
             valid = batch.node_ids >= 0
             yb = np.zeros(batch.cap_nodes, np.int32)
             yb[valid] = ds.y[batch.node_ids[valid]]
-            state, loss = step(state, batch.graph.to_device(), xb,
+            # device_graph pins the static n_edge so this step compiles ONCE
+            state, loss = step(state, batch.device_graph(), xb,
                                jnp.asarray(yb), jnp.asarray(batch.seed_mask))
             n_steps += 1
     jax.block_until_ready(loss)

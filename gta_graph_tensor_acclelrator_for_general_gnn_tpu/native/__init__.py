@@ -1,8 +1,10 @@
 """ctypes loader for the native preprocessing library.
 
-Builds lazily with make on first import if the .so is missing and a
-toolchain exists; everything falls back to the numpy paths when native code
-is unavailable (``HAVE_NATIVE``)."""
+The .so is never committed (it is built with -march=native, so a foreign
+binary could SIGILL); it is compiled from ``tiler.cpp`` with make on first
+import, then validated by a tiny self-test against the numpy reference
+before ``HAVE_NATIVE`` is set.  Everything falls back to the numpy paths
+when native code is unavailable or fails the self-test."""
 from __future__ import annotations
 
 import ctypes
@@ -30,8 +32,11 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) and not _build():
-        return None
+    src = os.path.join(_DIR, "tiler.cpp")
+    if (not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < os.path.getmtime(src)):
+        if not _build():
+            return None
     lib = ctypes.CDLL(_SO)
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
@@ -51,7 +56,34 @@ def _load():
     return lib
 
 
-HAVE_NATIVE = _load() is not None
+def _self_test() -> bool:
+    """Native outputs must match the numpy reference on a tiny graph before
+    the library is trusted (catches a stale/foreign binary)."""
+    try:
+        r = np.array([2, 0, 1, 0, 2], np.int32)
+        s = np.array([1, 2, 0, 0, 1], np.int32)
+        order = sort_by_receiver_native(r, 3, _checked=False)
+        if order is None or list(r[order]) != sorted(r.tolist()):
+            return False
+        degs = degrees_native(s, r, 3, _checked=False)
+        if degs is None:
+            return False
+        out_deg, in_deg = degs
+        ok = (np.array_equal(out_deg, [2., 2., 1.])
+              and np.array_equal(in_deg, [2., 1., 2.]))
+        return bool(ok)
+    except Exception:
+        return False
+
+
+def _validate_ids(n_node, *arrays):
+    """Reject out-of-range node ids before they reach raw C pointers (a
+    malformed id corrupts heap memory there; numpy would only mis-answer)."""
+    for a in arrays:
+        if len(a) and (a.min() < 0 or a.max() >= n_node):
+            raise ValueError(
+                f"node id out of range [0, {n_node}): "
+                f"min={a.min()}, max={a.max()}")
 
 
 def tile_edges_native(senders, receivers, weight, n_row_blocks, n_col_blocks,
@@ -64,6 +96,8 @@ def tile_edges_native(senders, receivers, weight, n_row_blocks, n_col_blocks,
     B = n_row_blocks * n_col_blocks
     if lib is None or B > (1 << 26):
         return None
+    _validate_ids(n_row_blocks * block_rows, np.asarray(receivers))
+    _validate_ids(n_col_blocks * block_cols, np.asarray(senders))
     ne = len(senders)
     senders = np.ascontiguousarray(senders, np.int32)
     receivers = np.ascontiguousarray(receivers, np.int32)
@@ -92,26 +126,35 @@ def tile_edges_native(senders, receivers, weight, n_row_blocks, n_col_blocks,
             eid.reshape(shape), w.reshape(shape))
 
 
-def sort_by_receiver_native(receivers, n_node):
+def sort_by_receiver_native(receivers, n_node, _checked=True):
     """Stable counting-sort permutation by receiver, or None."""
     lib = _load()
     if lib is None:
         return None
     receivers = np.ascontiguousarray(receivers, np.int32)
+    if _checked:
+        _validate_ids(n_node + 1, receivers)  # n_node = dump row is legal
     ne = len(receivers)
-    counts = np.zeros(n_node + 1, np.int64)
+    counts = np.zeros(n_node + 2, np.int64)
     order = np.zeros(ne, np.int64)
     lib.gta_sort_by_receiver(receivers, ne, n_node, counts, order)
     return order
 
 
-def degrees_native(senders, receivers, n_node):
+def degrees_native(senders, receivers, n_node, _checked=True):
     lib = _load()
     if lib is None:
         return None
     senders = np.ascontiguousarray(senders, np.int32)
     receivers = np.ascontiguousarray(receivers, np.int32)
+    if _checked:
+        _validate_ids(n_node, senders)
+        _validate_ids(n_node, receivers)
     out_deg = np.zeros(n_node, np.float64)
     in_deg = np.zeros(n_node, np.float64)
     lib.gta_degrees(senders, receivers, len(senders), out_deg, in_deg)
     return out_deg, in_deg
+
+
+# resolved at import time, after all entry points above are defined
+HAVE_NATIVE = _load() is not None and _self_test()

@@ -1,0 +1,381 @@
+"""Dense-adjacency-block kernels: MXU-direct aggregation and masked
+dense attention.
+
+The reference dispatches edge tiles to its MM unit when a tile is >90%
+dense, else to the VEC unit (vTCAD/code/simulator.py:541-545), driven by
+per-tile nnz statistics.  On TPU the analogous split is between these
+dense-block kernels and the one-hot edge-tile kernels (ops/spmm.py,
+ops/gat.py):
+
+* one-hot edge tile: cost = tile_edges * (C + kR) * 128 MACs regardless of
+  real nnz (narrow operands cost a full 128-lane MXU pass);
+* dense block:       cost = R * C * max(F, 128) MACs regardless of nnz,
+  covering up to R*C edges with no per-edge index arrays.
+
+The FLOP-balance crossover (``spmm_dense_threshold`` /
+``gat_dense_threshold``) picks the cheaper path per adjacency block from
+the host-side nnz histogram (graph.block_nnz) — density-adaptive dispatch
+with a measured-constant cost model instead of the reference's fixed 90%
+rule.
+
+For attention, the dense path also collapses the per-edge softmax: with
+A[r,c] ∈ {0,1} resident as a block, logits e[r,c] = leaky(a_src[c] +
+a_dst[r]) are formed by broadcasting two vectors — per-edge gathers vanish
+entirely.  num/den accumulate per row stripe exactly like the edge-tile
+kernel (same shift bound), so the two paths' partial sums add exactly.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..graph import DenseBlockGraph
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# dispatch thresholds (FLOP balance, see module docstring)
+# ---------------------------------------------------------------------------
+
+
+def spmm_dense_threshold(block_rows: int, block_cols: int,
+                         fudge: float = 1.0) -> int:
+    """nnz per (R, C) block above which the dense matmul beats the one-hot
+    edge tile for plain aggregation.  one-hot: nnz*(C+R)*128 (at perfect
+    tile packing); dense: R*C*128 (F <= 128 lanes; both scale equally in
+    F beyond that)."""
+    r, c = block_rows, block_cols
+    return max(int(fudge * r * c / (c + r)), 1)
+
+
+def gat_dense_threshold(block_rows: int, block_cols: int, heads: int,
+                        head_dim: int, fudge: float = 1.0) -> int:
+    """nnz threshold for the attention kernels.  one-hot edge tile:
+    nnz*(C+2R)*128.  dense: H passes of R*C*max(D,128) MXU plus ~H*R*C
+    VPU/exp work (counted as ~2 extra lane-passes)."""
+    r, c = block_rows, block_cols
+    dense = heads * r * c * (max(head_dim, 128) + 256)
+    onehot_per_edge = (c + 2 * r) * 128
+    return max(int(fudge * dense / onehot_per_edge), 1)
+
+
+# ---------------------------------------------------------------------------
+# dense SpMM: Y_rb += A_b @ X_cb
+# ---------------------------------------------------------------------------
+
+
+def _spmm_dense_kernel(rb_ref, cb_ref, a_ref, x_ref, o_ref, *, precision):
+    b = pl.program_id(1)
+    prev_rb = jnp.where(b == 0, -1, rb_ref[jnp.maximum(b - 1, 0)])
+
+    @pl.when(rb_ref[b] != prev_rb)
+    def _zero():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[:] += jnp.dot(a_ref[0], x_ref[:],
+                        preferred_element_type=jnp.float32,
+                        precision=precision)
+
+
+def spmm_dense(
+    bg: DenseBlockGraph,
+    x: jax.Array,
+    *,
+    feat_block: int = 512,
+    interpret: bool = False,
+    precision: Optional[jax.lax.Precision] = None,
+) -> jax.Array:
+    """y[r] = sum_c A[r, c] * x[c] over the dense blocks only; rows in
+    blocks the dense set never touches are 0 (the edge-tile kernel owns
+    them).  Returns [n_rows_padded, F] f32 like ops/spmm.spmm."""
+    R, C = bg.block_rows, bg.block_cols
+    n_cols = bg.n_col_blocks * C
+    n_rows = bg.n_row_blocks * R
+    f = x.shape[1]
+    fb = min(feat_block, _round_up(f, 128))
+    f_pad = _round_up(f, fb)
+    xp = jnp.zeros((n_cols, f_pad), x.dtype).at[: x.shape[0], :f].set(x)
+    a = bg.values.astype(x.dtype)
+    if precision is None:
+        precision = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+
+    B = bg.n_blocks
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(f_pad // fb, B),
+        in_specs=[
+            pl.BlockSpec((1, R, C), lambda fi, b, rb, cb: (b, 0, 0)),
+            pl.BlockSpec((C, fb), lambda fi, b, rb, cb: (cb[b], fi)),
+        ],
+        out_specs=pl.BlockSpec((R, fb), lambda fi, b, rb, cb: (rb[b], fi)),
+    )
+    # dense row blocks the dense set misses must still be zeroed: out blocks
+    # Pallas never visits are undefined.  Initialise via input_output_alias
+    # is overkill — instead callers add this to the edge-tile result, which
+    # visits every row block; standalone use zero-fills missing stripes here.
+    y = pl.pallas_call(
+        functools.partial(_spmm_dense_kernel, precision=precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, f_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * R * C * f_pad,
+            bytes_accessed=a.size * a.dtype.itemsize + xp.size * xp.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(bg.blk_rb, bg.blk_cb, a, xp)
+    import numpy as np
+    visited = np.zeros(bg.n_row_blocks, bool)
+    visited[np.asarray(bg.blk_rb)] = True
+    if not visited.all():
+        # unvisited out blocks are UNINITIALISED (not zero) — select, don't
+        # multiply (0 * garbage can be NaN)
+        mask = jnp.asarray(np.repeat(visited, R))
+        y = jnp.where(mask[:, None], y, 0.0)
+    return y[:, :f]
+
+
+# ---------------------------------------------------------------------------
+# dense masked attention: per-block softmax num/den partial sums
+# ---------------------------------------------------------------------------
+
+
+def _gat_dense_kernel(
+    rb_ref, cb_ref,
+    m_ref, x_ref, asrc_ref, adst_ref, msrc_ref,
+    acc_ref,
+    *, R: int, C: int, H: int, HD: int, slope: float, precision,
+):
+    """One dense block of the attention num/den accumulation.
+
+    asrc arrives TRANSPOSED [H, C] so each head's source logits are a lane
+    row (broadcast along sublanes is free); adst is [R, H] (head slice is a
+    [R, 1] column, broadcast along lanes).  acc output block [R, HD+H]
+    accumulates [num ‖ den] per row stripe — blocks of one row stripe are
+    consecutive (rb-major sort), so the accumulator block stays resident.
+    """
+    b = pl.program_id(0)
+    prev_rb = jnp.where(b == 0, -1, rb_ref[jnp.maximum(b - 1, 0)])
+
+    @pl.when(rb_ref[b] != prev_rb)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    mask = m_ref[0].astype(jnp.float32)                       # [R, C]
+    dt = x_ref.dtype
+    D = HD // H
+
+    def leaky(v):
+        return jnp.where(v >= 0, v, slope * v)
+
+    for h in range(H):
+        a_s = jax.lax.broadcast_in_dim(
+            asrc_ref[h, :].astype(jnp.float32), (R, C), (1,))
+        a_d = adst_ref[:, h][:, None].astype(jnp.float32)      # [R, 1]
+        e = leaky(a_s + a_d)
+        bound = leaky(msrc_ref[0, h] + a_d)
+        p = mask * jnp.exp(jnp.minimum(e - bound, 60.0))       # [R, C]
+        pc = p.astype(dt)
+        acc_ref[:, h * D:(h + 1) * D] += jnp.dot(
+            pc, x_ref[:, h * D:(h + 1) * D],
+            preferred_element_type=jnp.float32, precision=precision)
+        acc_ref[:, HD + h:HD + h + 1] += jnp.sum(
+            p, axis=1, keepdims=True)
+
+
+def gat_dense_partial(
+    bg: DenseBlockGraph,
+    h_src: jax.Array,
+    a_src: jax.Array,
+    a_dst: jax.Array,
+    msrc: jax.Array,
+    *,
+    negative_slope: float = 0.2,
+    interpret: bool = False,
+    precision=None,
+) -> jax.Array:
+    """[num ‖ den] partial sums over the dense blocks: [n_rows, HD+H] f32.
+
+    ``msrc`` [1, H] must be the same softmax shift bound the edge-tile
+    kernel uses (global per-head max of a_src) so partials add exactly.
+    ``bg.values`` is interpreted as the edge-weight matrix; for standard
+    GAT it is 0/1 (unit weights)."""
+    H = a_dst.shape[1]
+    HD = h_src.shape[1]
+    assert HD % H == 0, (HD, H)
+    if precision is None:
+        precision = (jax.lax.Precision.HIGHEST if h_src.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+    R, C = bg.block_rows, bg.block_cols
+    n_cols = bg.n_col_blocks * C
+    n_rows = bg.n_row_blocks * R
+    xp = jnp.zeros((n_cols, HD), h_src.dtype).at[: h_src.shape[0]].set(h_src)
+    asr_t = jnp.zeros((H, n_cols), jnp.float32)
+    asr_t = asr_t.at[:, : a_src.shape[0]].set(
+        a_src.astype(jnp.float32).T)
+    ads = jnp.zeros((n_rows, H), jnp.float32).at[: a_dst.shape[0]].set(
+        a_dst.astype(jnp.float32))
+    mvals = bg.values.astype(h_src.dtype)
+
+    B = bg.n_blocks
+    kernel = functools.partial(
+        _gat_dense_kernel, R=R, C=C, H=H, HD=HD,
+        slope=float(negative_slope), precision=precision)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, R, C), lambda b, rb, cb: (b, 0, 0)),
+            pl.BlockSpec((C, HD), lambda b, rb, cb: (cb[b], 0)),
+            pl.BlockSpec((H, C), lambda b, rb, cb: (0, cb[b])),
+            pl.BlockSpec((R, H), lambda b, rb, cb: (rb[b], 0)),
+            pl.BlockSpec((1, H), lambda b, rb, cb: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((R, HD + H), lambda b, rb, cb: (rb[b], 0)),
+    )
+    acc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, HD + H), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * R * C * max(HD // H, 1),
+            bytes_accessed=(mvals.size * mvals.dtype.itemsize
+                            + xp.size * xp.dtype.itemsize),
+            transcendentals=B * H * R * C,
+        ),
+        interpret=interpret,
+    )(bg.blk_rb, bg.blk_cb, mvals, xp, asr_t, ads, msrc)
+    import numpy as np
+    visited = np.zeros(bg.n_row_blocks, bool)
+    visited[np.asarray(bg.blk_rb)] = True
+    if not visited.all():
+        # unvisited out blocks are UNINITIALISED (not zero) — select, don't
+        # multiply (0 * garbage can be NaN)
+        maskv = jnp.asarray(np.repeat(visited, R))
+        acc = jnp.where(maskv[:, None], acc, 0.0)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# hybrid wrappers (dense blocks + one-hot edge tiles), with custom VJPs
+# ---------------------------------------------------------------------------
+
+
+def _spmm_ref_g(g, x, weighted: bool = True):
+    """Full-graph XLA segment formulation of weighted SpMM (backward twin)."""
+    n = g.n_node
+    src = jnp.where(g.edge_mask, g.senders, n)
+    dst = jnp.where(g.edge_mask, g.receivers, n)
+    xt = jnp.concatenate(
+        [x.astype(jnp.float32), jnp.zeros((1, x.shape[1]), jnp.float32)], 0)
+    w = g.edge_weight if weighted else g.edge_mask.astype(jnp.float32)
+    msg = jnp.take(xt, src, axis=0) * w[:, None]
+    return jax.ops.segment_sum(msg, dst, n + 1,
+                               indices_are_sorted=True)[:n]
+
+
+def spmm_hybrid(hyb, g, x, *, weighted: bool = True,
+                interpret: bool = False):
+    """Density-split SpMM: dense blocks on the MXU-direct kernel, sparse
+    remainder on the one-hot edge-tile kernel; partial sums add exactly
+    (both are plain weighted sums).  ``g`` (the full GraphTensor) feeds the
+    XLA backward.  [N, F] -> [N, F] f32 with exact linear VJP."""
+    from . import spmm as spmm_mod
+
+    @jax.custom_vjp
+    def f(x):
+        y = spmm_mod.spmm(hyb.tiles, x, interpret=interpret)
+        if hyb.dense is not None:
+            yd = spmm_dense(hyb.dense, x, interpret=interpret)
+            y = y + yd[: y.shape[0]]
+        return y
+
+    def fwd(x):
+        return f(x), (x,)
+
+    def bwd(res, gbar):
+        (x,) = res
+        _, vjp = jax.vjp(lambda v: _spmm_ref_g(g, v, weighted), x)
+        return vjp(gbar.astype(jnp.float32))
+
+    f.defvjp(fwd, bwd)
+    return f(x)
+
+
+def _gat_reference_g(g, h, a_src, a_dst, slope):
+    """Full-graph XLA segment formulation of GAT attention (backward twin —
+    numerically identical to the kernels' shift-bound scheme)."""
+    n = g.n_node
+    H = a_src.shape[1]
+    HD = h.shape[1]
+    D = HD // H
+    src = jnp.where(g.edge_mask, g.senders, n)
+    dst = jnp.where(g.edge_mask, g.receivers, n)
+    pad1 = jnp.zeros((1, H), jnp.float32)
+    padh = jnp.zeros((1, HD), jnp.float32)
+    asr = jnp.concatenate([a_src.astype(jnp.float32), pad1], 0)
+    ads = jnp.concatenate([a_dst.astype(jnp.float32), pad1], 0)
+    hsx = jnp.concatenate([h.astype(jnp.float32), padh], 0)
+    w = g.edge_weight[:, None]
+    a_s = jnp.take(asr, src, axis=0)
+    a_d = jnp.take(ads, dst, axis=0)
+    e = jax.nn.leaky_relu(a_s + a_d, slope)
+    e = jnp.where(g.edge_mask[:, None], e, -1e30)
+    m = jax.ops.segment_max(e, dst, n + 1)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    p = jnp.where(g.edge_mask[:, None], jnp.exp(e - jnp.take(m, dst, axis=0)),
+                  0.0) * w
+    den = jax.ops.segment_sum(p, dst, n + 1, indices_are_sorted=True)
+    hs = jnp.take(hsx, src, axis=0)
+    num = jax.ops.segment_sum(jnp.repeat(p, D, axis=1) * hs, dst, n + 1,
+                              indices_are_sorted=True)
+    out = num / jnp.repeat(jnp.maximum(den, 1e-20), D, axis=1)
+    return out[:n]
+
+
+def gat_hybrid(hyb, g, h_src, a_src, a_dst, *, negative_slope: float = 0.2,
+               interpret: bool = False):
+    """Density-split GAT attention.  Both kernels accumulate raw
+    [num ‖ den] partials under the SAME shift bound (global per-head max of
+    a_src), so the combine is one add + divide.  Backward = autodiff of the
+    full-graph XLA segment formulation."""
+    from .gat import _gat_forward
+
+    H = a_dst.shape[1]
+    HD = h_src.shape[1]
+    D = HD // H
+
+    @jax.custom_vjp
+    def f(h, s, d):
+        msrc = jnp.max(s.astype(jnp.float32), axis=0, keepdims=True)
+        acc = _gat_forward(hyb.tiles, h, s, d,
+                           negative_slope=negative_slope,
+                           interpret=interpret, normalize=False, msrc=msrc)
+        if hyb.dense is not None:
+            accd = gat_dense_partial(hyb.dense, h, s, d, msrc,
+                                     negative_slope=negative_slope,
+                                     interpret=interpret)
+            acc = acc + accd[: acc.shape[0]]
+        num, den = acc[:, :HD], acc[:, HD:]
+        return num / jnp.repeat(jnp.maximum(den, 1e-20), D, axis=1)
+
+    def fwd(h, s, d):
+        return f(h, s, d), (h, s, d)
+
+    def bwd(res, gbar):
+        _, vjp = jax.vjp(
+            lambda h, s, d: _gat_reference_g(g, h, s, d, negative_slope),
+            *res)
+        return vjp(gbar.astype(jnp.float32))
+
+    f.defvjp(fwd, bwd)
+    return f(h_src, a_src, a_dst)

@@ -9,19 +9,33 @@ every per-edge intermediate in VMEM — per-edge logits, exp weights, and
 normalised alphas never touch HBM.
 
 Per destination row block (tiles of one row stripe arrive consecutively —
-TiledGraph invariant), with accumulators den/num in VMEM scratch and the
-shift-bound softmax (per-row constant bound instead of a running max —
-softmax is shift-invariant and leaky_relu monotone, so
-b[r] = leaky(max_s a_src + a_dst[r]) dominates every logit of row r):
+TiledGraph invariant), with one [R, HD+H] num‖den accumulator in VMEM
+scratch and the shift-bound softmax (per-row constant bound instead of a
+running max — softmax is shift-invariant and leaky_relu monotone, so
+b[r] = leaky(max_s a_src + a_dst[r]) dominates every logit of row r).
+
+MXU pass structure (v2): narrow operands (width < 128 lanes) cost a full
+128-lane MXU pass, so per-edge quantities are packed so the tile does
+exactly THREE wide passes — measured ~1.7x over the 5-pass v1:
 
     for each edge tile (rb, cb):
-        hs    = onehot(src) @ H_cb               # [ET, HD]  MXU gather
-        a_s   = hs @ w_asrc  (or onehot gather)  # [ET, H]
-        a_d   = onehot(dst) @ Adst_rb            # [ET, H]
-        p     = exp(leaky(a_s + a_d) - b)        # [ET, H], <= 1, clamped
-        den  += onehot(dst)^T @ p                # transposed-contraction MXU
-        num  += onehot(dst)^T @ ((p @ B) * hs)   # B: head->feat expand
-    out_rb = num / max(den, eps)
+        [hs‖a_s] = onehot(src) @ [H‖A_src]_cb    # [ET, HD+H]  pass 1 (K=C)
+        a_d      = onehot(dst) @ Adst_rb         # [ET, H]     pass 2 (K=R)
+        p        = exp(leaky(a_s + a_d) - b)     # [ET, H] VPU, <= 1
+        acc     += onehot(dst)^T @ [(p@B)*hs ‖ p]  #           pass 3 (K=ET)
+    out_rb = acc_num / max(acc_den, eps)         # B: head->feat expand
+
+a_src is always taken as *values* [N, H]: when the op graph defines it as a
+linear map of h the caller computes the tiny [N,HD]@[HD,H] matmul in XLA
+(free next to the gathers) — packing it into the pass-1 operand costs
+nothing, and the bound adapts to the input scale (no static-shift
+saturation).
+
+Bound domain: the shift is the GLOBAL per-head max of a_src, so a row whose
+incident sources all sit more than ~85 below that max (f32 exp underflow)
+collapses to zero attention.  The gap equals the spread of a_src across the
+graph — O(1..10) for trained GATs; inputs needing >80 spread should use the
+XLA path (exact per-row segment max, the reference's gather-MAX op).
 
 The mathematically identical result is what both reference GAT variants
 compute (normalise-on-edges, genGraphOP.py:47-62, and the aggregate-num/den
@@ -55,13 +69,14 @@ def _round_up(x: int, m: int) -> int:
 def _gat_kernel(
     rb_ref, cb_ref,
     src_ref, dst_ref,
-    asrc_ref, h_ref, adst_ref, msrc_ref,
+    hcat_ref, adst_ref, msrc_ref,
     o_ref,
-    den_ref, num_ref,
+    acc_ref,
     *, R: int, C: int, ET: int, H: int, HD: int, slope: float,
-    asrc_is_weight: bool, precision,
+    normalize: bool, precision,
 ):
-    """One edge tile of the softmax-aggregate.
+    """One edge tile of the softmax-aggregate (3-wide-pass structure, see
+    module docstring).
 
     Numerical scheme: softmax is shift-invariant per destination row, so
     instead of tracking the running row max (flash-attention style, which
@@ -69,48 +84,34 @@ def _gat_kernel(
     bound  b[r] = leaky_relu(max_s a_src[s] + a_dst[r])  >= every logit of
     row r (leaky_relu is monotone).  exp(e - b) <= 1 — no overflow, no
     rescaling, num/den accumulate across the row stripe unmodified.
-
-    (A packed [C, HD+H] operand combining the narrow and wide matmuls was
-    tried and measured SLOWER — unaligned 132-lane operands cost more than
-    the narrow-matmul waste they remove.)
     """
     t = pl.program_id(0)
+    T = pl.num_programs(0)
     prev_rb = jnp.where(t == 0, -1, rb_ref[jnp.maximum(t - 1, 0)])
+    next_rb = jnp.where(t == T - 1, -1, rb_ref[jnp.minimum(t + 1, T - 1)])
 
     @pl.when(rb_ref[t] != prev_rb)
     def _reset():
-        den_ref[:] = jnp.zeros_like(den_ref)
-        num_ref[:] = jnp.zeros_like(num_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
     src = src_ref[0, 0, :]                                    # [ET]
     dst = dst_ref[0, 0, :]                                    # [ET]
+    dt = hcat_ref.dtype
 
     # two one-hot builds total (VPU compares are a first-order cost):
     # oh_src serves the packed src gather; oh_dst serves the dst gather AND
     # the scatter-reduction (transposed-contraction dot_general).
     cols = jax.lax.broadcasted_iota(jnp.int32, (ET, C), 1)
-    oh_src = (src[:, None] == cols).astype(asrc_ref.dtype)    # [ET, C]
+    oh_src = (src[:, None] == cols).astype(dt)                # [ET, C]
     rows_er = jax.lax.broadcasted_iota(jnp.int32, (ET, R), 1)
-    oh_dst = (dst[:, None] == rows_er).astype(adst_ref.dtype)  # [ET, R]
+    oh_dst = (dst[:, None] == rows_er).astype(dt)             # [ET, R]
 
-    def scatter_rows(vals):  # [ET, F] -> [R, F] summed by dst
-        return jax.lax.dot_general(
-            oh_dst, vals, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
-
-    hs = jnp.dot(oh_src, h_ref[:], preferred_element_type=jnp.float32,
-                 precision=precision)                         # [ET, HD]
-    if asrc_is_weight:
-        # a_src is a linear map of h, so derive the per-edge values from the
-        # already-gathered hs (K=HD matmul) instead of a second K=C one-hot
-        # gather — ~15% of the per-tile MXU work
-        a_s = jnp.dot(hs.astype(adst_ref.dtype), asrc_ref[:],
-                      preferred_element_type=jnp.float32,
-                      precision=precision)                    # [ET, H]
-    else:
-        a_s = jnp.dot(oh_src, asrc_ref[:],
-                      preferred_element_type=jnp.float32,
-                      precision=precision)                    # [ET, H]
+    # pass 1: packed gather of [h ‖ a_src] rows
+    g = jnp.dot(oh_src, hcat_ref[:], preferred_element_type=jnp.float32,
+                precision=precision)                          # [ET, HD+H]
+    hs = g[:, :HD]
+    a_s = g[:, HD:]
+    # pass 2: a_dst gather
     a_d = jnp.dot(oh_dst, adst_ref[:], preferred_element_type=jnp.float32,
                   precision=precision)                        # [ET, H]
 
@@ -124,23 +125,33 @@ def _gat_kernel(
     dmat = jax.lax.broadcast_in_dim(dst, (ET, H), (0,))
     p = jnp.where(dmat < R, jnp.exp(jnp.minimum(e - bound, 60.0)), 0.0)
 
-    # scatter operands cast to the input dtype: under the bf16 policy this
-    # keeps the MXU on single-pass bf16 (f32 operands force multi-pass);
-    # accumulation stays f32 via preferred_element_type
-    den_ref[:] += scatter_rows(p.astype(adst_ref.dtype))      # [R, H]
     # head -> feature expansion: B[h, f] = 1 iff f // (HD//H) == h
     brow = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 0)
     bcol = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 1) // (HD // H)
     B = (brow == bcol).astype(jnp.float32)
     p_full = jnp.dot(p, B, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)     # [ET, HD]
-    num_ref[:] += scatter_rows((p_full * hs).astype(adst_ref.dtype))  # [R, HD]
 
-    # publish the stripe result every step; the last tile of the stripe wins
-    den_full = jnp.dot(jnp.maximum(den_ref[:], 1e-20), B,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)   # [R, HD]
-    o_ref[:] = num_ref[:] / den_full
+    # pass 3: ONE transposed-contraction scatter of [num ‖ den] — operands
+    # cast to the input dtype (bf16 keeps the MXU single-pass; accumulation
+    # stays f32 via preferred_element_type)
+    v = jnp.concatenate([p_full * hs, p], axis=1).astype(dt)  # [ET, HD+H]
+    acc_ref[:] += jax.lax.dot_general(
+        oh_dst, v, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+    # publish once per row stripe (last tile of the stripe)
+    @pl.when(next_rb != rb_ref[t])
+    def _publish():
+        if normalize:
+            den_full = jnp.dot(jnp.maximum(acc_ref[:, HD:], 1e-20), B,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)  # [R, HD]
+            o_ref[:] = acc_ref[:, :HD] / den_full
+        else:
+            # hybrid mode: emit raw [num ‖ den] partials (the dense-block
+            # kernel's partials add to these before the final divide)
+            o_ref[:] = acc_ref[:]
 
 
 def _gat_forward(
@@ -153,6 +164,8 @@ def _gat_forward(
     negative_slope: float = 0.2,
     interpret: bool = False,
     precision=None,
+    normalize: bool = True,
+    msrc: jax.Array = None,
 ) -> jax.Array:
     H = a_dst.shape[1]
     HD = h_src.shape[1]
@@ -160,59 +173,60 @@ def _gat_forward(
     if precision is None:
         precision = (jax.lax.Precision.HIGHEST if h_src.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
+    if w_asrc is not None:
+        # a_src is a linear map of h: the [N, HD] @ [HD, H] matmul is noise
+        # next to the kernel, and taking *values* keeps the data-dependent
+        # softmax bound exact at every input scale
+        a_src = jnp.dot(h_src, w_asrc.astype(h_src.dtype),
+                        preferred_element_type=jnp.float32)
 
     R, C, ET, T = tg.block_rows, tg.block_cols, tg.tile_edges, tg.n_tiles
     n_cols = tg.n_col_blocks * C
     n_rows = tg.n_row_blocks * R
-    hsx = jnp.zeros((n_cols, HD), h_src.dtype).at[: h_src.shape[0]].set(h_src)
+    # packed pass-1 operand [h ‖ a_src]
+    hcat = jnp.zeros((n_cols, HD + H), h_src.dtype)
+    hcat = hcat.at[: h_src.shape[0], :HD].set(h_src)
+    hcat = hcat.at[: a_src.shape[0], HD:].set(a_src.astype(h_src.dtype))
     ads = jnp.zeros((n_rows, H), a_dst.dtype).at[: a_dst.shape[0]].set(a_dst)
-    if w_asrc is not None:
-        # a_src derived in-kernel from hs; static overflow-safe shift
-        # (softmax is shift-invariant; the exp is clamped)
-        asr = w_asrc.astype(h_src.dtype)                      # [HD, H]
-        msrc = jnp.full((1, H), SHIFT, jnp.float32)
-    else:
-        asr = jnp.zeros((n_cols, H), a_src.dtype).at[: a_src.shape[0]].set(a_src)
+    if msrc is None:
         # global per-head source-logit max (over real nodes): the softmax
-        # shift bound — computed once in XLA, shared by every tile
+        # shift bound — computed once in XLA, shared by every tile (hybrid
+        # callers pass theirs in so both kernels share one bound)
         msrc = jnp.max(a_src.astype(jnp.float32), axis=0, keepdims=True)
 
     kernel = functools.partial(
         _gat_kernel, R=R, C=C, ET=ET, H=H, HD=HD,
-        slope=float(negative_slope),
-        asrc_is_weight=w_asrc is not None, precision=precision)
+        slope=float(negative_slope), normalize=normalize, precision=precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
             pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
-            (pl.BlockSpec((HD, H), lambda t, rb, cb: (0, 0))
-             if w_asrc is not None else
-             pl.BlockSpec((C, H), lambda t, rb, cb: (cb[t], 0))),
-            pl.BlockSpec((C, HD), lambda t, rb, cb: (cb[t], 0)),
+            pl.BlockSpec((C, HD + H), lambda t, rb, cb: (cb[t], 0)),
             pl.BlockSpec((R, H), lambda t, rb, cb: (rb[t], 0)),
             pl.BlockSpec((1, H), lambda t, rb, cb: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((R, HD), lambda t, rb, cb: (rb[t], 0)),
+        out_specs=pl.BlockSpec((R, HD + H if not normalize else HD),
+                               lambda t, rb, cb: (rb[t], 0)),
         scratch_shapes=[
-            pltpu.VMEM((R, H), jnp.float32),
-            pltpu.VMEM((R, HD), jnp.float32),
+            pltpu.VMEM((R, HD + H), jnp.float32),
         ],
     )
-    flops = 2 * T * ET * (C + R) * (H + HD)
+    flops = 2 * T * ET * (C + 2 * R) * max(H + HD, 128)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_rows, HD), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_rows, HD + H if not normalize else HD), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(hsx.size + asr.size + ads.size) * h_src.dtype.itemsize,
+            bytes_accessed=(hcat.size + ads.size) * h_src.dtype.itemsize,
             transcendentals=T * ET * H,
         ),
         interpret=interpret,
     )(tg.tile_rb, tg.tile_cb,
-      tg.src_local[:, None, :], tg.dst_local[:, None, :], asr, hsx, ads, msrc)
+      tg.src_local[:, None, :], tg.dst_local[:, None, :], hcat, ads, msrc)
     return out[: tg.n_node]
 
 
@@ -265,7 +279,8 @@ def gat_attention(
     -> [N,HD] f32.  Forward = Pallas online-softmax kernel; backward =
     autodiff of the XLA segment formulation (numerically identical result,
     so the VJP is exact).  Pass ``w_asrc`` [HD,H] instead of ``a_src`` when
-    a_src is a linear map of h (cheaper in-kernel derivation)."""
+    a_src is a linear map of h (the values are derived by one tiny XLA
+    matmul and packed into the kernel's gather operand)."""
 
     if w_asrc is not None:
         @jax.custom_vjp

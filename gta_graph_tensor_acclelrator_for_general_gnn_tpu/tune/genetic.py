@@ -205,6 +205,11 @@ class GeneticTuner:
             if m is not None:
                 scored.append((m.latency_s, gen))
 
+        if not scored:
+            raise RuntimeError(
+                "GeneticTuner: every seed genome failed to decode or was "
+                "traffic-pruned — nothing measurable (graph/palette "
+                "mismatch?)")
         best = min(s for s, _ in scored)
         stable = 0
         for it in range(self.max_generations):
@@ -232,5 +237,9 @@ class GeneticTuner:
 
         trials = list(measured.values())
         top = min(trials, key=lambda m: m.latency_s)
+        if not np.isfinite(top.latency_s):
+            raise RuntimeError(
+                "GeneticTuner: every measured candidate failed (non-finite "
+                "latency) — check kernel compilation errors")
         return TuneResult(best=top.schedule, latency_s=top.latency_s,
                           trials=trials)

@@ -1,0 +1,166 @@
+"""Dense-block kernels + density-split (hybrid) dispatch vs the XLA oracle."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu import ir
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler import (
+    schedule as S)
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.fusion import (
+    lower_schedule)
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.lower import (
+    init_params, lower)
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+    block_nnz, build_host_graph, hybrid_graph)
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import dense as D
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import primitives as P
+
+from conftest import small_graph
+
+
+def _graphs(rng, n=50, e=250, **kw):
+    s, r = small_graph(rng, n=n, e=e)
+    hg = build_host_graph(s, r, n, edge_pad_multiple=128, **kw)
+    return hg, hg.to_device()
+
+
+def test_block_nnz_counts(rng):
+    hg, _ = _graphs(rng)
+    nnz = block_nnz(hg, 32, 32)
+    assert nnz.sum() == hg.n_edge
+    assert nnz.shape == (2, 2)
+
+
+def test_hybrid_split_partitions_edges(rng):
+    hg, _ = _graphs(rng)
+    hyb = hybrid_graph(hg, block_rows=32, block_cols=32, tile_edges=64,
+                       min_nnz=20)
+    assert hyb.n_dense_edges + hyb.n_sparse_edges == hg.n_edge
+    assert hyb.n_dense_edges > 0          # 4 blocks x ~60 edges each
+    # dense values hold exactly the dense edges' weight mass
+    tot = float(np.asarray(hyb.dense.values).sum()) if hyb.dense else 0.0
+    np.testing.assert_allclose(
+        tot, np.sum(hg.edge_weight[: hg.n_edge]) - float(
+            np.asarray(hyb.tiles.weight).sum()), rtol=1e-5)
+
+
+def test_spmm_dense_standalone(rng):
+    hg, g = _graphs(rng, symmetric_norm=True)
+    hyb = hybrid_graph(hg, block_rows=32, block_cols=32, tile_edges=64,
+                       min_nnz=1)    # everything dense
+    assert hyb.n_sparse_edges == 0
+    x = jnp.asarray(rng.normal(size=(hg.n_node, 16)).astype(np.float32))
+    y = D.spmm_dense(hyb.dense, x, interpret=True)[: hg.n_node]
+    e = P.scatter_to_edges(x, g, "C") * g.edge_weight[:, None]
+    y_ref = P.gather_to_nodes(e, g, ir.ADD)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_hybrid_matches_oracle(rng):
+    hg, g = _graphs(rng, symmetric_norm=True)
+    hyb = hybrid_graph(hg, block_rows=32, block_cols=32, tile_edges=64,
+                       min_nnz=40)   # genuine split
+    assert hyb.n_dense_edges and hyb.n_sparse_edges
+    x = jnp.asarray(rng.normal(size=(hg.n_node, 16)).astype(np.float32))
+    y = D.spmm_hybrid(hyb, g, x, interpret=True)[: hg.n_node]
+    e = P.scatter_to_edges(x, g, "C") * g.edge_weight[:, None]
+    y_ref = P.gather_to_nodes(e, g, ir.ADD)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+    # linear VJP is exact
+    f = lambda v: jnp.sum(D.spmm_hybrid(hyb, g, v, interpret=True) ** 2)
+    fr = lambda v: jnp.sum(
+        P.gather_to_nodes(
+            P.scatter_to_edges(v, g, "C") * g.edge_weight[:, None],
+            g, ir.ADD) ** 2)
+    np.testing.assert_allclose(np.asarray(jax.grad(f)(x)),
+                               np.asarray(jax.grad(fr)(x)),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_gat_hybrid_matches_oracle(rng):
+    hg, g = _graphs(rng)
+    hyb = hybrid_graph(hg, block_rows=32, block_cols=32, tile_edges=64,
+                       min_nnz=40, unit_weight=True)
+    assert hyb.n_dense_edges and hyb.n_sparse_edges
+    H, HD = 2, 8
+    h = jnp.asarray(rng.normal(size=(hg.n_node, HD)).astype(np.float32))
+    a_s = jnp.asarray(rng.normal(size=(hg.n_node, H)).astype(np.float32))
+    a_d = jnp.asarray(rng.normal(size=(hg.n_node, H)).astype(np.float32))
+    out = D.gat_hybrid(hyb, g, h, a_s, a_d, interpret=True)
+    ref = D._gat_reference_g(g, h, a_s, a_d, 0.2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # gradients through the custom VJP
+    f = lambda v: jnp.sum(D.gat_hybrid(hyb, g, v, a_s, a_d,
+                                       interpret=True) ** 2)
+    fr = lambda v: jnp.sum(D._gat_reference_g(g, v, a_s, a_d, 0.2) ** 2)
+    np.testing.assert_allclose(np.asarray(jax.grad(f)(h)),
+                               np.asarray(jax.grad(fr)(h)),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_gat_hybrid_large_logits(rng):
+    """The data-dependent shift bound stays exact at logit scales far past
+    where the round-1 static SHIFT=12 scheme saturated (logits > 72).  The
+    bound's documented domain is a_src spread < ~80 (see ops/gat.py) —
+    scale-10 normals give |logits| up to ~60 with spread ~60."""
+    hg, g = _graphs(rng)
+    hyb = hybrid_graph(hg, block_rows=32, block_cols=32, tile_edges=64,
+                       min_nnz=40, unit_weight=True)
+    H, HD = 2, 8
+    h = jnp.asarray(rng.normal(size=(hg.n_node, HD)).astype(np.float32))
+    a_s = jnp.asarray((10.0 * rng.normal(size=(hg.n_node, H))).astype(np.float32))
+    a_d = jnp.asarray((10.0 * rng.normal(size=(hg.n_node, H))).astype(np.float32))
+    out = D.gat_hybrid(hyb, g, h, a_s, a_d, interpret=True)
+    ref = D._gat_reference_g(g, h, a_s, a_d, 0.2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_schedule_hybrid_path_gcn(rng):
+    """PATH_HYBRID through the full schedule lowering (GCN aggregation)."""
+    hg, g = _graphs(rng, symmetric_norm=True)
+    og = gta.build_op_graph("GCN", 12, 8)
+    params = init_params(og, jax.random.key(0))
+    x = jnp.asarray(rng.normal(size=(hg.n_node, 12)).astype(np.float32))
+    ref = lower(og)(params, g, x)
+
+    sched = S.default_schedule(og)
+    tc = S.TileConfig(block_rows=32, block_cols=32, tile_edges=64,
+                      path=S.PATH_HYBRID)
+    sched = S.Schedule(blocks=sched.blocks,
+                       tiles=tuple(tc for _ in sched.blocks))
+    out = lower_schedule(og, sched, hg, interpret=True)(params, g, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_schedule_hybrid_path_gat(rng):
+    hg, g = _graphs(rng)
+    og = gta.build_op_graph("GAT", 8, 8, heads=2)
+    params = init_params(og, jax.random.key(0))
+    x = jnp.asarray(rng.normal(size=(hg.n_node, 8)).astype(np.float32))
+    ref = lower(og)(params, g, x)
+
+    sched = S.default_schedule(og)
+    tc = S.TileConfig(block_rows=32, block_cols=32, tile_edges=64,
+                      path=S.PATH_HYBRID)
+    sched = S.Schedule(blocks=sched.blocks,
+                       tiles=tuple(tc for _ in sched.blocks))
+    fn = lower_schedule(og, sched, hg, interpret=True)
+    out = fn(params, g, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(f):
+        return lambda p: jnp.sum(f(p, g, x) ** 2)
+
+    g_fused = jax.grad(loss(fn))(params)
+    g_ref = jax.grad(loss(lower(og)))(params)
+    for k in g_ref:
+        np.testing.assert_allclose(np.asarray(g_fused[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=2e-4, atol=2e-5)

@@ -45,3 +45,35 @@ def test_train_sampled_converges():
                            hidden=32)
     assert np.isfinite(res.train_loss)
     assert res.train_acc > 0.5, res
+
+
+def test_sampled_batches_share_one_compilation():
+    """device_graph pins static n_edge: two batches with different real edge
+    counts must hit the same jitted executable (no per-batch retrace)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.data.sampling import (
+        NeighborSampler)
+    import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
+
+    ds = gta.load_dataset("tiny")
+    sampler = NeighborSampler(ds.host_graph, (3, 3), 8, seed=0)
+    batches = [sampler.sample(np.arange(8)), sampler.sample(np.arange(8, 16))]
+    assert (batches[0].graph.n_edge != batches[1].graph.n_edge), \
+        "fixture should produce distinct real edge counts"
+
+    traces = []
+
+    @jax.jit
+    def fwd(g, x):
+        traces.append(1)
+        return jnp.sum(jnp.take(jnp.concatenate(
+            [x, jnp.zeros((1, x.shape[1]), x.dtype)]), g.senders, axis=0)
+            * g.edge_mask[:, None])
+
+    for b in batches:
+        g = b.device_graph()
+        assert g.n_edge == b.graph.e_pad
+        fwd(g, jnp.zeros((b.cap_nodes, 4)))
+    assert len(traces) == 1, f"retraced {len(traces)} times"
