@@ -43,6 +43,47 @@ class _SpmmPlan:
     weighted: bool          # True if the apply_edge MUL edge_weight is inside
 
 
+@dataclasses.dataclass
+class _SddmmPlan:
+    src_op: int             # node-aligned producer scattered by sender (C)
+    dst_op: int             # node-aligned producer scattered by receiver (R)
+    out_op: int             # the apply_edge op id (block output, edge domain)
+    compute: str            # ADD or MUL
+
+
+def match_sddmm(graph: ir.OpGraph, block: Sequence[int]) -> Optional[_SddmmPlan]:
+    """Match the attention-logit pattern scatter(C) + scatter(R) +
+    apply_edge(ADD|MUL) — the sampled-dense-dense product behind per-edge
+    logits (reference GAT ops 3/5/6, vTCAD/GraphOP/genGraphOP.py:50-60).
+
+    Lowered by ops/sddmm.py: elementwise MUL is an SDDMM with heads=F
+    (per-head width 1); elementwise ADD is an SDDMM over the augmented
+    operands [a ‖ 1]·[1 ‖ b] (per-head width 2) — both run the one-hot MXU
+    gathers instead of materialised [E, F] takes."""
+    if len(block) != 3:
+        return None
+    ops = [graph.by_id[o] for o in block]
+    kinds = sorted(op.kind for op in ops)
+    if kinds != sorted([ir.SCATTER, ir.SCATTER, ir.APPLY_EDGE]):
+        return None
+    ae = next(o for o in ops if o.kind == ir.APPLY_EDGE)
+    scs = [o for o in ops if o.kind == ir.SCATTER]
+    if ae.compute not in (ir.ADD, ir.MUL):
+        return None
+    if sorted(ae.inputs) != sorted([s.op_id for s in scs]):
+        return None
+    if {scs[0].order, scs[1].order} != {"R", "C"}:
+        return None
+    sc_c = scs[0] if scs[0].order == "C" else scs[1]
+    sc_r = scs[0] if scs[0].order == "R" else scs[1]
+    if sc_c.compute != ir.NONE or sc_r.compute != ir.NONE:
+        return None
+    if len(sc_c.inputs) != 1 or len(sc_r.inputs) != 1:
+        return None
+    return _SddmmPlan(src_op=sc_c.inputs[0], dst_op=sc_r.inputs[0],
+                      out_op=ae.op_id, compute=ae.compute)
+
+
 def match_spmm(graph: ir.OpGraph, block: Sequence[int]) -> Optional[_SpmmPlan]:
     ops = [graph.by_id[o] for o in block]
     kinds = sorted(op.kind for op in ops)
@@ -82,12 +123,20 @@ def lower_schedule(
     host_graph: HostGraph,
     compute_dtype=None,
     interpret: bool = False,
+    x_host=None,
 ) -> Callable[[Dict[str, jax.Array], GraphTensor, jax.Array], jax.Array]:
     """Lower ``graph`` under ``schedule`` to ``apply(params, g, x)``.
 
     Host-side: builds one TiledGraph per distinct (TileConfig, weighted)
     used by a matched block (closured into the returned function — static
     data, donated to the device once).
+
+    ``x_host``: the dataset's feature matrix (numpy).  When given and its
+    density is below 0.5, MM ops reading X lower to the sparse-input path
+    (ops/sinput.py — the reference's isSinput auto-enable,
+    vTCAD/code/simulator.py:460-461).  The nonzeros are baked, so only pass
+    x_host when apply will always be called with these features (training /
+    fixed-feature serving).
     """
     from ..ops import gat as gat_mod
     from ..ops import dense as dense_mod
@@ -122,6 +171,17 @@ def lower_schedule(
             )
         return hybrids[key]
 
+    # --- sparse-input first-layer MM (isSinput) --------------------------
+    fg = None
+    if x_host is not None:
+        from ..ops import sinput as sinput_mod
+        import numpy as _np
+        xh = _np.asarray(x_host)
+        if (sinput_mod.density(xh) < sinput_mod.SPARSITY_THRESHOLD
+                and any(op.compute == ir.MM and op.inputs == [ir.X_INPUT]
+                        for op in graph.ops)):
+            fg = sinput_mod.feature_graph(xh)
+
     # --- match blocks at build time --------------------------------------
     plans: List[tuple] = []
     for block, tc in zip(schedule.blocks, schedule.tiles):
@@ -131,6 +191,9 @@ def lower_schedule(
         gat_plan = (gat_mod.match_gat_block(graph, block)
                     if tc.kernel and spmm_plan is None and layer_plan is None
                     else None)
+        sddmm_plan = (match_sddmm(graph, block)
+                      if tc.kernel and spmm_plan is None
+                      and layer_plan is None and gat_plan is None else None)
         if tc.path == S.PATH_STREAM and (spmm_plan or gat_plan):
             kind = "spmm_stream" if spmm_plan else "gat_stream"
             plans.append((kind, block, tc, spmm_plan or gat_plan, None))
@@ -153,6 +216,9 @@ def lower_schedule(
                           get_tiled(tc, unit_weight=True)))
         elif gat_plan is not None:
             plans.append(("gat", block, tc, gat_plan,
+                          get_tiled(tc, unit_weight=True)))
+        elif sddmm_plan is not None:
+            plans.append(("sddmm", block, tc, sddmm_plan,
                           get_tiled(tc, unit_weight=True)))
         else:
             plans.append(("xla", block, tc, None, None))
@@ -182,6 +248,11 @@ def lower_schedule(
                 vals[plan.out_op] = dense_mod.spmm_hybrid(
                     tg, g, kin(ref(plan.in_op)), weighted=plan.weighted,
                     interpret=interpret)
+            elif kind == "sddmm":
+                from ..ops import sddmm as sddmm_mod
+                vals[plan.out_op] = sddmm_mod.sddmm_edges(
+                    tg, g, kin(ref(plan.src_op)), kin(ref(plan.dst_op)),
+                    plan.compute, interpret=interpret)
             elif kind == "gat_hybrid":
                 vals[plan.out_op] = dense_mod.gat_hybrid(
                     tg, g,
@@ -245,6 +316,14 @@ def lower_schedule(
             else:
                 for oid in block:
                     op = graph.by_id[oid]
+                    if (fg is not None and op.compute == ir.MM
+                            and op.inputs == [ir.X_INPUT]):
+                        from ..ops import sinput as sinput_mod
+                        name, _, _ = op.extra["weight"]
+                        vals[oid] = sinput_mod.sparse_input_mm(
+                            fg, params[name], compute_dtype=compute_dtype,
+                            interpret=interpret)
+                        continue
                     vals[oid] = _eval_op(op, vals, params, g, x, compute_dtype)
         if len(outputs) == 1:
             return vals[outputs[0]]

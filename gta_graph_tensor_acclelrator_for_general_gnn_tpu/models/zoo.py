@@ -33,7 +33,8 @@ class Model:
             params.update(L.init_params(g, sub, dtype))
         return params
 
-    def make_apply(self, compute_dtype=None, schedules=None, host_graph=None):
+    def make_apply(self, compute_dtype=None, schedules=None, host_graph=None,
+                   x_host=None):
         """Forward over the layer stack.
 
         ``schedules``: optional per-layer :class:`~..compiler.schedule.Schedule`
@@ -41,6 +42,11 @@ class Model:
         the fusion compiler (Pallas kernels / streaming per the schedule) and
         remain trainable (the fused attention kernel carries a custom VJP).
         Requires ``host_graph`` for tile construction.
+
+        ``x_host``: the dataset features (numpy) — enables the sparse-input
+        first-layer MM when density < 0.5 (isSinput; only the FIRST layer
+        sees X, so only it gets the flag).  Bakes X's nonzeros: use for
+        training / fixed-feature runs only.
         """
         if schedules is None:
             fns = [L.lower(g, compute_dtype) for g in self.layers]
@@ -49,8 +55,9 @@ class Model:
             if not isinstance(schedules, (list, tuple)):
                 schedules = [schedules] * len(self.layers)
             assert host_graph is not None, "schedules need host_graph"
-            fns = [lower_schedule(g, s, host_graph, compute_dtype)
-                   for g, s in zip(self.layers, schedules)]
+            fns = [lower_schedule(g, s, host_graph, compute_dtype,
+                                  x_host=x_host if i == 0 else None)
+                   for i, (g, s) in enumerate(zip(self.layers, schedules))]
 
         def apply(params, g: GraphTensor, x: jax.Array) -> jax.Array:
             h = x

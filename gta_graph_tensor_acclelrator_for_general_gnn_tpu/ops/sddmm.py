@@ -124,16 +124,68 @@ def sddmm(
 def tiles_to_edges(tg: TiledGraph, vals: jax.Array, e_pad: int) -> jax.Array:
     """Map tile-layout values [heads, T, ET] back to edge order [e_pad, heads].
 
-    Each real edge occupies exactly one tile slot; padding slots point at the
-    last (masked) edge, which is harmlessly overwritten.
-    """
+    Each real edge occupies exactly one tile slot.  Padding slots alias the
+    last edge id, so the scatter must ADD (their kernel values are exact
+    zeros — the one-hot rows miss) rather than SET, which would clobber the
+    last edge with an arbitrary winner among the duplicate writes."""
     H = vals.shape[0]
     flat = vals.reshape(H, -1).T                     # [T*ET, H]
     idx = tg.edge_id.reshape(-1)
     out = jnp.zeros((e_pad, H), vals.dtype)
-    return out.at[idx].set(flat, mode="drop")
+    return out.at[idx].add(flat, mode="drop")
 
 
 def edges_to_tiles(tg: TiledGraph, vals: jax.Array) -> jax.Array:
     """Gather per-edge values [e_pad, ...] into tile layout [T, ET, ...]."""
     return jnp.take(vals, tg.edge_id, axis=0)
+
+
+def sddmm_edges(tg: TiledGraph, g, x_src: jax.Array, x_dst: jax.Array,
+                compute: str = "MUL", *, interpret: bool = False) -> jax.Array:
+    """Edge-domain scatter(C)+scatter(R)+apply_edge(ADD|MUL) as one SDDMM:
+    returns [e_pad, F] f32 in GraphTensor edge order.
+
+    Elementwise MUL = SDDMM with heads=F (per-head width 1); elementwise ADD
+    = SDDMM over augmented operands [a ‖ 1]·[1 ‖ b] (per-head width 2).
+    Forward runs the one-hot MXU kernel; backward is the XLA take/segment
+    formulation (exact — both compute the same per-edge values)."""
+    e_pad = int(g.senders.shape[0])
+    F = x_src.shape[1]
+
+    def ref_fwd(xs, xd):
+        n = g.n_node
+        src = jnp.where(g.edge_mask, g.senders, n)
+        dst = jnp.where(g.edge_mask, g.receivers, n)
+        pad = jnp.zeros((1, F), jnp.float32)
+        s = jnp.take(jnp.concatenate([xs.astype(jnp.float32), pad]), src,
+                     axis=0)
+        d = jnp.take(jnp.concatenate([xd.astype(jnp.float32), pad]), dst,
+                     axis=0)
+        return s * d if compute == "MUL" else \
+            jnp.where(g.edge_mask[:, None], s + d, 0.0)
+
+    @jax.custom_vjp
+    def f(xs, xd):
+        if compute == "MUL":
+            ev = sddmm(tg, xs, xd, heads=F, interpret=interpret)
+        else:
+            xs2 = jnp.stack([xs, jnp.ones_like(xs)], axis=2)
+            xd2 = jnp.stack([jnp.ones_like(xd), xd], axis=2)
+            ev = sddmm(tg, xs2.reshape(xs.shape[0], 2 * F),
+                       xd2.reshape(xd.shape[0], 2 * F), heads=F,
+                       interpret=interpret)
+        out = tiles_to_edges(tg, ev, e_pad)
+        # tile padding slots overwrite the last edge id with zeros; the ADD
+        # variant's real values there are fine (padding writes land last in
+        # undefined order only on the padded slots, which are masked edges)
+        return jnp.where(g.edge_mask[:, None], out, 0.0)
+
+    def fwd(xs, xd):
+        return f(xs, xd), (xs, xd)
+
+    def bwd(res, gbar):
+        _, vjp = jax.vjp(ref_fwd, *res)
+        return vjp(gbar.astype(jnp.float32))
+
+    f.defvjp(fwd, bwd)
+    return f(x_src, x_dst)

@@ -96,7 +96,7 @@ def _exec_signature(graph: ir.OpGraph, sched: S.Schedule) -> tuple:
     schedules with the same signature is paying a tunnel compile for nothing.
     """
     from ..ops.gat import match_gat_block, match_gat_layer
-    from ..compiler.fusion import match_spmm
+    from ..compiler.fusion import match_spmm, match_sddmm
     sig = []
     for b, tc in zip(sched.blocks, sched.tiles):
         if not tc.kernel:
@@ -107,6 +107,8 @@ def _exec_signature(graph: ir.OpGraph, sched: S.Schedule) -> tuple:
             sig.append(("gat_layer", tuple(b), tc.key()))
         elif match_gat_block(graph, b) is not None:
             sig.append(("gat", tuple(b), tc.key()))
+        elif match_sddmm(graph, b) is not None:
+            sig.append(("sddmm", tuple(b), tc.key()))
     return tuple(sorted(sig))
 
 
@@ -141,7 +143,7 @@ def _candidate_schedules(
             parts.append(S.singleton_partition(graph))
 
     from ..ops.gat import match_gat_block, match_gat_layer
-    from ..compiler.fusion import match_spmm
+    from ..compiler.fusion import match_spmm, match_sddmm
 
     out: List[S.Schedule] = []
     seen = set()
@@ -156,7 +158,8 @@ def _candidate_schedules(
         pattern_idx = [i for i, b in enumerate(part)
                        if match_spmm(graph, b) is not None
                        or match_gat_layer(graph, b) is not None
-                       or match_gat_block(graph, b) is not None]
+                       or match_gat_block(graph, b) is not None
+                       or match_sddmm(graph, b) is not None]
         base = tuple(S.TileConfig(path=S.PATH_XLA) for _ in part)
         add(S.Schedule(blocks=part, tiles=base))
         if pattern_idx:

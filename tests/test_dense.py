@@ -164,3 +164,82 @@ def test_schedule_hybrid_path_gat(rng):
         np.testing.assert_allclose(np.asarray(g_fused[k]),
                                    np.asarray(g_ref[k]),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_sparse_input_mm_matches_dense(rng):
+    """isSinput: X @ W over baked nonzeros == dense matmul; exact VJP."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import sinput
+
+    n, fin, fout = 60, 90, 16
+    x = (rng.random((n, fin)) < 0.05).astype(np.float32) * \
+        rng.normal(size=(n, fin)).astype(np.float32)
+    assert sinput.density(x) < 0.5
+    fg = sinput.feature_graph(x, block=32, tile_edges=64)
+    assert fg.nnz == np.count_nonzero(x)
+    w = jnp.asarray(rng.normal(size=(fin, fout)).astype(np.float32))
+    y = sinput.sparse_input_mm(fg, w, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), x @ np.asarray(w),
+                               rtol=1e-4, atol=1e-4)
+    gr = jax.grad(lambda v: jnp.sum(
+        sinput.sparse_input_mm(fg, v, interpret=True) ** 2))(w)
+    gr_ref = jax.grad(lambda v: jnp.sum(
+        (jnp.asarray(x) @ v) ** 2))(w)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(gr_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_schedule_sinput_auto_enable(rng):
+    """lower_schedule(x_host=sparse X) swaps the first-layer MM to the
+    sparse-input path and still matches the dense lowering."""
+    hg, g = _graphs(rng, symmetric_norm=True)
+    og = gta.build_op_graph("GCN", 24, 8)
+    params = init_params(og, jax.random.key(0))
+    xs = (rng.random((hg.n_node, 24)) < 0.1).astype(np.float32) * \
+        rng.normal(size=(hg.n_node, 24)).astype(np.float32)
+    x = jnp.asarray(xs)
+    ref = lower(og)(params, g, x)
+
+    sched = S.default_schedule(og)
+    tc = S.TileConfig(block_rows=32, block_cols=32, tile_edges=64)
+    sched = S.Schedule(blocks=sched.blocks,
+                       tiles=tuple(tc for _ in sched.blocks))
+    out = lower_schedule(og, sched, hg, interpret=True,
+                         x_host=xs)(params, g, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sddmm_block_lowering(rng):
+    """scatter(C)+scatter(R)+apply_edge(ADD) singleton block lowers through
+    the SDDMM kernel and matches XLA, including gradients."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.fusion import (
+        match_sddmm)
+    hg, g = _graphs(rng)
+    og = gta.build_op_graph("GAT", 8, 8, heads=2)
+    # find the logit block ops: the ADD of two scatters plus the scatters
+    add_op = next(op for op in og.ops
+                  if op.kind == ir.APPLY_EDGE and op.compute == ir.ADD)
+    block = tuple(sorted(add_op.inputs + [add_op.op_id]))
+    assert match_sddmm(og, block) is not None
+
+    blocks = [block] + [(o.op_id,) for o in og.ops if o.op_id not in block]
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.schedule import (
+        _order_blocks)
+    part = tuple(tuple(b) for b in _order_blocks(og, [list(b) for b in blocks]))
+    tiles = tuple(
+        S.TileConfig(block_rows=32, block_cols=32, tile_edges=64)
+        if match_sddmm(og, b) else S.TileConfig(path=S.PATH_XLA)
+        for b in part)
+    params = init_params(og, jax.random.key(0))
+    x = jnp.asarray(rng.normal(size=(hg.n_node, 8)).astype(np.float32))
+    fn = lower_schedule(og, S.Schedule(blocks=part, tiles=tiles), hg,
+                        interpret=True)
+    ref_fn = lower(og)
+    np.testing.assert_allclose(np.asarray(fn(params, g, x)),
+                               np.asarray(ref_fn(params, g, x)),
+                               rtol=1e-4, atol=1e-4)
+    g1 = jax.grad(lambda p: jnp.sum(fn(p, g, x) ** 2))(params)
+    g2 = jax.grad(lambda p: jnp.sum(ref_fn(p, g, x) ** 2))(params)
+    for k in g2:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=2e-4, atol=2e-5)
