@@ -369,20 +369,30 @@ class DenseBlockGraph:
     with R*C*F instead of nnz*(R+C)*128, no per-edge index arrays, and
     (for attention) the per-edge softmax becomes a masked dense softmax.
 
-    Attributes (B = number of dense blocks, rb-major sorted):
+    Attributes (B = number of dense blocks):
       blk_rb: int32[B]      row-block index
       blk_cb: int32[B]      col-block index
       values: bf16/f32[B, R, C]  summed edge weights (0 where no edge)
+      row_mask: bool[n_row_blocks]  True where ANY dense block writes the
+        row stripe (device-side so kernels never read indices back to host
+        — a D2H readback permanently degrades the axon tunnel)
+      supergroup: 0 = blocks sorted rb-major (output stripe resident);
+        G > 0 = sorted by (rb//G, cb, rb) with the output accumulated over
+        G*R-row superstripes — consecutive same-cb blocks reuse one x panel
+        DMA, dividing x HBM traffic by up to G (the large-graph regime where
+        x panel re-reads dominate).
     """
 
     blk_rb: jax.Array
     blk_cb: jax.Array
     values: jax.Array
+    row_mask: jax.Array
     block_rows: int = dataclasses.field(metadata=dict(static=True))
     block_cols: int = dataclasses.field(metadata=dict(static=True))
     n_node: int = dataclasses.field(metadata=dict(static=True))
     n_row_blocks: int = dataclasses.field(metadata=dict(static=True))
     n_col_blocks: int = dataclasses.field(metadata=dict(static=True))
+    supergroup: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def n_blocks(self) -> int:
@@ -424,10 +434,15 @@ def hybrid_graph(
     tile_edges: int = 512,
     min_nnz: int,
     unit_weight: bool = False,
+    supergroup: int = 0,
+    values_dtype=np.float32,
 ) -> HybridGraph:
     """Split the adjacency by per-block density: blocks with
     ``nnz >= min_nnz`` become dense [R, C] value matrices, the rest stays
-    edge-tiled.  ``min_nnz <= 0`` disables the dense path entirely."""
+    edge-tiled.  ``min_nnz <= 0`` disables the dense path entirely.
+    ``supergroup`` G > 0 orders dense blocks by (rb//G, cb, rb) for x-panel
+    reuse (see DenseBlockGraph).  ``values_dtype``: ml_dtypes.bfloat16
+    halves host+device memory for large dense sets."""
     g = _as_host(g)
     s = g.senders[: g.n_edge]
     r = g.receivers[: g.n_edge]
@@ -445,25 +460,56 @@ def hybrid_graph(
         return HybridGraph(dense=None, tiles=tiles,
                            n_dense_edges=0, n_sparse_edges=g.n_edge)
 
+    d_rb = (dense_ids // cbn).astype(np.int64)
+    d_cb = (dense_ids % cbn).astype(np.int64)
+    if supergroup > 0:
+        # (rb//G, cb, rb) order: same-cb runs within a supergroup share one
+        # resident x panel
+        order = np.lexsort((d_rb, d_cb, d_rb // supergroup))
+        dense_ids, d_rb, d_cb = dense_ids[order], d_rb[order], d_cb[order]
+
     key = (r // block_rows).astype(np.int64) * cbn + (s // block_cols)
     slot_of = np.full(rbn * cbn, -1, np.int64)
     slot_of[dense_ids] = np.arange(len(dense_ids))
     e_slot = slot_of[key]
     in_dense = e_slot >= 0
 
-    values = np.zeros((len(dense_ids), block_rows, block_cols), np.float32)
-    np.add.at(values,
-              (e_slot[in_dense], r[in_dense] % block_rows,
-               s[in_dense] % block_cols), w[in_dense])
+    if values_dtype == np.float32:
+        values = np.zeros((len(dense_ids), block_rows, block_cols), np.float32)
+        np.add.at(values,
+                  (e_slot[in_dense], r[in_dense] % block_rows,
+                   s[in_dense] % block_cols), w[in_dense])
+    else:
+        # low-precision store: accumulate per-block in f32, cast per block
+        # (np.add.at on exotic dtypes is slow and lossy)
+        values = np.zeros((len(dense_ids), block_rows, block_cols),
+                          values_dtype)
+        es, rs, cs, ws = (e_slot[in_dense],
+                          r[in_dense] % block_rows,
+                          s[in_dense] % block_cols, w[in_dense])
+        eorder = np.argsort(es, kind="stable")
+        es, rs, cs, ws = es[eorder], rs[eorder], cs[eorder], ws[eorder]
+        starts = np.searchsorted(es, np.arange(len(dense_ids) + 1))
+        buf = np.zeros((block_rows, block_cols), np.float32)
+        for b in range(len(dense_ids)):
+            lo, hi = starts[b], starts[b + 1]
+            buf[:] = 0.0
+            np.add.at(buf, (rs[lo:hi], cs[lo:hi]), ws[lo:hi])
+            values[b] = buf.astype(values_dtype)
+
+    row_mask = np.zeros(rbn, bool)
+    row_mask[d_rb] = True
     dense = DenseBlockGraph(
-        blk_rb=jnp.asarray((dense_ids // cbn).astype(np.int32)),
-        blk_cb=jnp.asarray((dense_ids % cbn).astype(np.int32)),
+        blk_rb=jnp.asarray(d_rb.astype(np.int32)),
+        blk_cb=jnp.asarray(d_cb.astype(np.int32)),
         values=jnp.asarray(values),
+        row_mask=jnp.asarray(row_mask),
         block_rows=block_rows,
         block_cols=block_cols,
         n_node=g.n_node,
         n_row_blocks=rbn,
         n_col_blocks=cbn,
+        supergroup=int(supergroup),
     )
 
     rest = HostGraph(

@@ -85,6 +85,24 @@ def _spmm_dense_kernel(rb_ref, cb_ref, a_ref, x_ref, o_ref, *, precision):
                         precision=precision)
 
 
+def _spmm_dense_super_kernel(rb_ref, cb_ref, a_ref, x_ref, o_ref,
+                             *, R: int, G: int, precision):
+    """Supertiled variant: the out block covers G row blocks; blocks of a
+    supergroup arrive cb-major so each x panel DMA serves a same-cb run."""
+    b = pl.program_id(1)
+    grp = rb_ref[b] // G
+    prev_grp = jnp.where(b == 0, -1, rb_ref[jnp.maximum(b - 1, 0)] // G)
+
+    @pl.when(grp != prev_grp)
+    def _zero():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    off = (rb_ref[b] % G) * R
+    o_ref[pl.ds(off, R), :] += jnp.dot(
+        a_ref[0], x_ref[:], preferred_element_type=jnp.float32,
+        precision=precision)
+
+
 def spmm_dense(
     bg: DenseBlockGraph,
     x: jax.Array,
@@ -109,23 +127,39 @@ def spmm_dense(
                      else jax.lax.Precision.DEFAULT)
 
     B = bg.n_blocks
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(f_pad // fb, B),
-        in_specs=[
-            pl.BlockSpec((1, R, C), lambda fi, b, rb, cb: (b, 0, 0)),
-            pl.BlockSpec((C, fb), lambda fi, b, rb, cb: (cb[b], fi)),
-        ],
-        out_specs=pl.BlockSpec((R, fb), lambda fi, b, rb, cb: (rb[b], fi)),
-    )
-    # dense row blocks the dense set misses must still be zeroed: out blocks
-    # Pallas never visits are undefined.  Initialise via input_output_alias
-    # is overkill — instead callers add this to the edge-tile result, which
-    # visits every row block; standalone use zero-fills missing stripes here.
+    G = bg.supergroup
+    if G > 0:
+        # superstripe output: G row blocks resident, cb-major block order
+        # reuses each x panel for the whole same-cb run (x traffic / G)
+        n_rows_pad = _round_up(bg.n_row_blocks, G) * R
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(f_pad // fb, B),
+            in_specs=[
+                pl.BlockSpec((1, R, C), lambda fi, b, rb, cb: (b, 0, 0)),
+                pl.BlockSpec((C, fb), lambda fi, b, rb, cb: (cb[b], fi)),
+            ],
+            out_specs=pl.BlockSpec(
+                (G * R, fb), lambda fi, b, rb, cb: (rb[b] // G, fi)),
+        )
+        kernel = functools.partial(_spmm_dense_super_kernel, R=R, G=G,
+                                   precision=precision)
+    else:
+        n_rows_pad = n_rows
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(f_pad // fb, B),
+            in_specs=[
+                pl.BlockSpec((1, R, C), lambda fi, b, rb, cb: (b, 0, 0)),
+                pl.BlockSpec((C, fb), lambda fi, b, rb, cb: (cb[b], fi)),
+            ],
+            out_specs=pl.BlockSpec((R, fb), lambda fi, b, rb, cb: (rb[b], fi)),
+        )
+        kernel = functools.partial(_spmm_dense_kernel, precision=precision)
     y = pl.pallas_call(
-        functools.partial(_spmm_dense_kernel, precision=precision),
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_rows, f_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rows_pad, f_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * R * C * f_pad,
             bytes_accessed=a.size * a.dtype.itemsize + xp.size * xp.dtype.itemsize,
@@ -133,15 +167,15 @@ def spmm_dense(
         ),
         interpret=interpret,
     )(bg.blk_rb, bg.blk_cb, a, xp)
-    import numpy as np
-    visited = np.zeros(bg.n_row_blocks, bool)
-    visited[np.asarray(bg.blk_rb)] = True
-    if not visited.all():
-        # unvisited out blocks are UNINITIALISED (not zero) — select, don't
-        # multiply (0 * garbage can be NaN)
-        mask = jnp.asarray(np.repeat(visited, R))
-        y = jnp.where(mask[:, None], y, 0.0)
-    return y[:, :f]
+    # row stripes (or whole supergroups) no dense block visits are
+    # UNINITIALISED, not zero — mask them device-side (row_mask lives on
+    # device: no host readback, which would poison the axon tunnel)
+    sel = jnp.repeat(bg.row_mask, R)
+    if n_rows_pad != n_rows:
+        sel = jnp.concatenate(
+            [sel, jnp.zeros(n_rows_pad - n_rows, bool)])
+    y = jnp.where(sel[:, None], y, 0.0)
+    return y[:n_rows, :f]
 
 
 # ---------------------------------------------------------------------------
@@ -212,6 +246,7 @@ def gat_dense_partial(
     H = a_dst.shape[1]
     HD = h_src.shape[1]
     assert HD % H == 0, (HD, H)
+    assert bg.supergroup == 0, "gat_dense_partial needs rb-major block order"
     if precision is None:
         precision = (jax.lax.Precision.HIGHEST if h_src.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
@@ -254,14 +289,9 @@ def gat_dense_partial(
         ),
         interpret=interpret,
     )(bg.blk_rb, bg.blk_cb, mvals, xp, asr_t, ads, msrc)
-    import numpy as np
-    visited = np.zeros(bg.n_row_blocks, bool)
-    visited[np.asarray(bg.blk_rb)] = True
-    if not visited.all():
-        # unvisited out blocks are UNINITIALISED (not zero) — select, don't
-        # multiply (0 * garbage can be NaN)
-        maskv = jnp.asarray(np.repeat(visited, R))
-        acc = jnp.where(maskv[:, None], acc, 0.0)
+    # unvisited out blocks are UNINITIALISED (not zero) — select via the
+    # device-side row mask (no host readback)
+    acc = jnp.where(jnp.repeat(bg.row_mask, R)[:, None], acc, 0.0)
     return acc
 
 

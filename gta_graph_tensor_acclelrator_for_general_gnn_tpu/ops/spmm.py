@@ -71,7 +71,7 @@ def _spmm_kernel(
 
     # scatter-add via transposed-contraction dot_general on an [ET, R]
     # one-hot (building the [R, ET] orientation separately costs an extra
-    # VPU compare pass — measurable at these tile sizes)
+    # VPU compare pass — measured slower on v5e, round-2 sweep)
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile_edges, block_rows), 1)
     s = (dst[:, None] == rows).astype(x_ref.dtype)        # [ET, R]
     o_ref[:] += jax.lax.dot_general(

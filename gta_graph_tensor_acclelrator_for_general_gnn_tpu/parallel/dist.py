@@ -2,21 +2,33 @@
 
 The reference has no multi-device execution of any kind (SURVEY §2); this is
 the new TPU-native scaling layer.  The op graph lowers to a *per-shard* JAX
-function over the :class:`~.partition.PartitionedGraph` halo layout:
+function over the :class:`~.partition.PartitionedGraph` split-edge layout:
 
-  * apply_node / apply_edge: purely local (data-parallel over node/edge shards);
-  * gather: local segment reduction (edges live with their receiver);
-  * scatter(order=C): one static ``all_to_all`` halo exchange of the input's
-    boundary rows, then a local take from the combined [local + halo] table;
-  * scatter(order=R): local take (receivers are local by construction).
+  * edge-domain values are PAIRS ``(local_vals [EL, F], remote_vals [ER, F])``
+    — local-edge compute depends only on ``x_local``, so XLA's scheduler can
+    run the whole local chain while the halo/hub collectives for the remote
+    chain are still in flight (comm/compute overlap by dependence structure,
+    not hand-written double buffering);
+  * apply_node / apply_edge: purely local (mapped over both halves);
+  * gather: two local segment reductions (edges live with their receiver)
+    summed — the remote half is the only consumer of the exchange;
+  * scatter(order=C): local half takes from ``x_local``; remote half takes
+    from the combined ``[all_to_all halo ‖ all_gather hubs ‖ 0]`` table
+    (hub replication bounds the per-pair halo width — partition.py);
+  * scatter(order=R): local takes on both halves (receivers are local).
 
 Parameters are replicated (in_spec P()); their gradient transpose inserts the
 psum across shards, so ``jax.grad`` through the shard_mapped forward is the
 data-parallel gradient — no hand-written collectives in the training step.
+
+``use_kernels=True`` routes the dominant local aggregation pattern
+(scatter(C) [-> MUL edge_weight] -> gather(ADD), the SpMM of GCN/SAGE/GIN)
+through the Pallas one-hot kernel on each shard's local edges — the
+multi-chip execution path shares the single-chip kernels.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, List
+from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,70 +46,189 @@ def _sq(a):
     return a[0]
 
 
-def halo_exchange(x_local: jax.Array, sh: PartitionedGraph, axis: str = AXIS) -> jax.Array:
-    """Exchange boundary rows; returns the combined source table
-    [n_local + D*H + 1, F] (local rows, halo rows, zero dump row)."""
+def remote_table(x_local: jax.Array, sh: PartitionedGraph, axis: str = AXIS) -> jax.Array:
+    """Exchange boundary rows; returns the combined remote source table
+    [D*H + D*Kh + 1, F] (halo rows, hub rows, zero dump row)."""
     send_idx = _sq(sh.send_idx)                       # [D, H]
     send_mask = _sq(sh.send_mask)                     # [D, H]
     send = jnp.take(x_local, send_idx, axis=0)        # [D, H, F]
     send = jnp.where(send_mask[..., None], send, 0.0).astype(x_local.dtype)
-    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
-    flat = recv.reshape(-1, x_local.shape[-1])        # [D*H, F]
+    halo = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+    halo = halo.reshape(-1, x_local.shape[-1])        # [D*H, F]
+
+    hub_src = jnp.take(x_local, _sq(sh.hub_idx), axis=0)   # [Kh, F]
+    hub_src = jnp.where(_sq(sh.hub_mask)[:, None], hub_src, 0.0)
+    hubs = jax.lax.all_gather(hub_src.astype(x_local.dtype), axis)
+    hubs = hubs.reshape(-1, x_local.shape[-1])        # [D*Kh, F]
+
     dump = jnp.zeros((1, x_local.shape[-1]), x_local.dtype)
-    return jnp.concatenate([x_local, flat, dump], axis=0)
+    return jnp.concatenate([halo, hubs, dump], axis=0)
 
 
-def _scatter_c(v_node: jax.Array, sh: PartitionedGraph, axis: str) -> jax.Array:
-    table = halo_exchange(v_node, sh, axis)
-    return jnp.take(table, _sq(sh.e_src), axis=0)
+def _scatter_c(v_node, sh: PartitionedGraph, axis: str):
+    dump = jnp.zeros((1, v_node.shape[-1]), v_node.dtype)
+    loc = jnp.take(jnp.concatenate([v_node, dump], axis=0),
+                   _sq(sh.el_src), axis=0)
+    rem = jnp.take(remote_table(v_node, sh, axis), _sq(sh.er_src), axis=0)
+    return (loc, rem)
 
 
-def _scatter_r(v_node: jax.Array, sh: PartitionedGraph) -> jax.Array:
+def _scatter_r(v_node, sh: PartitionedGraph):
     dump = jnp.zeros((1, v_node.shape[-1]), v_node.dtype)
     table = jnp.concatenate([v_node, dump], axis=0)
-    return jnp.take(table, _sq(sh.e_dst), axis=0)
+    return (jnp.take(table, _sq(sh.el_dst), axis=0),
+            jnp.take(table, _sq(sh.er_dst), axis=0))
 
 
-def _gather(v_edge: jax.Array, sh: PartitionedGraph, reduce: str) -> jax.Array:
-    dst = _sq(sh.e_dst)
+def _gather(v_edge, sh: PartitionedGraph, reduce: str) -> jax.Array:
+    vl, vr = v_edge
+    dl, dr = _sq(sh.el_dst), _sq(sh.er_dst)
     num = sh.n_local + 1
     if reduce == ir.ADD:
-        out = jax.ops.segment_sum(v_edge, dst, num)
+        out = (jax.ops.segment_sum(vl, dl, num)
+               + jax.ops.segment_sum(vr, dr, num))
     elif reduce == ir.MAX:
-        out = jax.ops.segment_max(v_edge, dst, num)
+        out = jnp.maximum(jax.ops.segment_max(vl, dl, num),
+                          jax.ops.segment_max(vr, dr, num))
         out = jnp.where(jnp.isfinite(out), out, jnp.zeros_like(out))
     elif reduce == ir.MEAN:
-        s = jax.ops.segment_sum(v_edge, dst, num)
-        d = jax.ops.segment_sum(_sq(sh.e_mask).astype(v_edge.dtype), dst, num)
+        s = (jax.ops.segment_sum(vl, dl, num)
+             + jax.ops.segment_sum(vr, dr, num))
+        d = (jax.ops.segment_sum(_sq(sh.el_mask).astype(vl.dtype), dl, num)
+             + jax.ops.segment_sum(_sq(sh.er_mask).astype(vr.dtype), dr, num))
         out = s / jnp.maximum(d, 1.0)[:, None]
     else:
         raise ValueError(f"bad gather reduce {reduce}")
     return out[: sh.n_local]
 
 
+def _spmm_local_kernel(h, sh: PartitionedGraph, tiles):
+    """Local-edge aggregation through the Pallas one-hot SpMM (per-shard
+    TiledGraph built by :func:`shard_tiles`; tile weights carry the real
+    edge weights).  Exact linear VJP: the transpose is one take/segment_sum
+    over the shard's local edge arrays."""
+    import numpy as np
+    from ..ops import spmm as spmm_mod
+    tg = jax.tree.map(_sq, tiles)
+    # CPU (virtual-mesh validation) has no Mosaic: interpret the kernel
+    interp = jax.default_backend() == "cpu"
+    dt = h.dtype   # captured as a dtype, not the (traced) array
+    # the tile/edge arrays are shard_map tracers: they must flow through the
+    # custom_vjp as ARGUMENTS (a closure capture would leak tracers); their
+    # cotangents are float0/zeros
+    leaves, treedef = jax.tree.flatten(tg)
+    leaf_avals = [(l.shape, l.dtype) for l in leaves]   # metadata only
+    n_l = sh.n_local
+
+    @jax.custom_vjp
+    def f(hv, el_src, el_dst, el_w, *lv):
+        return spmm_mod.spmm(jax.tree.unflatten(treedef, lv), hv,
+                             interpret=interp)[:n_l]
+
+    def fwd(hv, el_src, el_dst, el_w, *lv):
+        return f(hv, el_src, el_dst, el_w, *lv), (el_src, el_dst, el_w)
+
+    def bwd(res, gbar):
+        el_src, el_dst, el_w = res
+        gpad = jnp.concatenate(
+            [gbar.astype(jnp.float32),
+             jnp.zeros((1, gbar.shape[1]), jnp.float32)], axis=0)
+        msg = jnp.take(gpad, el_dst, axis=0) * el_w[:, None]
+        gx = jax.ops.segment_sum(msg, el_src, n_l + 1)
+
+        def zero_ct(shape, dtype):
+            if jnp.issubdtype(dtype, jnp.floating):
+                return jnp.zeros(shape, dtype)
+            return np.zeros(shape, jax.dtypes.float0)
+
+        return ((gx[:n_l].astype(dt),)
+                + tuple(np.zeros(a.shape, jax.dtypes.float0)
+                        for a in (el_src, el_dst))
+                + (jnp.zeros_like(el_w),)
+                + tuple(zero_ct(s, d) for s, d in leaf_avals))
+
+    f.defvjp(fwd, bwd)
+    return f(h, _sq(sh.el_src), _sq(sh.el_dst), _sq(sh.el_w), *leaves)
+
+
 def lower_shard(
     graph: ir.OpGraph,
     compute_dtype=None,
     axis: str = AXIS,
+    use_kernels: bool = False,
+    tiles=None,
 ) -> Callable:
     """Lower an OpGraph to a per-shard function ``fn(params, sh, x_local)``
     for use inside shard_map.  Mirrors compiler.lower but with the scatter /
-    gather primitives replaced by their halo-partitioned equivalents."""
+    gather primitives replaced by their halo-partitioned equivalents.
+
+    ``use_kernels`` + ``tiles`` (from :func:`shard_tiles`): the SpMM
+    aggregation pattern executes its LOCAL edges through the Pallas one-hot
+    kernel; remote edges stay on the XLA segment path (they are few)."""
     order = graph.topo_order()
     outputs = list(graph.outputs)
 
-    def apply(params: Dict[str, jax.Array], sh: PartitionedGraph, x: jax.Array):
-        vals: Dict[int, jax.Array] = {}
+    # match scatter(C) -> [MUL edge_weight ->] gather(ADD) chains for the
+    # kernel route (ids resolved at lowering time, not per call)
+    kernel_chains = {}
+    if use_kernels and tiles is not None:
+        for op in graph.ops:
+            if op.kind != ir.GATHER or op.compute != ir.ADD:
+                continue
+            src = graph.by_id.get(op.inputs[0]) if op.inputs else None
+            weighted = False
+            sc = src
+            if (src is not None and src.kind == ir.APPLY_EDGE
+                    and src.compute == ir.MUL
+                    and ir.EDGE_WEIGHT in src.inputs):
+                inner = [i for i in src.inputs if i != ir.EDGE_WEIGHT]
+                sc = graph.by_id.get(inner[0]) if inner else None
+                weighted = True
+            # tile weights carry el_w, so only the weighted chain routes to
+            # the kernel (an unweighted sum would wrongly apply them)
+            if (weighted and sc is not None and sc.kind == ir.SCATTER
+                    and sc.order == "C" and sc.compute == ir.NONE
+                    and len(sc.inputs) == 1):
+                kernel_chains[op.op_id] = (sc.inputs[0], weighted)
 
-        def ref(i: int) -> jax.Array:
+    def apply(params: Dict[str, jax.Array], sh: PartitionedGraph,
+              x: jax.Array, tiles_shard=None):
+        # tiles_shard: the per-shard [1, ...] tile pytree passed THROUGH
+        # shard_map (a closure over the stacked array would silently give
+        # every device shard 0's tiles)
+        tiles_in = tiles_shard if tiles_shard is not None else tiles
+        vals: Dict[int, object] = {}
+
+        def ref(i: int):
             if i == ir.X_INPUT:
                 return x
             if i == ir.EDGE_WEIGHT:
-                return _sq(sh.e_w)[:, None]
+                return (_sq(sh.el_w)[:, None], _sq(sh.er_w)[:, None])
             return vals[i]
+
+        def emap(f, *ins):
+            """Map an elementwise op over the (local, remote) edge halves;
+            node-domain operands broadcast by... never occur (domains are
+            checked by ir.validate)."""
+            return (f(*[a[0] for a in ins]), f(*[a[1] for a in ins]))
 
         for oid in order:
             op = graph.by_id[oid]
+            if oid in kernel_chains:
+                in_ref, weighted = kernel_chains[oid]
+                h = ref(in_ref)
+                if compute_dtype is not None:
+                    h = h.astype(compute_dtype)
+                y_loc = _spmm_local_kernel(h, sh, tiles_in)
+                # remote half via the XLA segment path
+                vr = jnp.take(remote_table(h, sh, axis),
+                              _sq(sh.er_src), axis=0)
+                if weighted:
+                    vr = vr * _sq(sh.er_w)[:, None]
+                y_rem = jax.ops.segment_sum(
+                    vr.astype(jnp.float32), _sq(sh.er_dst), sh.n_local + 1)
+                vals[oid] = y_loc + y_rem[: sh.n_local]
+                continue
             ins = [ref(i) for i in op.inputs] if op.inputs else [x]
             if op.kind == ir.SCATTER:
                 v = _scatter_c(ins[0], sh, axis) if op.order == "C" \
@@ -108,17 +239,29 @@ def lower_shard(
                 v = ins[0]
             elif op.compute == ir.MM:
                 name, _, _ = op.extra["weight"]
-                v = Pr.dense_mm(ins[0], params[name], compute_dtype)
+                mfn = lambda a: Pr.dense_mm(a, params[name], compute_dtype)
+                v = emap(mfn, ins[0]) if op.out_domain == ir.EDGE else mfn(ins[0])
             elif op.compute == ir.SF:
-                v = Pr.special_function(
-                    ins[0], op.extra.get("sf", "relu"),
+                fn = lambda a: Pr.special_function(
+                    a, op.extra.get("sf", "relu"),
                     op.extra.get("negative_slope", 0.2))
+                v = emap(fn, ins[0]) if op.out_domain == ir.EDGE else fn(ins[0])
             elif op.compute in (ir.ADD, ir.MUL, ir.SUB, ir.DIV):
-                if len(ins) == 2:
-                    v = Pr.binary_op(op.compute, ins[0], ins[1])
+                bfn = lambda *a: Pr.binary_op(op.compute, *a)
+                if op.out_domain == ir.EDGE:
+                    if len(ins) == 2:
+                        v = emap(bfn, ins[0], ins[1])
+                    else:
+                        c = jnp.asarray(op.extra["const"])
+                        v = emap(lambda a: Pr.binary_op(
+                            op.compute, a, jnp.broadcast_to(
+                                c.astype(a.dtype), (1, 1))), ins[0])
                 else:
-                    c = jnp.asarray(op.extra["const"], ins[0].dtype)
-                    v = Pr.binary_op(op.compute, ins[0], jnp.broadcast_to(c, (1, 1)))
+                    if len(ins) == 2:
+                        v = bfn(ins[0], ins[1])
+                    else:
+                        c = jnp.asarray(op.extra["const"], ins[0].dtype)
+                        v = bfn(ins[0], jnp.broadcast_to(c, (1, 1)))
             else:
                 raise ValueError(f"op {op.op_id}: unhandled compute {op.compute}")
             vals[oid] = v
@@ -129,11 +272,84 @@ def lower_shard(
     return apply
 
 
+def shard_tiles(part_host, *, block_rows: int = 256,
+                block_cols: int = 256, tile_edges: int = 512):
+    """Per-shard TiledGraph over LOCAL edges, stacked on a leading D axis
+    with a UNIFORM tile count (max over shards) so one shard_map program
+    serves every device.
+
+    Pass HOST numpy views of the partition's el_* arrays (e.g. the
+    PartitionedGraph built on the host before shard_part ships it) — never
+    device arrays (readback poisons the axon tunnel)."""
+    import dataclasses as _dc
+    import numpy as np
+    from ..graph import HostGraph, TiledGraph, tile_graph, _round_up
+
+    el_src = np.asarray(part_host.el_src)
+    el_dst = np.asarray(part_host.el_dst)
+    el_w = np.asarray(part_host.el_w)
+    el_mask = np.asarray(part_host.el_mask)
+    D = el_src.shape[0]
+    n_local = part_host.n_local
+
+    per = []
+    for d in range(D):
+        m = el_mask[d]
+        ne = int(m.sum())
+        e_pad = max(_round_up(max(ne, 1), 128), 128)
+        pad = e_pad - ne
+        hg = HostGraph(
+            senders=np.concatenate(
+                [el_src[d][m], np.full(pad, n_local, np.int32)]),
+            receivers=np.concatenate(
+                [el_dst[d][m], np.full(pad, n_local, np.int32)]),
+            edge_mask=np.concatenate([np.ones(ne, bool), np.zeros(pad, bool)]),
+            edge_weight=np.concatenate(
+                [el_w[d][m], np.zeros(pad, np.float32)]).astype(np.float32),
+            n_node=n_local,
+            n_edge=ne,
+        )
+        per.append(tile_graph(hg, block_rows=block_rows,
+                              block_cols=block_cols, tile_edges=tile_edges))
+
+    T = max(tg.n_tiles for tg in per)
+
+    def pad_tiles(tg: TiledGraph) -> TiledGraph:
+        t0 = tg.n_tiles
+        if t0 == T:
+            return tg
+        import jax.numpy as _jnp
+        ext = T - t0
+        last_rb = tg.n_row_blocks - 1
+        return _dc.replace(
+            tg,
+            tile_rb=_jnp.concatenate(
+                [tg.tile_rb, _jnp.full((ext,), last_rb, _jnp.int32)]),
+            tile_cb=_jnp.concatenate(
+                [tg.tile_cb, _jnp.zeros((ext,), _jnp.int32)]),
+            src_local=_jnp.concatenate(
+                [tg.src_local,
+                 _jnp.full((ext, tg.tile_edges), tg.block_cols, _jnp.int32)]),
+            dst_local=_jnp.concatenate(
+                [tg.dst_local,
+                 _jnp.full((ext, tg.tile_edges), tg.block_rows, _jnp.int32)]),
+            edge_id=_jnp.concatenate(
+                [tg.edge_id, _jnp.zeros((ext, tg.tile_edges), _jnp.int32)]),
+            weight=_jnp.concatenate(
+                [tg.weight, _jnp.zeros((ext, tg.tile_edges), _jnp.float32)]),
+        )
+
+    per = [pad_tiles(tg) for tg in per]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+
+
 def make_dist_apply(
     layers: List[ir.OpGraph],
     mesh: Mesh,
     compute_dtype=None,
     axis: str = AXIS,
+    use_kernels: bool = False,
+    tiles=None,
 ) -> Callable:
     """Build the mesh-wide forward ``apply(params, part, x) -> logits``.
 
@@ -142,25 +358,37 @@ def make_dist_apply(
     shardings (see :func:`shard_part`).  Output is [D*n_local, n_out] sharded
     the same way.
     """
-    fns = [lower_shard(g, compute_dtype, axis) for g in layers]
+    fns = [lower_shard(g, compute_dtype, axis, use_kernels, tiles)
+           for g in layers]
 
-    def local_forward(params, sh, x_local):
+    def local_forward(params, sh, x_local, *tile_args):
+        ts = tile_args[0] if tile_args else None
         h = x_local
         for fn in fns:
-            h = fn(params, sh, h)
+            h = fn(params, sh, h, ts)
         return h
 
-    return jax.shard_map(
-        local_forward,
-        mesh=mesh,
-        in_specs=(P(), P(axis), P(axis, None)),
-        out_specs=P(axis, None),
-        check_vma=False,
-    )
+    in_specs = [P(), P(axis), P(axis, None)]
+    args = ()
+    if tiles is not None:
+        in_specs.append(P(axis))
+        args = (tiles,)
+
+    def wrapper(params, part, x):
+        fn = jax.shard_map(
+            local_forward,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
+        return fn(params, part, x, *args)
+
+    return wrapper
 
 
-def shard_part(part: PartitionedGraph, mesh: Mesh, axis: str = AXIS) -> PartitionedGraph:
-    """device_put every array leaf of the partition with its P(axis) sharding."""
+def shard_part(part, mesh: Mesh, axis: str = AXIS):
+    """device_put every array leaf of a pytree with its P(axis) sharding."""
     def put(leaf):
         spec = P(axis, *([None] * (leaf.ndim - 1)))
         return jax.device_put(leaf, NamedSharding(mesh, spec))
@@ -173,14 +401,17 @@ def make_sharded_train_step(
     tx,
     compute_dtype=None,
     axis: str = AXIS,
+    use_kernels: bool = False,
+    tiles=None,
 ) -> Callable:
     """Full distributed training step: forward via shard_map (halo all_to_all
-    inside), masked CE on the node-sharded logits, grads (the replicated-param
-    transpose inserts the cross-shard psum), optax update.  Jit once over the
-    mesh; all arrays keep their NamedShardings."""
+    + hub all_gather inside), masked CE on the node-sharded logits, grads
+    (the replicated-param transpose inserts the cross-shard psum), optax
+    update.  Jit once over the mesh; all arrays keep their NamedShardings."""
     from ..models.train import TrainState, masked_cross_entropy
 
-    fwd = make_dist_apply(layers, mesh, compute_dtype, axis)
+    fwd = make_dist_apply(layers, mesh, compute_dtype, axis,
+                          use_kernels, tiles)
 
     def step(state: TrainState, part: PartitionedGraph, x, y, mask):
         def loss_fn(params):

@@ -11,12 +11,22 @@ Partition invariants (D shards):
   * node space padded to D * n_local; shard d owns [d*n_local, (d+1)*n_local);
   * every edge lives on the shard that owns its *receiver* (so gather is a
     purely local segment reduction — aggregation never crosses the wire);
-  * per remote shard pair (p -> q), the unique senders owned by p and needed
-    by q form the halo; all pairs are padded to one uniform halo width H so
-    the exchange is one static all_to_all of shape [D, H, F];
-  * edge sender ids are remapped to a combined local table
-    ``concat([x_local (n_local rows), halo (D*H rows), zero dump row])`` so a
-    single take serves both local and remote sources.
+  * edges are SPLIT into a local set (sender owned by the same shard) and a
+    remote set: all local-edge compute depends only on x_local, so XLA can
+    overlap it with the in-flight halo collective (the round-1 layout mixed
+    them, serialising everything behind the all_to_all);
+  * HUB senders (global out-degree >= hub_threshold, at most hub_cap per
+    shard) are replicated by one ``all_gather`` instead of occupying a slot
+    in every destination shard's halo: a power-law hub is needed by nearly
+    every shard, so per-pair halo slots for hubs inflate the uniform pair
+    width H to O(hubs) — the hub bucket drops H to the tail width
+    (per-pair-width bucketing; exchange volume falls from D*H_max*F to
+    D*H_tail*F + D*hub_cap*F);
+  * remaining per remote shard pair (p -> q) unique senders form the halo;
+    pairs pad to one uniform width H so the exchange is one static
+    all_to_all of shape [D, H, F];
+  * remote sender ids index the combined table
+    ``concat([halo (D*H rows), hubs (D*hub_cap rows), zero dump row])``.
 """
 from __future__ import annotations
 
@@ -26,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..graph import GraphTensor, _as_host
+from ..graph import _as_host
 
 
 def _round_up(x: int, m: int) -> int:
@@ -36,28 +46,53 @@ def _round_up(x: int, m: int) -> int:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PartitionedGraph:
-    """Static per-shard graph arrays.  Leading axis D = mesh size; shard these
+    """Static per-shard graph arrays.  Leading axis D = mesh size; shard
     with ``P('graph')`` and each device sees its own [1, ...] block."""
 
-    send_idx: jax.Array    # int32[D, D, H]   send_idx[p, q]: local rows p ships to q
-    send_mask: jax.Array   # bool [D, D, H]   True on real halo slots
-    e_src: jax.Array       # int32[D, E_l]    index into combined table (see module doc)
-    e_dst: jax.Array       # int32[D, E_l]    local receiver; n_local = dump row
-    e_w: jax.Array         # f32  [D, E_l]    edge weight (0 on padding)
-    e_mask: jax.Array      # bool [D, E_l]
+    send_idx: jax.Array    # int32[D, D, H]   local rows p ships to q
+    send_mask: jax.Array   # bool [D, D, H]
+    hub_idx: jax.Array     # int32[D, Kh]     local rows p contributes to the
+    hub_mask: jax.Array    # bool [D, Kh]     all-gathered hub table
+    el_src: jax.Array      # int32[D, EL]  LOCAL edges: local sender row
+    el_dst: jax.Array      # int32[D, EL]  local receiver (n_local = dump)
+    el_w: jax.Array        # f32  [D, EL]
+    el_mask: jax.Array     # bool [D, EL]
+    er_src: jax.Array      # int32[D, ER]  REMOTE edges: combined-table row
+    er_dst: jax.Array      # int32[D, ER]
+    er_w: jax.Array        # f32  [D, ER]
+    er_mask: jax.Array     # bool [D, ER]
     n_local: int = dataclasses.field(metadata=dict(static=True))
     halo: int = dataclasses.field(metadata=dict(static=True))
+    hub_cap: int = dataclasses.field(metadata=dict(static=True))
     n_shards: int = dataclasses.field(metadata=dict(static=True))
     n_node: int = dataclasses.field(metadata=dict(static=True))
     n_edge: int = dataclasses.field(metadata=dict(static=True))
+    n_local_edges: int = dataclasses.field(default=0,
+                                           metadata=dict(static=True))
 
     @property
     def e_local(self) -> int:
-        return int(self.e_src.shape[1])
+        return int(self.el_src.shape[1])
+
+    @property
+    def e_remote(self) -> int:
+        return int(self.er_src.shape[1])
 
     @property
     def n_pad(self) -> int:
         return self.n_local * self.n_shards
+
+    def comm_report(self, feat_width: int, dtype_bytes: int = 2) -> dict:
+        """Per-layer exchange volume of this plan (bytes on the wire)."""
+        D, H, Kh = self.n_shards, self.halo, self.hub_cap
+        return dict(
+            halo_bytes=D * D * H * feat_width * dtype_bytes,
+            hub_bytes=D * Kh * (D - 1) * feat_width * dtype_bytes,
+            halo_width=H,
+            hub_cap=Kh,
+            local_edges_frac=(self.n_local_edges / self.n_edge
+                              if self.n_edge else 0.0),
+        )
 
 
 def partition_graph(
@@ -66,9 +101,13 @@ def partition_graph(
     *,
     edge_pad_multiple: int = 128,
     halo_pad_multiple: int = 8,
+    hub_frac: float = 1 / 256,
 ) -> PartitionedGraph:
     """Host-side partition of a HostGraph (preferred — a device GraphTensor
-    forces a device->host readback) into ``n_shards`` halo shards."""
+    forces a device->host readback) into ``n_shards`` halo shards.
+
+    ``hub_frac``: senders in the top ``hub_frac`` of remote out-degree are
+    replicated through the all-gathered hub bucket (0 disables)."""
     g = _as_host(g)
     senders = g.senders[: g.n_edge]
     receivers = g.receivers[: g.n_edge]
@@ -78,15 +117,47 @@ def partition_graph(
 
     owner_s = (senders // n_local).astype(np.int64)
     owner_r = (receivers // n_local).astype(np.int64)
+    local = owner_s == owner_r
 
-    # --- halo plan: unique remote senders per (src_owner p, dst_owner q) ---
-    # fully vectorised (Reddit is 114M edges; no per-edge Python)
-    remote = owner_s != owner_r
-    pair_key = owner_s[remote] * D + owner_r[remote]          # (p, q) id
-    uniq = np.unique(pair_key * (n_local * D) + senders[remote])
+    # --- hub selection: senders needed by many remote shards --------------
+    remote = ~local
+    if hub_frac > 0 and remote.any():
+        # number of distinct destination shards per remote sender
+        pair = np.unique(senders[remote].astype(np.int64) * D
+                         + owner_r[remote])
+        spread = np.bincount((pair // D).astype(np.int64),
+                             minlength=g.n_node)
+        n_hub = max(int(g.n_node * hub_frac), 1)
+        # hubs = senders with the largest shard-spread (>= 2 shards only)
+        cand = np.argsort(-spread, kind="stable")[:n_hub]
+        hubs = cand[spread[cand] >= 2]
+    else:
+        hubs = np.zeros(0, np.int64)
+    is_hub = np.zeros(g.n_node, bool)
+    is_hub[hubs] = True
+
+    # --- hub bucket: rows each shard contributes to the all_gather --------
+    hub_owner = (hubs // n_local).astype(np.int64)
+    Kh = int(np.bincount(hub_owner, minlength=D).max()) if len(hubs) else 0
+    Kh = _round_up(max(Kh, 1), halo_pad_multiple) if len(hubs) else 0
+    hub_idx = np.zeros((D, max(Kh, 1)), np.int32)
+    hub_mask = np.zeros((D, max(Kh, 1)), bool)
+    hub_row = np.full(g.n_node, -1, np.int64)   # global sender -> table row
+    if len(hubs):
+        horder = np.argsort(hub_owner, kind="stable")
+        hsort, hown = hubs[horder], hub_owner[horder]
+        starts = np.searchsorted(hown, np.arange(D))
+        slot = np.arange(len(hsort)) - starts[hown]
+        hub_idx[hown, slot] = (hsort - hown * n_local).astype(np.int32)
+        hub_mask[hown, slot] = True
+        hub_row[hsort] = hown * Kh + slot
+
+    # --- halo plan: unique non-hub remote senders per (p, q) pair ---------
+    halo_e = remote & ~is_hub[senders]
+    pair_key = owner_s[halo_e] * D + owner_r[halo_e]
+    uniq = np.unique(pair_key * (n_local * D) + senders[halo_e])
     u_pair = uniq // (n_local * D)
     u_node = (uniq % (n_local * D)).astype(np.int64)
-    # slot index of each unique halo node within its (p, q) group
     if len(uniq):
         grp_starts = np.flatnonzero(
             np.concatenate([[True], u_pair[1:] != u_pair[:-1]]))
@@ -107,47 +178,61 @@ def partition_graph(
     send_idx[u_p, u_q, u_slot] = (u_node - u_p * n_local).astype(np.int32)
     send_mask[u_p, u_q, u_slot] = True
 
-    # halo row lookup per dst shard: halo_row[q, s] = combined-table row of
-    # global sender s on shard q (n_local + p*H + slot), dump if absent
-    dump_row = n_local + D * H  # a guaranteed-zero row in the combined table
-    halo_row = np.full((D, n_local * D), dump_row, np.int64)
-    halo_row[u_q, u_node] = n_local + u_p * H + u_slot
+    # combined remote table: [halo (D*H) ‖ hubs (D*Kh) ‖ dump]
+    dump_row = D * H + D * max(Kh, 1)
+    halo_row = np.full((D, g.n_node), dump_row, np.int64)
+    halo_row[u_q, u_node] = u_p * H + u_slot
+    if len(hubs):
+        hub_table = D * H + hub_row[hubs]
+        halo_row[:, hubs] = hub_table[None, :]
 
-    # --- per-shard edge arrays --------------------------------------------
-    counts = np.bincount(owner_r, minlength=D)
-    E_l = _round_up(int(counts.max()) if len(counts) else 1, edge_pad_multiple)
-    E_l = max(E_l, edge_pad_multiple)
+    # --- per-shard split edge arrays --------------------------------------
+    def build_edge_arrays(sel, src_rows, EL):
+        so, ro, wo, oo = (senders[sel], receivers[sel], weight[sel],
+                          owner_r[sel])
+        eorder = np.argsort(oo, kind="stable")
+        so, ro, wo, oo = so[eorder], ro[eorder], wo[eorder], oo[eorder]
+        rows = src_rows[sel][eorder]        # src_rows is full-edge-length
+        shard_start = np.searchsorted(oo, np.arange(D))
+        slot = np.arange(len(oo)) - shard_start[oo]
+        e_src = np.full((D, EL), dump_row if src_rows is not src_local_rows
+                        else n_local, np.int32)
+        e_dst = np.full((D, EL), n_local, np.int32)
+        e_w = np.zeros((D, EL), np.float32)
+        e_mask = np.zeros((D, EL), bool)
+        e_src[oo, slot] = rows.astype(np.int32)
+        e_dst[oo, slot] = (ro - oo * n_local).astype(np.int32)
+        e_w[oo, slot] = wo
+        e_mask[oo, slot] = True
+        return e_src, e_dst, e_w, e_mask
 
-    # edges sorted by owner shard; per-edge slot = offset within the shard
-    eorder = np.argsort(owner_r, kind="stable")
-    so, ro, wo, oo = (senders[eorder], receivers[eorder], weight[eorder],
-                      owner_r[eorder])
-    shard_start = np.searchsorted(oo, np.arange(D))
-    slot = np.arange(len(oo)) - shard_start[oo]
+    src_local_rows = (senders - owner_s * n_local).astype(np.int64)
+    counts_l = np.bincount(owner_r[local], minlength=D)
+    counts_r = np.bincount(owner_r[remote], minlength=D)
+    EL = max(_round_up(int(counts_l.max()) if len(counts_l) else 1,
+                       edge_pad_multiple), edge_pad_multiple)
+    ER = max(_round_up(int(counts_r.max()) if len(counts_r) else 1,
+                       edge_pad_multiple), edge_pad_multiple)
 
-    e_src = np.full((D, E_l), dump_row, np.int32)
-    e_dst = np.full((D, E_l), n_local, np.int32)
-    e_w = np.zeros((D, E_l), np.float32)
-    e_mask = np.zeros((D, E_l), bool)
-    local = (so // n_local) == oo
-    src_rows = np.where(local, so - oo * n_local, halo_row[oo, so])
-    e_src[oo, slot] = src_rows.astype(np.int32)
-    e_dst[oo, slot] = (ro - oo * n_local).astype(np.int32)
-    e_w[oo, slot] = wo
-    e_mask[oo, slot] = True
+    el = build_edge_arrays(local, src_local_rows, EL)
+    er = build_edge_arrays(remote, halo_row[owner_r, senders], ER)
 
     return PartitionedGraph(
         send_idx=jnp.asarray(send_idx),
         send_mask=jnp.asarray(send_mask),
-        e_src=jnp.asarray(e_src),
-        e_dst=jnp.asarray(e_dst),
-        e_w=jnp.asarray(e_w),
-        e_mask=jnp.asarray(e_mask),
+        hub_idx=jnp.asarray(hub_idx),
+        hub_mask=jnp.asarray(hub_mask),
+        el_src=jnp.asarray(el[0]), el_dst=jnp.asarray(el[1]),
+        el_w=jnp.asarray(el[2]), el_mask=jnp.asarray(el[3]),
+        er_src=jnp.asarray(er[0]), er_dst=jnp.asarray(er[1]),
+        er_w=jnp.asarray(er[2]), er_mask=jnp.asarray(er[3]),
         n_local=n_local,
         halo=H,
+        hub_cap=max(Kh, 1),
         n_shards=D,
         n_node=g.n_node,
         n_edge=g.n_edge,
+        n_local_edges=int(local.sum()),
     )
 
 

@@ -53,13 +53,14 @@ def kernel(rb_ref, cb_ref, src_ref, dst_ref, hcat_ref, adst_ref, msrc_ref,
     rows_er = jax.lax.broadcasted_iota(jnp.int32, (ET, R), 1)
     oh_dst = (dst[:, None] == rows_er).astype(dt)
     if mode == "onehot":
-        acc_ref[:, :1] += jnp.sum(oh_src) + jnp.sum(oh_dst)
+        acc_ref[:, :1] += (jnp.sum(oh_src.astype(jnp.float32))
+                           + jnp.sum(oh_dst.astype(jnp.float32)))
         o_ref[:] = acc_ref[:, :HD]
         return
     g = jnp.dot(oh_src, hcat_ref[:], preferred_element_type=jnp.float32)
     hs, a_s = g[:, :HD], g[:, HD:]
     if mode == "pass1":
-        acc_ref[:, :HD] += g[:R, :HD] + jnp.sum(oh_dst)
+        acc_ref[:, :HD] += g[:R, :HD] + jnp.sum(oh_dst.astype(jnp.float32))
         o_ref[:] = acc_ref[:, :HD]
         return
     a_d = jnp.dot(oh_dst, adst_ref[:], preferred_element_type=jnp.float32)

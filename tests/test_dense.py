@@ -243,3 +243,33 @@ def test_sddmm_block_lowering(rng):
     for k in g2:
         np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_spmm_dense_supertiled(rng):
+    """Supertiled (x-panel-reuse) dense kernel == rb-major dense kernel."""
+    hg, g = _graphs(rng, n=120, e=900, symmetric_norm=True)
+    x = jnp.asarray(rng.normal(size=(hg.n_node, 16)).astype(np.float32))
+    hyb0 = hybrid_graph(hg, block_rows=16, block_cols=16, tile_edges=64,
+                        min_nnz=1)
+    hybG = hybrid_graph(hg, block_rows=16, block_cols=16, tile_edges=64,
+                        min_nnz=1, supergroup=4)
+    assert hybG.dense.supergroup == 4
+    y0 = D.spmm_dense(hyb0.dense, x, interpret=True)[: hg.n_node]
+    yG = D.spmm_dense(hybG.dense, x, interpret=True)[: hg.n_node]
+    np.testing.assert_allclose(np.asarray(yG), np.asarray(y0),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_hybrid_bf16_values(rng):
+    """ml_dtypes.bfloat16 host values round-trip through the dense kernel."""
+    import ml_dtypes
+    hg, g = _graphs(rng, symmetric_norm=True)
+    hyb = hybrid_graph(hg, block_rows=32, block_cols=32, tile_edges=64,
+                       min_nnz=1, values_dtype=ml_dtypes.bfloat16)
+    assert hyb.dense.values.dtype == jnp.bfloat16
+    x = jnp.asarray(rng.normal(size=(hg.n_node, 16)).astype(np.float32))
+    y = D.spmm_dense(hyb.dense, x, interpret=True)[: hg.n_node]
+    e = P.scatter_to_edges(x, g, "C") * g.edge_weight[:, None]
+    y_ref = P.gather_to_nodes(e, g, ir.ADD)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-2, atol=2e-2)

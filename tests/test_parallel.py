@@ -119,3 +119,89 @@ def test_sharded_train_step_loss_drops(rng):
     for _ in range(30):
         state, loss = step(state, part, xp, yp, mp)
     assert float(loss) < float(l0)
+
+
+def test_hub_replication_reduces_halo_width(rng):
+    """Power-law hubs move into the all-gather bucket: per-pair halo width
+    drops vs hub_frac=0, and outputs stay identical."""
+    import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.lower import (
+        init_params, lower)
+    n = 96
+    # star skew: 48 hubs SPREAD ACROSS SHARDS send to every node, plus a
+    # sparse random tail (hub replication wins when hubs inflate the pair
+    # width of many shards, i.e. they are not co-located)
+    hubs = (np.arange(48) * 2) % n
+    s1 = np.repeat(hubs, n)
+    r1 = np.tile(np.arange(n), len(hubs))
+    s2 = rng.integers(0, n, 100)
+    r2 = rng.integers(0, n, 100)
+    s = np.concatenate([s1, s2]).astype(np.int32)
+    r = np.concatenate([r1, r2]).astype(np.int32)
+    keep = s != r
+    hg = gta.build_host_graph(s[keep], r[keep], n, symmetric_norm=True,
+                              edge_pad_multiple=128)
+    g = hg.to_device()
+    mesh = _mesh()
+    p0 = parallel.partition_graph(hg, mesh.size, hub_frac=0.0,
+                                  halo_pad_multiple=1)
+    p1 = parallel.partition_graph(hg, mesh.size, hub_frac=0.6,
+                                  halo_pad_multiple=1)
+    assert p1.halo < p0.halo, (p1.halo, p0.halo)
+    F = 16
+    b0 = p0.comm_report(F)
+    b1 = p1.comm_report(F)
+    assert (b1["halo_bytes"] + b1["hub_bytes"]
+            < b0["halo_bytes"] + b0["hub_bytes"]), (b0, b1)
+    rep = p1.comm_report(feat_width=16)
+    assert rep["local_edges_frac"] > 0
+
+    og = gta.build_op_graph("GCN", 8, 8)
+    params = init_params(og, jax.random.key(0))
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    ref = lower(og)(params, g, jnp.asarray(x))
+    for part in (p0, p1):
+        pd = parallel.shard_part(part, mesh)
+        xp = jax.device_put(jnp.asarray(parallel.pad_nodes(x, part)),
+                            NamedSharding(mesh, P("graph", None)))
+        out = jax.jit(parallel.make_dist_apply([og], mesh))(params, pd, xp)
+        np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_dist_kernel_route_matches_xla(rng):
+    """use_kernels=True (Pallas local SpMM inside shard_map) == plain path,
+    forward and gradients."""
+    import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.lower import (
+        init_params, lower)
+    n = 96
+    s, r = small_graph(rng, n=n, e=700)
+    hg = gta.build_host_graph(s, r, n, symmetric_norm=True,
+                              edge_pad_multiple=128)
+    g = hg.to_device()
+    mesh = _mesh()
+    part = parallel.partition_graph(hg, mesh.size)
+    tiles = parallel.shard_tiles(part, block_rows=16, block_cols=16,
+                                 tile_edges=64)
+    og = gta.build_op_graph("GCN", 8, 8)
+    params = init_params(og, jax.random.key(0))
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    ref_fn = lower(og)
+    ref = ref_fn(params, g, jnp.asarray(x))
+
+    pd = parallel.shard_part(part, mesh)
+    td = parallel.shard_part(tiles, mesh)
+    xp = jax.device_put(jnp.asarray(parallel.pad_nodes(x, part)),
+                        NamedSharding(mesh, P("graph", None)))
+    fwd = jax.jit(parallel.make_dist_apply([og], mesh, use_kernels=True,
+                                           tiles=td))
+    out = fwd(params, pd, xp)
+    np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    g1 = jax.grad(lambda p: jnp.sum(fwd(p, pd, xp)[:n] ** 2))(params)
+    g2 = jax.grad(lambda p: jnp.sum(ref_fn(p, g, jnp.asarray(x)) ** 2))(params)
+    for k in g2:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=1e-4, atol=1e-4)
