@@ -58,19 +58,44 @@ class Dataset:
         return self._device_graph
 
 
-def synthetic_coo(n_node: int, n_edge: int, seed: int = 0, alpha: float = 0.8):
+def synthetic_coo(n_node: int, n_edge: int, seed: int = 0, alpha: float = 0.8,
+                  communities: int = 0, p_in: float = 0.7):
     """Power-law-ish COO edge list (no self loops, possibly multi-edges for
     very large E).  Degree skew mimics real social/citation graphs so load
-    balance behaviour is representative."""
+    balance behaviour is representative.
+
+    ``communities`` > 0 plants a partition of that many communities and
+    draws ``p_in`` of the edges *within* a community (sender uniform over
+    the receiver's community) — the clustering regime of real social graphs
+    (Reddit: subreddit-level assortativity).  ``communities=0`` keeps the
+    round-1 behaviour: uniform senders, the adversarial no-locality case.
+    With communities the return is (senders, receivers, com_of) — the
+    labels stand in for the metis/louvain clustering pass a production
+    pipeline runs on real data before block-sparse execution."""
     rng = np.random.default_rng(seed)
     # Zipf-like node popularity for destinations, milder for sources
     p = (np.arange(1, n_node + 1, dtype=np.float64)) ** (-alpha)
     p /= p.sum()
     perm = rng.permutation(n_node)
     receivers = perm[rng.choice(n_node, size=n_edge, p=p)]
-    senders = rng.integers(0, n_node, size=n_edge)
+    if communities > 0:
+        com_of = rng.integers(0, communities, size=n_node)
+        # community member lists for intra-community sender draws
+        order = np.argsort(com_of, kind="stable")
+        starts = np.searchsorted(com_of[order], np.arange(communities + 1))
+        sizes = np.diff(starts)
+        intra = rng.random(n_edge) < p_in
+        rc = com_of[receivers]
+        # pick a uniform member of the receiver's community
+        off = (rng.random(n_edge) * np.maximum(sizes[rc], 1)).astype(np.int64)
+        senders = np.where(intra, order[starts[rc] + off],
+                           rng.integers(0, n_node, size=n_edge))
+    else:
+        senders = rng.integers(0, n_node, size=n_edge)
     keep = senders != receivers
     senders, receivers = senders[keep], receivers[keep]
+    if communities > 0:
+        return senders.astype(np.int32), receivers.astype(np.int32), com_of
     return senders.astype(np.int32), receivers.astype(np.int32)
 
 

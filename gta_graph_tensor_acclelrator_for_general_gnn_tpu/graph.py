@@ -436,26 +436,37 @@ def hybrid_graph(
     unit_weight: bool = False,
     supergroup: int = 0,
     values_dtype=np.float32,
+    sparse_block_rows: Optional[int] = None,
+    sparse_block_cols: Optional[int] = None,
 ) -> HybridGraph:
     """Split the adjacency by per-block density: blocks with
     ``nnz >= min_nnz`` become dense [R, C] value matrices, the rest stays
     edge-tiled.  ``min_nnz <= 0`` disables the dense path entirely.
     ``supergroup`` G > 0 orders dense blocks by (rb//G, cb, rb) for x-panel
     reuse (see DenseBlockGraph).  ``values_dtype``: ml_dtypes.bfloat16
-    halves host+device memory for large dense sets."""
+    halves host+device memory for large dense sets.
+
+    ``sparse_block_*``: geometry for the EDGE-TILE remainder, decoupled
+    from the dense grid (default: same).  At large-graph scale the tail is
+    extremely sparse — a 256-grid block holds a handful of edges, so every
+    512-slot tile is ~1% utilised; the tail wants blocks as large as VMEM
+    allows (per-edge one-hot cost ∝ (1/R + 1/C) / density).  Outputs still
+    add: both kernels emit [row-padded, F] aligned at row 0."""
     g = _as_host(g)
     s = g.senders[: g.n_edge]
     r = g.receivers[: g.n_edge]
     w = (np.ones(g.n_edge, np.float32) if unit_weight
          else g.edge_weight[: g.n_edge])
 
+    sbr = sparse_block_rows or block_rows
+    sbc = sparse_block_cols or block_cols
     nnz = block_nnz(g, block_rows, block_cols)
     rbn, cbn = nnz.shape
     dense_mask2d = nnz >= max(min_nnz, 1) if min_nnz > 0 else np.zeros_like(nnz, bool)
     dense_ids = np.flatnonzero(dense_mask2d.reshape(-1))      # rb-major order
 
     if len(dense_ids) == 0:
-        tiles = tile_graph(g, block_rows=block_rows, block_cols=block_cols,
+        tiles = tile_graph(g, block_rows=sbr, block_cols=sbc,
                            tile_edges=tile_edges, unit_weight=unit_weight)
         return HybridGraph(dense=None, tiles=tiles,
                            n_dense_edges=0, n_sparse_edges=g.n_edge)
@@ -480,22 +491,24 @@ def hybrid_graph(
                   (e_slot[in_dense], r[in_dense] % block_rows,
                    s[in_dense] % block_cols), w[in_dense])
     else:
-        # low-precision store: accumulate per-block in f32, cast per block
-        # (np.add.at on exotic dtypes is slow and lossy)
-        values = np.zeros((len(dense_ids), block_rows, block_cols),
-                          values_dtype)
+        # low-precision store: accumulate in f32 CHUNKS of blocks, cast per
+        # chunk (np.add.at on exotic dtypes is slow and lossy; a per-block
+        # Python loop costs minutes at Reddit scale)
+        B = len(dense_ids)
+        values = np.zeros((B, block_rows, block_cols), values_dtype)
         es, rs, cs, ws = (e_slot[in_dense],
                           r[in_dense] % block_rows,
                           s[in_dense] % block_cols, w[in_dense])
         eorder = np.argsort(es, kind="stable")
         es, rs, cs, ws = es[eorder], rs[eorder], cs[eorder], ws[eorder]
-        starts = np.searchsorted(es, np.arange(len(dense_ids) + 1))
-        buf = np.zeros((block_rows, block_cols), np.float32)
-        for b in range(len(dense_ids)):
-            lo, hi = starts[b], starts[b + 1]
-            buf[:] = 0.0
-            np.add.at(buf, (rs[lo:hi], cs[lo:hi]), ws[lo:hi])
-            values[b] = buf.astype(values_dtype)
+        CH = max(1, (256 * 2**20) // (block_rows * block_cols * 4))
+        starts = np.searchsorted(es, np.arange(0, B + CH, CH))
+        for i, b0 in enumerate(range(0, B, CH)):
+            nb = min(CH, B - b0)
+            buf = np.zeros((nb, block_rows, block_cols), np.float32)
+            lo, hi = starts[i], starts[i + 1]
+            np.add.at(buf, (es[lo:hi] - b0, rs[lo:hi], cs[lo:hi]), ws[lo:hi])
+            values[b0:b0 + nb] = buf.astype(values_dtype)
 
     row_mask = np.zeros(rbn, bool)
     row_mask[d_rb] = True
@@ -530,14 +543,14 @@ def hybrid_graph(
     )
     # rest.edge_weight already carries the requested weights (1s when
     # unit_weight), so tile_graph must NOT re-unit them
-    tiles = tile_graph(rest, block_rows=block_rows, block_cols=block_cols,
+    tiles = tile_graph(rest, block_rows=sbr, block_cols=sbc,
                        tile_edges=tile_edges, unit_weight=False)
     return HybridGraph(dense=dense, tiles=tiles,
                        n_dense_edges=int(in_dense.sum()),
                        n_sparse_edges=rest.n_edge)
 
 
-def reorder_nodes(g: HostGraph, method: str = "degree"):
+def reorder_nodes(g: HostGraph, method: str = "degree", labels=None):
     """Relabel nodes to densify adjacency blocks (returns (HostGraph, perm),
     where perm[new_id] = old_id; apply ``x[perm]`` to node features).
 
@@ -546,6 +559,10 @@ def reorder_nodes(g: HostGraph, method: str = "degree"):
     tile nearly empty).  Degree-descending relabelling concentrates edges in
     the low-index blocks — the classic densification the reference's own
     per-tile nnz statistics exist to exploit (preprocessing.py).
+
+    ``method="labels"`` groups nodes by a cluster assignment (``labels``,
+    e.g. metis/louvain communities), degree-descending within each cluster
+    — intra-cluster edges land in dense diagonal blocks.
     """
     s = g.senders[: g.n_edge]
     r = g.receivers[: g.n_edge]
@@ -553,6 +570,11 @@ def reorder_nodes(g: HostGraph, method: str = "degree"):
         deg = np.bincount(r, minlength=g.n_node) + np.bincount(
             s, minlength=g.n_node)
         perm = np.argsort(-deg, kind="stable").astype(np.int64)
+    elif method == "labels":
+        assert labels is not None and len(labels) == g.n_node
+        deg = np.bincount(r, minlength=g.n_node) + np.bincount(
+            s, minlength=g.n_node)
+        perm = np.lexsort((-deg, np.asarray(labels))).astype(np.int64)
     elif method == "none":
         perm = np.arange(g.n_node, dtype=np.int64)
     else:

@@ -125,12 +125,17 @@ def _gat_kernel(
     dmat = jax.lax.broadcast_in_dim(dst, (ET, H), (0,))
     p = jnp.where(dmat < R, jnp.exp(jnp.minimum(e - bound, 60.0)), 0.0)
 
-    # head -> feature expansion: B[h, f] = 1 iff f // (HD//H) == h
-    brow = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 0)
-    bcol = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 1) // (HD // H)
-    B = (brow == bcol).astype(jnp.float32)
-    p_full = jnp.dot(p, B, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)     # [ET, HD]
+    # head -> feature expansion: B[h, f] = 1 iff f // (HD//H) == h.
+    # head_dim == 1 (e.g. the reference's layer3 config) makes B the
+    # identity — skip both expansion matmuls entirely.
+    if HD == H:
+        p_full = p
+    else:
+        brow = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 0)
+        bcol = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 1) // (HD // H)
+        B = (brow == bcol).astype(jnp.float32)
+        p_full = jnp.dot(p, B, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)  # [ET, HD]
 
     # pass 3: ONE transposed-contraction scatter of [num ‖ den] — operands
     # cast to the input dtype (bf16 keeps the MXU single-pass; accumulation
@@ -144,9 +149,13 @@ def _gat_kernel(
     @pl.when(next_rb != rb_ref[t])
     def _publish():
         if normalize:
-            den_full = jnp.dot(jnp.maximum(acc_ref[:, HD:], 1e-20), B,
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)  # [R, HD]
+            den = jnp.maximum(acc_ref[:, HD:], 1e-20)
+            if HD == H:
+                den_full = den
+            else:
+                den_full = jnp.dot(den, B,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
             o_ref[:] = acc_ref[:, :HD] / den_full
         else:
             # hybrid mode: emit raw [num ‖ den] partials (the dense-block

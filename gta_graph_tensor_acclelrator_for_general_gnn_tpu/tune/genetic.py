@@ -35,7 +35,11 @@ from .search import Memo, Measurement, TILE_PALETTE, TuneResult
 @dataclasses.dataclass(frozen=True)
 class Genome:
     bits: Tuple[int, ...]          # over free (non-breakpoint) DAG edges
-    tile_idx: int                  # palette index for pattern blocks
+    tile_idx: Tuple[int, ...]      # PER-PATTERN-BLOCK palette indices (the
+                                   # reference's per-block tile_size_list,
+                                   # genetic_algorithm.py:452-466); indexed
+                                   # by pattern-block ordinal, last entry
+                                   # reused if the partition grows
     kernels: bool                  # dispatch pattern blocks to Pallas?
     use_pattern: bool              # replace chain with the super-block?
 
@@ -96,19 +100,28 @@ class GeneticTuner:
         part = tuple(tuple(b) for b in ordered)
         from ..ops.gat import match_gat_block
         tiles = []
+        k = 0
         for b in part:
             patt = (match_spmm(self.graph, b) is not None
                     or match_gat_block(self.graph, b) is not None)
             if patt and gen.kernels:
-                tiles.append(self.palette[gen.tile_idx])
+                ti = gen.tile_idx[min(k, len(gen.tile_idx) - 1)]
+                tiles.append(self.palette[ti])
+                k += 1
             else:
                 tiles.append(S.TileConfig(path=S.PATH_XLA))
         return S.Schedule(blocks=part, tiles=tuple(tiles))
 
     # -- operators ----------------------------------------------------------
+    @property
+    def _n_tile_genes(self) -> int:
+        # upper bound on pattern blocks: one per gather op
+        return max(sum(1 for op in self.graph.ops if op.kind == ir.GATHER), 1)
+
     def _seeds(self) -> List[Genome]:
         n = len(self.free)
-        mid = len(self.palette) // 2
+        nt = self._n_tile_genes
+        mid = (len(self.palette) // 2,) * nt
         seeds = [
             Genome((0,) * n, mid, False, False),           # no fusion (all XLA)
             Genome((1,) * n, mid, False, False),           # max fusion, XLA
@@ -119,7 +132,9 @@ class GeneticTuner:
             seeds.append(Genome((0,) * n, mid, True, True))
         for _ in range(3):
             bits = tuple(self.rng.randint(0, 1) for _ in range(n))
-            seeds.append(Genome(bits, self.rng.randrange(len(self.palette)),
+            tiles = tuple(self.rng.randrange(len(self.palette))
+                          for _ in range(nt))
+            seeds.append(Genome(bits, tiles,
                                 self.rng.random() < 0.5,
                                 self.chain is not None
                                 and self.rng.random() < 0.5))
@@ -129,7 +144,11 @@ class GeneticTuner:
         n = len(a.bits)
         cut = self.rng.randrange(n + 1) if n else 0
         bits = a.bits[:cut] + b.bits[cut:]
-        return Genome(bits, b.tile_idx if self.rng.random() < 0.5 else a.tile_idx,
+        # per-block tile exchange (reference append_combine swaps tile sizes
+        # between parents per block)
+        tiles = tuple(ta if self.rng.random() < 0.5 else tb
+                      for ta, tb in zip(a.tile_idx, b.tile_idx))
+        return Genome(bits, tiles,
                       a.kernels if self.rng.random() < 0.5 else b.kernels,
                       a.use_pattern if self.rng.random() < 0.5 else b.use_pattern)
 
@@ -140,13 +159,16 @@ class GeneticTuner:
             if n:
                 i = self.rng.randrange(n)
                 bits[i] ^= 1
-        ti = a.tile_idx
+        # move ONE block's tile config one palette step (reference
+        # mutate_tile_size doubles/halves one block's tile)
+        tiles = list(a.tile_idx)
+        j = self.rng.randrange(len(tiles))
         r = self.rng.random()
-        if r < 0.33 and ti + 1 < len(self.palette):
-            ti += 1
-        elif r < 0.66 and ti > 0:
-            ti -= 1
-        return Genome(tuple(bits), ti,
+        if r < 0.33 and tiles[j] + 1 < len(self.palette):
+            tiles[j] += 1
+        elif r < 0.66 and tiles[j] > 0:
+            tiles[j] -= 1
+        return Genome(tuple(bits), tuple(tiles),
                       not a.kernels if self.rng.random() < 0.3 else a.kernels,
                       not a.use_pattern if (self.chain is not None and
                                             self.rng.random() < 0.3)

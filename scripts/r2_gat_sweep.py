@@ -34,11 +34,11 @@ chain_idx = max(range(len(blocks)), key=lambda i: len(blocks[i]))
 
 CONFIGS = [
     (512, 1024, 512),   # round-1 best
-    (256, 1024, 512),
-    (512, 512, 512),
-    (256, 512, 512),
-    (256, 1024, 1024),
-    (512, 1024, 1024),
+    (512, 1024, 768),   # ET fits each block's ~737 edges in ONE tile
+    (512, 1024, 896),
+    (256, 1024, 384),
+    (512, 512, 448),
+    (256, 512, 192),
 ]
 
 fns = {}

@@ -27,52 +27,86 @@ from gta_graph_tensor_acclelrator_for_general_gnn_tpu.utils.benchmark import (
 N = 232965
 E = int(sys.argv[1]) if len(sys.argv) > 1 else 114_615_892
 DO_STREAM = "--stream" in sys.argv
+UNIFORM = "--uniform" in sys.argv   # adversarial no-locality variant
 F = 128
 
 t0 = time.time()
-s, r = synthetic_coo(N, E, seed=1)
+if UNIFORM:
+    s, r = synthetic_coo(N, E, seed=1)
+    labels = None
+else:
+    # clustered graph (Reddit-like assortativity); labels stand in for the
+    # metis/louvain pass a production pipeline runs on real data
+    s, r, labels = synthetic_coo(N, E, seed=1, communities=1000, p_in=0.7)
 hg = gta.build_host_graph(s, r, N, add_self_loops=True, symmetric_norm=True)
 del s, r
-print(f"build {time.time()-t0:.0f}s E={hg.n_edge}", flush=True)
+print(f"build {time.time()-t0:.0f}s E={hg.n_edge} "
+      f"({'uniform' if UNIFORM else 'community'})", flush=True)
 
 t0 = time.time()
-hg, perm = reorder_nodes(hg, "degree")
+if labels is None:
+    hg, perm = reorder_nodes(hg, "degree")
+else:
+    hg, perm = reorder_nodes(hg, "labels", labels=labels)
 print(f"reorder {time.time()-t0:.0f}s", flush=True)
 
 # --- hybrid split: dense blocks >= FLOP-balance threshold ---------------
+# adaptive: raise the threshold until the dense value matrices fit the
+# HBM budget (bf16, [B, 256, 256] = 128 KiB/block)
 RB = CB = 256
-thr = D.spmm_dense_threshold(RB, CB)           # 128 edges per 256x256 block
+DENSE_BUDGET = 5 << 30
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import block_nnz
+bn = block_nnz(hg, RB, CB).reshape(-1)
+bn_sorted = np.sort(bn)[::-1]
+max_blocks = DENSE_BUDGET // (RB * CB * 2)
+thr = max(D.spmm_dense_threshold(RB, CB),
+          int(bn_sorted[max_blocks - 1]) + 1 if len(bn_sorted) > max_blocks
+          else 0)
+# adaptive tail tile capacity: ~the mean nnz of nonempty 1024-grid tail
+# blocks, so tail tiles are well utilised at any density
+tail_e = int(bn[bn < thr].sum())
+tail_blocks = max(int(np.count_nonzero(
+    block_nnz(hg, 1024, 1024))), 1)
+ET = int(np.clip(((tail_e * 1.2 / tail_blocks) // 128 + 1) * 128, 256, 1024))
 t0 = time.time()
-hyb = hybrid_graph(hg, block_rows=RB, block_cols=CB, tile_edges=512,
+hyb = hybrid_graph(hg, block_rows=RB, block_cols=CB, tile_edges=ET,
                    min_nnz=thr, supergroup=16,
-                   values_dtype=ml_dtypes.bfloat16)
+                   values_dtype=ml_dtypes.bfloat16,
+                   sparse_block_rows=1024, sparse_block_cols=1024)
 nb = hyb.dense.n_blocks if hyb.dense else 0
-print(f"hybrid split {time.time()-t0:.0f}s: dense {hyb.n_dense_edges} edges "
-      f"in {nb} blocks ({nb*RB*CB*2/2**30:.2f} GiB), "
-      f"sparse {hyb.n_sparse_edges} in {hyb.tiles.n_tiles} tiles",
+print(f"hybrid split {time.time()-t0:.0f}s thr={thr}: "
+      f"dense {hyb.n_dense_edges} edges in {nb} blocks "
+      f"({nb*RB*CB*2/2**30:.2f} GiB), "
+      f"sparse {hyb.n_sparse_edges} in {hyb.tiles.n_tiles} tiles "
+      f"(ET={ET} util {hyb.n_sparse_edges/max(hyb.tiles.n_tiles*ET,1):.2f})",
       flush=True)
 
 x = jax.device_put(jax.random.normal(jax.random.key(0), (N, F), jnp.bfloat16))
 
+# the tile/dense arrays are GBs: they MUST be jit ARGUMENTS (a closure
+# would embed them as HLO constants — multi-GB lowering, compile never
+# finishes; bisected from the round-1 "full Reddit crashes" bug)
 def hybrid_fn(p, gg, xx):
-    y = spmm_mod.spmm(hyb.tiles, xx)
-    if hyb.dense is not None:
-        yd = D.spmm_dense(hyb.dense, xx)
+    bg, tg = gg
+    y = spmm_mod.spmm(tg, xx)
+    if bg is not None:
+        yd = D.spmm_dense(bg, xx)
         y = y + yd[: y.shape[0]]
     return y[:N]
 
-t = time_layer_device(hybrid_fn, None, None, x, k_small=1, k_big=7, reps=2)
+gg = (hyb.dense, hyb.tiles)
+t = time_layer_device(hybrid_fn, None, gg, x, k_small=1, k_big=7, reps=2)
 print(f"HYBRID spmm F={F} bf16: {t*1e3:.1f} ms  "
       f"{hg.n_edge/t/1e9:.3f} Gedge/s", flush=True)
 
 # dense-only and sparse-only components (same data) for the breakdown
 if hyb.dense is not None:
-    td = time_layer_device(lambda p, gg, xx: D.spmm_dense(hyb.dense, xx)[:N],
-                           None, None, x, k_small=1, k_big=7, reps=2)
+    td = time_layer_device(lambda p, gg, xx: D.spmm_dense(gg[0], xx)[:N],
+                           None, gg, x, k_small=1, k_big=7, reps=2)
     print(f"  dense part:  {td*1e3:.1f} ms  "
           f"{hyb.n_dense_edges/td/1e9:.3f} Gedge/s", flush=True)
-ts = time_layer_device(lambda p, gg, xx: spmm_mod.spmm(hyb.tiles, xx)[:N],
-                       None, None, x, k_small=1, k_big=7, reps=2)
+ts = time_layer_device(lambda p, gg, xx: spmm_mod.spmm(gg[1], xx)[:N],
+                       None, gg, x, k_small=1, k_big=7, reps=2)
 print(f"  sparse part: {ts*1e3:.1f} ms  "
       f"{hyb.n_sparse_edges/ts/1e9:.3f} Gedge/s", flush=True)
 

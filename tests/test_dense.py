@@ -273,3 +273,22 @@ def test_hybrid_bf16_values(rng):
     y_ref = P.gather_to_nodes(e, g, ir.ADD)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_gat_chain_single_head_dim(rng):
+    """HD == H (head_dim 1, the reference layer3 config) elides the head
+    expansion entirely — must still match the oracle."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import tile_graph
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops.gat import (
+        gat_attention)
+    hg, g = _graphs(rng)
+    tg = tile_graph(hg, block_rows=32, block_cols=32, tile_edges=64,
+                    unit_weight=True)
+    H = 8
+    h = jnp.asarray(rng.normal(size=(hg.n_node, H)).astype(np.float32))
+    a_s = jnp.asarray(rng.normal(size=(hg.n_node, H)).astype(np.float32))
+    a_d = jnp.asarray(rng.normal(size=(hg.n_node, H)).astype(np.float32))
+    out = gat_attention(tg, h, a_s, a_d, heads=H, interpret=True)
+    ref = D._gat_reference_g(g, h, a_s, a_d, 0.2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

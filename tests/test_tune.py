@@ -73,7 +73,8 @@ def test_genome_decode_always_legal(rng):
     for _ in range(50):
         from gta_graph_tensor_acclelrator_for_general_gnn_tpu.tune import Genome
         gen = Genome(tuple(int(b) for b in rnd.integers(0, 2, n)),
-                     int(rnd.integers(0, 5)), bool(rnd.integers(0, 2)),
+                     tuple(int(t) for t in rnd.integers(0, 5, 3)),
+                     bool(rnd.integers(0, 2)),
                      bool(rnd.integers(0, 2)))
         sched = tuner.decode(gen)
         if sched is None:
