@@ -41,6 +41,9 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--f32", dest="bf16", action="store_false")
     p.add_argument("--ga", action="store_true", help="genetic tile search")
+    p.add_argument("--stack", action="store_true",
+                   help="tune each layer of the real model stack and write "
+                        "a per-layer schedule JSON (run/train --schedule)")
     p.add_argument("--schedule", default=None,
                    help="path to a tuned schedule JSON (results/best_*.json) "
                         "to execute with (run/train)")
@@ -64,24 +67,33 @@ def main(argv=None):
     out = {"dataset": args.dataset, "network": args.network,
            "synthetic_data": ds.synthetic}
 
-    def load_schedule():
-        if not args.schedule:
-            return None
-        import json as _json
+    def _parse_sched(spec):
         from .compiler import schedule as S
-        spec = _json.load(open(args.schedule))
         return S.Schedule(
             blocks=tuple(tuple(b) for b in spec["blocks"]),
             tiles=tuple(S.TileConfig(*t) for t in spec["tiles"]))
 
+    def load_schedule():
+        """One schedule (reused per layer) or a per-layer list when the
+        JSON carries a 'layers' key (written by ``tune --stack``)."""
+        if not args.schedule:
+            return None
+        import json as _json
+        spec = _json.load(open(args.schedule))
+        if "layers" in spec:
+            return [_parse_sched(sp) for sp in spec["layers"]]
+        return _parse_sched(spec)
+
     if args.command == "train":
         from .models.train import train_node_classifier
         sched = load_schedule()
+        if sched is not None and not isinstance(sched, list):
+            sched = [sched] * args.layers
         state, res = train_node_classifier(
             ds, args.network, hidden=args.hidden, n_layers=args.layers,
             heads=args.heads, epochs=args.epochs, lr=args.lr,
             compute_dtype=dtype, seed=args.seed,
-            schedules=sched and [sched] * args.layers)
+            schedules=sched)
         if args.ckpt:
             from .utils.checkpoint import save_state
             out["ckpt_step"] = save_state(args.ckpt, state)
@@ -98,40 +110,78 @@ def main(argv=None):
         params = jax.device_put(model.init(jax.random.key(args.seed)))
         x = jax.device_put(jnp.asarray(ds.x))
         sched = load_schedule()
+        if sched is not None and not isinstance(sched, list):
+            sched = [sched] * args.layers
         fwd = model.make_apply(
-            dtype, schedules=sched and [sched] * args.layers,
+            dtype, schedules=sched,
             host_graph=ds.host_graph if sched else None)
         if sched:
-            out["schedule"] = sched.key()
+            out["schedule"] = [s.key() for s in sched]
         lat = time_layer_device(fwd, params, ds.graph, x,
                                 k_small=8, k_big=8 + args.iters)
         out.update(dict(latency_us=lat * 1e6,
                         edges_per_s=ds.host_graph.n_edge * args.layers / lat))
 
     elif args.command == "tune":
-        graph = build_op_graph(
-            args.network, args.hidden, args.hidden, heads=args.heads,
-            reorder=args.reorder, layer_tag="tune")
-        params = jax.device_put(init_params(graph, jax.random.key(args.seed)))
-        x = jax.device_put(jax.random.normal(
-            jax.random.key(1), (ds.host_graph.n_node, args.hidden),
-            jnp.float32))
         memo = args.memo or f"results/memo_{args.network}_{args.dataset}.csv"
-        if args.ga:
-            from .tune import GeneticTuner
-            tuner = GeneticTuner(graph, ds.host_graph, compute_dtype=dtype,
-                                 memo_path=memo, iters=args.iters)
-            res = tuner.search(params, ds.graph, x, verbose=not args.json)
-        else:
+
+        def tune_one(graph, in_w):
+            params = jax.device_put(
+                init_params(graph, jax.random.key(args.seed)))
+            x = jax.device_put(jax.random.normal(
+                jax.random.key(1), (ds.host_graph.n_node, in_w),
+                jnp.float32))
+            if args.ga:
+                from .tune import GeneticTuner
+                tuner = GeneticTuner(graph, ds.host_graph,
+                                     compute_dtype=dtype,
+                                     memo_path=memo, iters=args.iters)
+                return tuner.search(params, ds.graph, x,
+                                    verbose=not args.json)
             from .tune import autotune
-            res = autotune(graph, ds.host_graph, params, ds.graph, x,
-                           compute_dtype=dtype, memo_path=memo,
-                           iters=args.iters, verbose=not args.json)
-        out.update(dict(best_latency_us=res.latency_s * 1e6,
-                        best_schedule=res.best.key(),
-                        n_trials=len(res.trials)))
-        if not args.json:
-            print(res.report())
+            return autotune(graph, ds.host_graph, params, ds.graph, x,
+                            compute_dtype=dtype, memo_path=memo,
+                            iters=args.iters, verbose=not args.json)
+
+        if args.stack:
+            # per-layer tuning of the REAL model stack (1433->128 and
+            # 128->7 want different schedules); writes one JSON `run` and
+            # `train --schedule` consume directly
+            from .models.zoo import build_model
+            model = build_model(args.network, ds.x.shape[1], ds.n_class,
+                                hidden=args.hidden, n_layers=args.layers,
+                                heads=args.heads, reorder=args.reorder)
+            specs, total = [], 0.0
+            w = ds.x.shape[1]
+            for li, graph in enumerate(model.layers):
+                res = tune_one(graph, w)
+                total += res.latency_s
+                specs.append(dict(
+                    blocks=[list(b) for b in res.best.blocks],
+                    tiles=[list(t.key()) for t in res.best.tiles],
+                    latency_us=res.latency_s * 1e6))
+                w = max(op.out_width for op in graph.ops
+                        if op.op_id in graph.outputs)
+                if not args.json:
+                    print(f"layer {li}: {res.latency_s*1e6:.1f}us "
+                          f"{res.best.key()}")
+            import os as _os
+            path = args.schedule or (
+                f"results/best_{args.network}_{args.dataset}_stack.json")
+            _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
+            json.dump({"layers": specs}, open(path, "w"))
+            out.update(dict(stack_latency_us=total * 1e6,
+                            schedule_path=path))
+        else:
+            graph = build_op_graph(
+                args.network, args.hidden, args.hidden, heads=args.heads,
+                reorder=args.reorder, layer_tag="tune")
+            res = tune_one(graph, args.hidden)
+            out.update(dict(best_latency_us=res.latency_s * 1e6,
+                            best_schedule=res.best.key(),
+                            n_trials=len(res.trials)))
+            if not args.json:
+                print(res.report())
 
     elif args.command == "bench":
         from .graph import tile_graph

@@ -575,6 +575,19 @@ def reorder_nodes(g: HostGraph, method: str = "degree", labels=None):
         deg = np.bincount(r, minlength=g.n_node) + np.bincount(
             s, minlength=g.n_node)
         perm = np.lexsort((-deg, np.asarray(labels))).astype(np.int64)
+    elif method == "hubs+labels":
+        # global hubs first (one dense row region catches the power-law
+        # head of CROSS-community edges), then label-grouped: the two-level
+        # ordering that densifies both the degree head and the community
+        # diagonal.  hub cut = top 2% by degree.
+        assert labels is not None and len(labels) == g.n_node
+        deg = np.bincount(r, minlength=g.n_node) + np.bincount(
+            s, minlength=g.n_node)
+        k = max(int(g.n_node * 0.02), 1)
+        cut = np.sort(deg)[::-1][k - 1]
+        is_hub = deg >= max(cut, 1)
+        key_group = np.where(is_hub, -1, np.asarray(labels))
+        perm = np.lexsort((-deg, key_group)).astype(np.int64)
     elif method == "none":
         perm = np.arange(g.n_node, dtype=np.int64)
     else:

@@ -32,9 +32,12 @@ TILE_PALETTE = (
     S.TileConfig(512, 512, 256),
     S.TileConfig(512, 512, 512),
     S.TileConfig(512, 1024, 512),
+    S.TileConfig(512, 1024, 768),   # ET sized so typical blocks take 1 tile
     S.TileConfig(1024, 512, 512),
     S.TileConfig(512, 512, 1024),
     S.TileConfig(1024, 1024, 1024),
+    S.TileConfig(256, 256, 512, S.PATH_HYBRID),   # density-split dispatch
+    S.TileConfig(512, 512, 512, S.PATH_HYBRID),
     S.TileConfig(tile_edges=8, path=S.PATH_STREAM),     # 16k-edge chunks
     S.TileConfig(tile_edges=128, path=S.PATH_STREAM),   # 256k-edge chunks
 )

@@ -47,7 +47,7 @@ t0 = time.time()
 if labels is None:
     hg, perm = reorder_nodes(hg, "degree")
 else:
-    hg, perm = reorder_nodes(hg, "labels", labels=labels)
+    hg, perm = reorder_nodes(hg, "hubs+labels", labels=labels)
 print(f"reorder {time.time()-t0:.0f}s", flush=True)
 
 # --- hybrid split: dense blocks >= FLOP-balance threshold ---------------

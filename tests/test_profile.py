@@ -36,3 +36,23 @@ def test_trace_writes_files(tmp_path):
     for root, _, files in os.walk(out):
         found.extend(files)
     assert found, "no trace files written"
+
+
+def test_trace_events_aggregation(tmp_path):
+    """trace() + trace_events: a real profiler capture yields per-op
+    measured durations."""
+    import jax
+    import jax.numpy as jnp
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.utils.profile import (
+        trace, trace_events, measured_report)
+
+    d = str(tmp_path / "tr")
+    with trace(d):
+        x = jnp.ones((256, 256))
+        for _ in range(3):
+            x = jax.jit(lambda a: a @ a)(x)
+        jax.block_until_ready(x)
+    evs = trace_events(d)
+    assert evs, "no trace events parsed"
+    rep = measured_report(d)
+    assert "total_us" in rep
