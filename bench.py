@@ -74,7 +74,7 @@ def main():
     # big loop counts: the tunnel's per-execution jitter is tens of ms, so
     # the slope signal (k_big - k_small iterations) must dwarf it
     best_s = time_layer_device(fn, params, ds.graph, x,
-                               k_small=100, k_big=2100, reps=2)
+                               k_small=100, k_big=4100, reps=4)
     us = best_s * 1e6
     print(json.dumps({
         "metric": "gat_cora_layer3_latency",

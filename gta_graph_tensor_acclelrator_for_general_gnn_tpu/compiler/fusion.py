@@ -33,7 +33,7 @@ from .schedule import Schedule, TileConfig
 
 # bump when kernel implementations change: memoised tuner latencies are
 # keyed on (KERNEL_VERSION, schedule) so stale measurements never resurface
-KERNEL_VERSION = 4
+KERNEL_VERSION = 5
 
 
 @dataclasses.dataclass

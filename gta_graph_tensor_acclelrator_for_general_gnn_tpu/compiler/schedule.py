@@ -253,10 +253,27 @@ def vmem_bytes(tile: TileConfig, feat_width: int, dtype_bytes: int = 4) -> int:
 def tile_is_feasible(
     tile: TileConfig,
     feat_width: int,
-    vmem_budget: int = 16 * 2**20,
+    vmem_budget: Optional[int] = None,
     dtype_bytes: int = 4,
 ) -> bool:
-    return vmem_bytes(tile, feat_width, dtype_bytes) <= vmem_budget
+    """VMEM feasibility under the hardware config: total budget plus the
+    per-region caps (node / edge buffer fractions — the reference's
+    flexible-buffer W/N/E split, compiler.py:73-75,95-99)."""
+    from ..hwconfig import load_hw_config
+    cfg = load_hw_config()
+    budget = vmem_budget if vmem_budget is not None else cfg.vmem_budget_bytes
+    if vmem_bytes(tile, feat_width, dtype_bytes) > budget:
+        return False
+    _, node_frac, edge_frac = cfg.vmem_regions
+    x_blk = tile.block_cols * feat_width * dtype_bytes
+    o_blk = tile.block_rows * feat_width * 4
+    edges = tile.tile_edges * (3 * 4 + dtype_bytes)
+    onehot = tile.tile_edges * max(tile.block_rows, tile.block_cols) * dtype_bytes
+    if 2 * x_blk + o_blk > max(node_frac, 0.01) * budget * 2:
+        return False
+    if 2 * edges + 2 * onehot > max(edge_frac, 0.01) * budget * 2:
+        return False
+    return True
 
 
 def pattern_partition(graph: ir.OpGraph) -> Optional[Tuple[Tuple[int, ...], ...]]:

@@ -163,6 +163,101 @@ def _gat_kernel(
             o_ref[:] = acc_ref[:]
 
 
+def _gat_kernel_t(
+    rb_ref, cb_ref,
+    src_ref, dst_ref,
+    hcat_ref, adst_ref, msrc_ref,
+    o_ref,
+    acc_ref,
+    *, R: int, C: int, ET: int, H: int, HD: int, slope: float,
+    normalize: bool, precision,
+):
+    """TRANSPOSED-dataflow edge tile for NARROW feature widths (HD+H small).
+
+    All per-edge arrays live as [feat, edges]: the edge axis rides the
+    128-lane dimension, so (a) every matmul has M = HD+H (or H) instead of
+    M = ET — MXU cost ~ M*ceil(K/128)*ceil(N/128), a ~2x cut when
+    HD+H << ET; (b) the VPU logit chain runs at full lane utilisation
+    (the [ET, 16] orientation wastes 7/8 lanes); (c) the num‖den merge is a
+    SUBLANE concat (row stacking) instead of a lane shuffle.
+
+        g_t   = [h‖a_src]_cb^T @ onehot_src^T      # [HD+H, ET]
+        a_d_t = adst_rb^T @ onehot_dst^T           # [H, ET]
+        p_t   = exp(leaky(a_s_t + a_d_t) - b)      # [H, ET]
+        acc_t += [p_full_t * hs_t ; p_t] @ onehot_dst  # [HD+H, R]
+    """
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    prev_rb = jnp.where(t == 0, -1, rb_ref[jnp.maximum(t - 1, 0)])
+    next_rb = jnp.where(t == T - 1, -1, rb_ref[jnp.minimum(t + 1, T - 1)])
+
+    @pl.when(rb_ref[t] != prev_rb)
+    def _reset():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    src = src_ref[0, 0, :]                                    # [ET]
+    dst = dst_ref[0, 0, :]                                    # [ET]
+    dt = hcat_ref.dtype
+
+    src_b = jax.lax.broadcast_in_dim(src, (C, ET), (1,))
+    oh_src_t = (src_b == jax.lax.broadcasted_iota(
+        jnp.int32, (C, ET), 0)).astype(dt)                    # [C, ET]
+    dst_b = jax.lax.broadcast_in_dim(dst, (R, ET), (1,))
+    oh_dst_t = (dst_b == jax.lax.broadcasted_iota(
+        jnp.int32, (R, ET), 0)).astype(dt)                    # [R, ET]
+
+    g = jnp.dot(hcat_ref[:], oh_src_t, preferred_element_type=jnp.float32,
+                precision=precision)                          # [HD+H, ET]
+    hs = g[:HD, :]
+    a_s = g[HD:, :]
+    a_d = jnp.dot(adst_ref[:], oh_dst_t, preferred_element_type=jnp.float32,
+                  precision=precision)                        # [H, ET]
+
+    def leaky(v):
+        return jnp.where(v >= 0, v, slope * v)
+
+    e = leaky(a_s + a_d)
+    bound = leaky(msrc_ref[:, 0][:, None] + a_d)              # [H, ET]
+    dmat = jax.lax.broadcast_in_dim(dst, (H, ET), (1,))
+    p = jnp.where(dmat < R, jnp.exp(jnp.minimum(e - bound, 60.0)), 0.0)
+
+    if HD == H:
+        p_full = p
+    else:
+        brow = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 0) // (HD // H)
+        bcol = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 1)
+        Bt = (brow == bcol).astype(jnp.float32)               # [HD, H]
+        p_full = jnp.dot(Bt, p, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)  # [HD, ET]
+
+    v = jnp.concatenate([p_full * hs, p], axis=0).astype(dt)  # [HD+H, ET]
+    acc_ref[:] += jax.lax.dot_general(
+        v, oh_dst_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)  # [HD+H, R]
+
+    @pl.when(next_rb != rb_ref[t])
+    def _publish():
+        if normalize:
+            den = jnp.maximum(acc_ref[HD:, :], 1e-20)         # [H, R]
+            if HD == H:
+                den_full = den
+            else:
+                brow = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 0) \
+                    // (HD // H)
+                bcol = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 1)
+                Bt = (brow == bcol).astype(jnp.float32)
+                den_full = jnp.dot(Bt, den,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+            o_ref[:] = acc_ref[:HD, :] / den_full
+        else:
+            o_ref[:] = acc_ref[:]
+
+
+# lane budget under which the transposed dataflow wins (measured v5e)
+NARROW_T = 64
+
+
 def _gat_forward(
     tg: TiledGraph,
     h_src: jax.Array,
@@ -203,6 +298,45 @@ def _gat_forward(
         # callers pass theirs in so both kernels share one bound)
         msrc = jnp.max(a_src.astype(jnp.float32), axis=0, keepdims=True)
 
+    out_w = HD + H if not normalize else HD
+    flops = 2 * T * ET * (C + 2 * R) * max(H + HD, 128)
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=(hcat.size + ads.size) * h_src.dtype.itemsize,
+        transcendentals=T * ET * H,
+    )
+    if HD + H <= NARROW_T:
+        # transposed dataflow: [feat, edges] orientation (see _gat_kernel_t)
+        kernel = functools.partial(
+            _gat_kernel_t, R=R, C=C, ET=ET, H=H, HD=HD,
+            slope=float(negative_slope), normalize=normalize,
+            precision=precision)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
+                pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
+                pl.BlockSpec((HD + H, C), lambda t, rb, cb: (0, cb[t])),
+                pl.BlockSpec((H, R), lambda t, rb, cb: (0, rb[t])),
+                pl.BlockSpec((H, 1), lambda t, rb, cb: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((out_w, R), lambda t, rb, cb: (0, rb[t])),
+            scratch_shapes=[
+                pltpu.VMEM((HD + H, R), jnp.float32),
+            ],
+        )
+        out_t = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((out_w, n_rows), jnp.float32),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(tg.tile_rb, tg.tile_cb,
+          tg.src_local[:, None, :], tg.dst_local[:, None, :],
+          hcat.T, ads.astype(jnp.float32).T, msrc.T)
+        return out_t.T[: tg.n_node]
+
     kernel = functools.partial(
         _gat_kernel, R=R, C=C, ET=ET, H=H, HD=HD,
         slope=float(negative_slope), normalize=normalize, precision=precision)
@@ -222,17 +356,12 @@ def _gat_forward(
             pltpu.VMEM((R, HD + H), jnp.float32),
         ],
     )
-    flops = 2 * T * ET * (C + 2 * R) * max(H + HD, 128)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_rows, HD + H if not normalize else HD), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=(hcat.size + ads.size) * h_src.dtype.itemsize,
-            transcendentals=T * ET * H,
-        ),
+        cost_estimate=cost,
         interpret=interpret,
     )(tg.tile_rb, tg.tile_cb,
       tg.src_local[:, None, :], tg.dst_local[:, None, :], hcat, ads, msrc)

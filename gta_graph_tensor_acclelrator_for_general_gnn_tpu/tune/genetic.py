@@ -51,7 +51,7 @@ class GeneticTuner:
         host_graph: HostGraph,
         *,
         compute_dtype=None,
-        tile_palette: Sequence[S.TileConfig] = TILE_PALETTE,
+        tile_palette: Optional[Sequence[S.TileConfig]] = None,
         memo_path: Optional[str] = None,
         seed: int = 0,
         n_parents: int = 8,
@@ -64,6 +64,9 @@ class GeneticTuner:
         self.graph = graph
         self.hg = host_graph
         self.dtype = compute_dtype
+        if tile_palette is None:
+            from ..hwconfig import load_hw_config
+            tile_palette = load_hw_config().palette()
         self.palette = list(tile_palette)
         self.memo = Memo(memo_path)
         self.rng = random.Random(seed)

@@ -184,7 +184,7 @@ def autotune(
     compute_dtype=None,
     memo_path: Optional[str] = None,
     max_partitions: int = 64,
-    tile_palette: Sequence[S.TileConfig] = TILE_PALETTE,
+    tile_palette: Optional[Sequence[S.TileConfig]] = None,
     traffic_prune: float = 4.0,
     iters: int = 30,
     feat_width: Optional[int] = None,
@@ -197,6 +197,9 @@ def autotune(
     traffic / 1.1x latency-bound; we are looser because kernel dispatch can
     beat lower-traffic schedules).
     """
+    if tile_palette is None:
+        from ..hwconfig import load_hw_config
+        tile_palette = load_hw_config().palette()
     stats = S.GraphStats(
         n_node=host_graph.n_node,
         n_edge=host_graph.n_edge,

@@ -29,11 +29,15 @@ keep = s != r
 hg = build_host_graph(s[keep], r[keep], n, symmetric_norm=True,
                       edge_pad_multiple=512)
 g = hg.to_device()
+# unit-weight twin for the attention oracle (gat kernels ignore edge
+# weights; the sym-norm g would make _gat_reference_g a WEIGHTED softmax)
+import dataclasses as _dc
+gu = _dc.replace(g, edge_weight=g.edge_mask.astype(jnp.float32))
 tg = tile_graph(hg, block_rows=256, block_cols=256, tile_edges=512)
 tgu = tile_graph(hg, block_rows=256, block_cols=256, tile_edges=512,
                  unit_weight=True)
 hyb = hybrid_graph(hg, block_rows=128, block_cols=128, tile_edges=256,
-                   min_nnz=10, unit_weight=True)
+                   min_nnz=180, unit_weight=True)
 assert hyb.dense is not None and hyb.n_sparse_edges > 0
 
 F, H = 64, 4
@@ -67,17 +71,33 @@ check("spmm_hybrid/f32", jax.jit(
           P.scatter_to_edges(x, g, "C") * g.edge_mask[:, None].astype(
               jnp.float32), g, ir.ADD))(), 1e-4)
 
-gat_ref = jax.jit(lambda: D._gat_reference_g(g, x, a_s, a_d, 0.2))()
+gat_ref = jax.jit(lambda: D._gat_reference_g(gu, x, a_s, a_d, 0.2))()
 check("gat_chain/f32",
       jax.jit(lambda: gat_attention(tgu, x, a_s, a_d, heads=H))(),
       gat_ref, 1e-4)
+
+# narrow (transposed-dataflow) orientation: HD + H <= NARROW_T
+xn = x[:, :16]
+a_sn = jax.device_put(jax.random.normal(jax.random.key(7), (n, 16),
+                                        jnp.float32))
+a_dn = jax.device_put(jax.random.normal(jax.random.key(8), (n, 16),
+                                        jnp.float32))
+gat_ref_n = jax.jit(lambda: D._gat_reference_g(gu, xn, a_sn, a_dn, 0.2))()
+check("gat_chain_T/f32",
+      jax.jit(lambda: gat_attention(tgu, xn, a_sn, a_dn, heads=16))(),
+      gat_ref_n, 1e-4)
+check("gat_chain_T/bf16",
+      jax.jit(lambda: gat_attention(tgu, xn.astype(jnp.bfloat16),
+                                    a_sn.astype(jnp.bfloat16),
+                                    a_dn.astype(jnp.bfloat16), heads=16))(),
+      gat_ref_n, 3e-2)
 check("gat_chain/bf16",
       jax.jit(lambda: gat_attention(tgu, x.astype(jnp.bfloat16),
                                     a_s.astype(jnp.bfloat16),
                                     a_d.astype(jnp.bfloat16), heads=H))(),
       gat_ref, 3e-2)
 check("gat_hybrid/f32",
-      jax.jit(lambda: D.gat_hybrid(hyb, g, x, a_s, a_d))(), gat_ref, 1e-4)
+      jax.jit(lambda: D.gat_hybrid(hyb, gu, x, a_s, a_d))(), gat_ref, 1e-4)
 
 sd_ref = jax.jit(lambda: (P.scatter_to_edges(a_s, g, "C")
                           + P.scatter_to_edges(a_d, g, "R"))

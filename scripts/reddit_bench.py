@@ -118,3 +118,46 @@ if DO_STREAM:
         None, g, x, k_small=1, k_big=5, reps=2)
     print(f"STREAM spmm: {t2*1e3:.1f} ms  {hg.n_edge/t2/1e9:.3f} Gedge/s",
           flush=True)
+
+# --- GAT attention at full scale (--gat): hybrid dense-mask + edge tiles --
+if "--gat" in sys.argv:
+    del hyb, gg
+    H, HD = 4, 128
+    thr_g = D.gat_dense_threshold(RB, CB, H, HD // H)
+    # memory: reuse budget; attention needs rb-major dense order
+    thr_g = max(thr_g,
+                int(bn_sorted[max_blocks - 1]) + 1
+                if len(bn_sorted) > max_blocks else 0)
+    t0 = time.time()
+    hyb_g = hybrid_graph(hg, block_rows=RB, block_cols=CB, tile_edges=ET,
+                         min_nnz=thr_g, unit_weight=True,
+                         values_dtype=ml_dtypes.bfloat16,
+                         sparse_block_rows=1024, sparse_block_cols=1024)
+    nbg = hyb_g.dense.n_blocks if hyb_g.dense else 0
+    print(f"gat split {time.time()-t0:.0f}s thr={thr_g}: dense "
+          f"{hyb_g.n_dense_edges} in {nbg} blocks, sparse "
+          f"{hyb_g.n_sparse_edges} in {hyb_g.tiles.n_tiles} tiles",
+          flush=True)
+    a_s = jax.device_put(jax.random.normal(jax.random.key(5), (N, H),
+                                           jnp.float32))
+    a_d = jax.device_put(jax.random.normal(jax.random.key(6), (N, H),
+                                           jnp.float32))
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops.gat import (
+        _gat_forward)
+
+    def gat_fn(p, gg, xx):
+        bg, tg = gg
+        msrc = jnp.max(a_s, axis=0, keepdims=True)
+        acc = _gat_forward(tg, xx, a_s.astype(jnp.bfloat16),
+                           a_d.astype(jnp.bfloat16),
+                           normalize=False, msrc=msrc)
+        if bg is not None:
+            accd = D.gat_dense_partial(bg, xx, a_s, a_d, msrc)
+            acc = acc + accd[: acc.shape[0]]
+        num, den = acc[:, :HD], acc[:, HD:]
+        return num / jnp.repeat(jnp.maximum(den, 1e-20), HD // H, axis=1)
+
+    gg = (hyb_g.dense, hyb_g.tiles)
+    tg_ = time_layer_device(gat_fn, None, gg, x, k_small=1, k_big=5, reps=2)
+    print(f"HYBRID gat H{H} HD{HD}: {tg_*1e3:.1f} ms  "
+          f"{hg.n_edge/tg_/1e9:.3f} Gedge/s", flush=True)

@@ -83,3 +83,31 @@ def test_genome_decode_always_legal(rng):
         assert S.partition_is_legal_with_patterns(
             og, [list(b) for b in sched.blocks])
     assert checked > 10
+
+
+def test_hw_config_file(tmp_path):
+    """External hardware config overrides VMEM budget / palette
+    (hardware_info.yaml parity)."""
+    import json as _json
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.hwconfig import (
+        load_hw_config)
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler import (
+        schedule as S)
+
+    p = tmp_path / "hw.json"
+    p.write_text(_json.dumps(dict(
+        vmem_budget_bytes=2 * 2**20,
+        vmem_regions=dict(weight=1.0, node=0.5, edge=0.5),
+        tile_palette=[[128, 128, 256], [256, 256, 512, "hybrid"]],
+        hbm_gbps=128.0)))
+    cfg = load_hw_config(str(p))
+    assert cfg.vmem_budget_bytes == 2 * 2**20
+    pal = cfg.palette()
+    assert pal[0].block_rows == 128
+    assert pal[1].path == S.PATH_HYBRID
+    # reference-scale 2MB budget rejects large tiles, accepts small ones
+    assert not S.tile_is_feasible(S.TileConfig(1024, 1024, 1024), 128,
+                                  cfg.vmem_budget_bytes)
+    assert S.tile_is_feasible(S.TileConfig(128, 128, 256), 32,
+                              cfg.vmem_budget_bytes)
+    assert load_hw_config(None).vmem_budget_bytes == 16 * 2**20
