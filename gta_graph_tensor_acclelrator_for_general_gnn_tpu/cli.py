@@ -4,9 +4,10 @@ re-imagined for real execution.
 Reference flags and their TPU equivalents:
   --dataset / --network            same
   --isReorder                      --reorder (algebraically reordered graph)
-  --isSinput                       (subsumed: XLA handles sparse inputs)
+  --isSinput                       auto (ops/sinput.py sparse-input MM when
+                                   feature density < 0.5; train --schedule)
   --isPingpang                     (subsumed: Pallas pipelines double-buffer)
-  --isFlexibleBuffer               (subsumed: VMEM budget in the tile search)
+  --isFlexibleBuffer               --hw-config region caps (hwconfig.py)
 plus new commands the reference cannot do:
   run       forward latency of the model on the dataset (per layer + total)
   train     full training run, reports accuracy and epoch time
@@ -50,10 +51,18 @@ def main(argv=None):
     p.add_argument("--ckpt", default=None,
                    help="checkpoint dir: train saves final state here")
     p.add_argument("--memo", default=None, help="schedule memo CSV path")
+    p.add_argument("--hw-config", default=None,
+                   help="hardware config JSON/YAML (VMEM budget, region "
+                        "caps, tile palette — the reference's "
+                        "hardware_info.yaml); also via $GTA_HW_CONFIG")
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true", help="machine-readable output")
     args = p.parse_args(argv)
+
+    if args.hw_config:
+        import os as _os
+        _os.environ["GTA_HW_CONFIG"] = args.hw_config
 
     import jax
     import jax.numpy as jnp

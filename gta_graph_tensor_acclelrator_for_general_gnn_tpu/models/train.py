@@ -157,14 +157,35 @@ def train_sampled(
     compute_dtype=None,
     seed: int = 0,
     network: str = "GraphSAGE",
+    device_features: Optional[bool] = None,
+    prefetch: int = 2,
+    eval_full: Optional[bool] = None,
+    steps_per_epoch: Optional[int] = None,
 ) -> Tuple[TrainState, FitResult]:
     """Minibatch training with neighbour sampling (the Reddit-scale path).
 
     Every batch has identical static shapes, so ONE jitted train step serves
-    the whole run; per-step host work is the sampler + feature gather.
+    the whole run; per-step host work is the sampler (overlapped with device
+    execution by a ``prefetch``-deep background thread).
+
+    ``device_features``: keep the FULL [N, F] feature/label matrices resident
+    on device and gather each batch's rows *inside* the jitted step — per
+    step only the index/edge arrays cross host->device (a few MB), not the
+    gathered features (hundreds of MB at Reddit scale).  Default: auto-on
+    when the feature matrix exceeds 32 MB.
+
+    ``eval_full``: run the final full-batch accuracy pass.  Default:
+    auto-off for graphs > 4M edges (the XLA eval path materialises [E, F]).
+
+    ``steps_per_epoch`` caps each epoch (benchmark use).
     """
     import numpy as np
     from ..data.sampling import NeighborSampler, gather_features
+
+    if device_features is None:
+        device_features = ds.x.nbytes > 32 * 2**20
+    if eval_full is None:
+        eval_full = ds.host_graph.n_edge <= 4_000_000
 
     model = build_model(network, ds.x.shape[1], ds.n_class,
                         hidden=hidden, n_layers=len(fanouts))
@@ -172,38 +193,259 @@ def train_sampled(
     params = model.init(jax.random.key(seed))
     tx = optax.adamw(lr, weight_decay=5e-4)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
-    step = jax.jit(make_train_step(apply, tx), donate_argnums=0)
+
+    base_step = make_train_step(apply, tx)
+    if device_features:
+        # xfull/yfull are jit ARGUMENTS (closure constants at this size would
+        # be embedded in the HLO — the round-1 full-Reddit crash)
+        def dev_step(state, g, ids, seed_mask, xfull, yfull):
+            valid = ids >= 0
+            rows = jnp.maximum(ids, 0)
+            xb = jnp.where(valid[:, None], xfull[rows], 0)
+            yb = jnp.where(valid, yfull[rows], 0)
+            return base_step(state, g, xb, yb, seed_mask)
+        step = jax.jit(dev_step, donate_argnums=0)
+        xfull = jax.device_put(jnp.asarray(ds.x))
+        yfull = jax.device_put(jnp.asarray(ds.y.astype(np.int32)))
+    else:
+        step = jax.jit(base_step, donate_argnums=0)
+        xfull = yfull = None
 
     sampler = NeighborSampler(ds.host_graph, fanouts, batch_size, seed=seed)
     train_nodes = np.flatnonzero(ds.train_mask)
-    n_steps = 0
-    t0 = time.perf_counter()
-    loss = jnp.zeros(())
-    for _ in range(epochs):
-        for batch in sampler.epoch(train_nodes):
-            xb = jnp.asarray(gather_features(ds.x, batch))
-            valid = batch.node_ids >= 0
-            yb = np.zeros(batch.cap_nodes, np.int32)
-            yb[valid] = ds.y[batch.node_ids[valid]]
-            # device_graph pins the static n_edge so this step compiles ONCE
-            state, loss = step(state, batch.device_graph(), xb,
-                               jnp.asarray(yb), jnp.asarray(batch.seed_mask))
-            n_steps += 1
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / max(epochs, 1)
 
-    # full-graph eval (host features may be large; fine for the published sets)
-    eval_fn = jax.jit(apply)
-    logits = eval_fn(state.params, ds.graph, jnp.asarray(ds.x))
+    def host_batches():
+        for ep in range(epochs):
+            n = 0
+            for batch in sampler.epoch(train_nodes):
+                if device_features:
+                    yield (batch.device_graph(), batch.node_ids.astype(np.int32),
+                           batch.seed_mask)
+                else:
+                    xb = gather_features(ds.x, batch)
+                    valid = batch.node_ids >= 0
+                    yb = np.zeros(batch.cap_nodes, np.int32)
+                    yb[valid] = ds.y[batch.node_ids[valid]]
+                    yield (batch.device_graph(), xb, yb, batch.seed_mask)
+                n += 1
+                if steps_per_epoch and n >= steps_per_epoch:
+                    break
+
+    def prefetched(it, depth: int):
+        """Run the host-side sampler in a daemon thread ``depth`` batches
+        ahead of the device loop."""
+        if depth <= 0:
+            yield from it
+            return
+        import queue as _q
+        import threading
+        q: "_q.Queue" = _q.Queue(maxsize=depth)
+        END = object()
+
+        def produce():
+            try:
+                for item in it:
+                    q.put(item)
+            finally:
+                q.put(END)
+
+        threading.Thread(target=produce, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is END:
+                return
+            yield item
+
+    n_steps = 0
+    timed_from = 0
+    t0 = None
+    loss = jnp.zeros(())
+    for item in prefetched(host_batches(), prefetch):
+        if device_features:
+            g, ids, sm = item
+            state, loss = step(state, g, jnp.asarray(ids), jnp.asarray(sm),
+                               xfull, yfull)
+        else:
+            g, xb, yb, sm = item
+            state, loss = step(state, g, jnp.asarray(xb), jnp.asarray(yb),
+                               jnp.asarray(sm))
+        n_steps += 1
+        if t0 is None:
+            # first step compiled; start the clock after it completes
+            jax.block_until_ready(loss)
+            t0 = time.perf_counter()
+            timed_from = n_steps
+    # a readback (not just block_until_ready) forces true device completion
+    # through the tunnel; done ONCE, after all timed work
+    _ = float(loss)
+    total = time.perf_counter() - (t0 if t0 is not None else time.perf_counter())
+    steps_ep = max(n_steps // max(epochs, 1), 1)
+    dt = total / max((n_steps - timed_from) / steps_ep, 1e-9) \
+        if n_steps > timed_from else float("inf")
+
     y = jnp.asarray(ds.y)
+    if eval_full:
+        eval_fn = jax.jit(apply)
+        logits = eval_fn(state.params, ds.graph, jnp.asarray(ds.x))
+        tr_acc = float(accuracy(logits, y, jnp.asarray(ds.train_mask)))
+        va_acc = float(accuracy(logits, y, jnp.asarray(ds.val_mask)))
+        te_acc = float(accuracy(logits, y, jnp.asarray(ds.test_mask)))
+    else:
+        tr_acc = va_acc = te_acc = float("nan")
     res = FitResult(
         train_loss=float(loss),
-        train_acc=float(accuracy(logits, y, jnp.asarray(ds.train_mask))),
-        val_acc=float(accuracy(logits, y, jnp.asarray(ds.val_mask))),
-        test_acc=float(accuracy(logits, y, jnp.asarray(ds.test_mask))),
+        train_acc=tr_acc,
+        val_acc=va_acc,
+        test_acc=te_acc,
         epochs=epochs,
         epoch_time_s=dt,
-        edges_per_s=(n_steps // max(epochs, 1)) * sampler.cap_edges / dt
-        if dt > 0 else 0.0,
+        edges_per_s=steps_ep * sampler.cap_edges / dt if dt > 0 else 0.0,
     )
     return state, res
+
+
+def train_sampled_scan(
+    ds: Dataset,
+    *,
+    fanouts=(10, 10),
+    batch_size: int = 512,
+    epochs: int = 3,
+    hidden: int = 128,
+    lr: float = 1e-2,
+    compute_dtype=None,
+    seed: int = 0,
+    network: str = "GraphSAGE",
+    steps_per_epoch: Optional[int] = None,
+    measure_device_epoch: bool = False,
+) -> Tuple[TrainState, FitResult, dict]:
+    """Sampled training with ONE device dispatch per epoch.
+
+    The per-step dispatch path (:func:`train_sampled`) pays the runtime's
+    per-execution overhead on every minibatch — through the axon tunnel that
+    is 0.3-8 s *per step*, and even on local hardware it is the dominant
+    cost at small step times.  Here the whole epoch is a ``lax.scan`` of the
+    train step over device-stacked batch arrays: the sampler produces all
+    S batches for the epoch on host (stacked [S, ...] numpy arrays, a few
+    hundred MB at Reddit scale), one transfer ships them, and one jitted
+    scan trains through them.  Features/labels stay device-resident; each
+    scan step gathers its rows in-graph.
+
+    Returns ``(state, FitResult, breakdown)`` where breakdown has
+    ``sample_s`` / ``h2d_dispatch_s`` per-epoch host-side costs and (with
+    ``measure_device_epoch``) ``device_epoch_s``, the fori-loop slope time
+    of the pure device epoch — the number a non-tunnel deployment would see.
+    """
+    import numpy as np
+    from ..data.sampling import NeighborSampler
+    from ..graph import GraphTensor as GT
+
+    model = build_model(network, ds.x.shape[1], ds.n_class,
+                        hidden=hidden, n_layers=len(fanouts))
+    apply = model.make_apply(compute_dtype)
+    params = model.init(jax.random.key(seed))
+    tx = optax.adamw(lr, weight_decay=5e-4)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    base_step = make_train_step(apply, tx)
+
+    sampler = NeighborSampler(ds.host_graph, fanouts, batch_size, seed=seed)
+    train_nodes = np.flatnonzero(ds.train_mask)
+    cap_n = sampler.cap_nodes
+
+    xfull = jax.device_put(jnp.asarray(ds.x))
+    yfull = jax.device_put(jnp.asarray(ds.y.astype(np.int32)))
+
+    def stack_epoch():
+        """Host-sample one epoch; returns stacked numpy pytree + e_pad."""
+        gs = []
+        for batch in sampler.epoch(train_nodes):
+            gs.append(batch)
+            if steps_per_epoch and len(gs) >= steps_per_epoch:
+                break
+        return dict(
+            senders=np.stack([b.graph.senders for b in gs]),
+            receivers=np.stack([b.graph.receivers for b in gs]),
+            mask=np.stack([b.graph.edge_mask for b in gs]),
+            weight=np.stack([b.graph.edge_weight for b in gs]),
+            ids=np.stack([b.node_ids.astype(np.int32) for b in gs]),
+            seed=np.stack([b.seed_mask for b in gs]),
+        ), gs[0].graph.e_pad, len(gs)
+
+    first, e_pad, n_steps = stack_epoch()
+
+    def epoch_fn(state, stacked, xf, yf):
+        # xf/yf are jit ARGUMENTS: closing over device arrays embeds them as
+        # HLO constants (GB-scale compile payloads — the round-1 crash class)
+        def body(st, b):
+            g = GT(senders=b["senders"], receivers=b["receivers"],
+                   edge_mask=b["mask"], edge_weight=b["weight"],
+                   n_node=cap_n, n_edge=e_pad)
+            valid = b["ids"] >= 0
+            rows = jnp.maximum(b["ids"], 0)
+            xb = jnp.where(valid[:, None], xf[rows], 0)
+            yb = jnp.where(valid, yf[rows], 0)
+            st, loss = base_step(st, g, xb, yb, b["seed"])
+            return st, loss
+        state, losses = jax.lax.scan(body, state, stacked)
+        return state, losses[-1]
+
+    run_epoch = jax.jit(epoch_fn, donate_argnums=0)
+
+    # warmup epoch (compile) — counts as training, not as timing
+    sample_s = []
+    h2d_s = []
+    state, loss = run_epoch(state, jax.device_put(first), xfull, yfull)
+    jax.block_until_ready(loss)
+
+    t_all = time.perf_counter()
+    for _ in range(max(epochs - 1, 0)):
+        t0 = time.perf_counter()
+        stacked, _, _ = stack_epoch()
+        sample_s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        state, loss = run_epoch(state, jax.device_put(stacked), xfull, yfull)
+        h2d_s.append(time.perf_counter() - t0)
+    _ = float(loss)          # single readback awaits the full device queue
+    total = time.perf_counter() - t_all
+    dt = total / max(epochs - 1, 1)
+
+    breakdown = dict(
+        sample_s=float(np.mean(sample_s)) if sample_s else 0.0,
+        h2d_dispatch_s=float(np.mean(h2d_s)) if h2d_s else 0.0,
+        steps_per_epoch=n_steps,
+    )
+    if measure_device_epoch:
+        # slope between k=1 and k=3 chained epochs in ONE dispatch each:
+        # pure device time, every constant overhead cancelled
+        stacked_dev = jax.device_put(first)
+
+        def k_epochs(k):
+            def fn(st, sd, xf, yf):
+                def body(i, s):
+                    s2, _ = epoch_fn(s, sd, xf, yf)
+                    return s2
+                return jax.lax.fori_loop(0, k, body, st)
+            return jax.jit(fn)
+
+        f1, f3 = k_epochs(1), k_epochs(3)
+        a = (stacked_dev, xfull, yfull)
+        _ = float(f1(state, *a).step)
+        _ = float(f3(state, *a).step)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter(); _ = float(f1(state, *a).step)
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter(); _ = float(f3(state, *a).step)
+            t3 = time.perf_counter() - t0
+            best = min(best, (t3 - t1) / 2)
+        breakdown["device_epoch_s"] = max(best, 0.0)
+
+    res = FitResult(
+        train_loss=float(loss),
+        train_acc=float("nan"),
+        val_acc=float("nan"),
+        test_acc=float("nan"),
+        epochs=epochs,
+        epoch_time_s=dt,
+        edges_per_s=n_steps * sampler.cap_edges / dt if dt > 0 else 0.0,
+    )
+    return state, res, breakdown

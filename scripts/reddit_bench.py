@@ -25,7 +25,8 @@ from gta_graph_tensor_acclelrator_for_general_gnn_tpu.utils.benchmark import (
     time_layer_device)
 
 N = 232965
-E = int(sys.argv[1]) if len(sys.argv) > 1 else 114_615_892
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+E = int(_pos[0]) if _pos else 114_615_892
 DO_STREAM = "--stream" in sys.argv
 UNIFORM = "--uniform" in sys.argv   # adversarial no-locality variant
 F = 128
