@@ -27,7 +27,7 @@ a dump row that is sliced away.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -220,6 +220,12 @@ class TiledGraph:
     n_node: int = dataclasses.field(metadata=dict(static=True))
     n_row_blocks: int = dataclasses.field(metadata=dict(static=True))
     n_col_blocks: int = dataclasses.field(metadata=dict(static=True))
+    # host copy of row_first_tile (tuple so it hashes as a static field):
+    # kernels consult it to split huge tile sets into multiple pallas calls
+    # at row-stripe boundaries WITHOUT a device readback (which would
+    # permanently degrade the axon tunnel).  None on hand-built instances.
+    row_first_host: Optional[Tuple[int, ...]] = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     @property
     def n_tiles(self) -> int:
@@ -347,6 +353,7 @@ def tile_graph(
         edge_id=jnp.asarray(eid),
         weight=jnp.asarray(w),
         row_first_tile=jnp.asarray(row_first),
+        row_first_host=tuple(int(v) for v in row_first),
         block_rows=block_rows,
         block_cols=block_cols,
         tile_edges=tile_edges,

@@ -178,6 +178,42 @@ def spmm_dense(
     return y[:n_rows, :f]
 
 
+def sddmm_dense_blocks(
+    bg: DenseBlockGraph,
+    x_src: jax.Array,
+    x_dst: jax.Array,
+    *,
+    precision: Optional[jax.lax.Precision] = None,
+) -> jax.Array:
+    """Dense-block SDDMM: per-block logit matrices ``E_b = Xd_rb @ Xs_cb^T``.
+
+    The classic SDDMM-as-GEMM-then-sample decomposition for blocks dense
+    enough that computing ALL R*C pair dots costs less than per-edge
+    one-hot gathers (same FLOP-balance threshold as spmm_dense — the
+    reference's MM-unit redispatch, vTCAD/code/simulator.py:541-545).
+    Returns [B, R, C] (x dtype) block logits; ``bg.values != 0`` is the
+    edge sampling mask (consumers either stay in block layout, e.g. the
+    dense masked softmax, or sample the edges they need).  Multi-head:
+    call per head slice.  Pure XLA: panel gather + batched matmul is
+    already MXU-shaped; a Pallas kernel adds nothing here.
+    """
+    R, C = bg.block_rows, bg.block_cols
+    if precision is None:
+        precision = (jax.lax.Precision.HIGHEST if x_src.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+    f = x_src.shape[1]
+    n_cols = bg.n_col_blocks * C
+    n_rows = bg.n_row_blocks * R
+    xs = jnp.zeros((n_cols, f), x_src.dtype).at[: x_src.shape[0]].set(x_src)
+    xd = jnp.zeros((n_rows, f), x_dst.dtype).at[: x_dst.shape[0]].set(x_dst)
+    src_p = xs.reshape(bg.n_col_blocks, C, f)[bg.blk_cb]   # [B, C, F]
+    dst_p = xd.reshape(bg.n_row_blocks, R, f)[bg.blk_rb]   # [B, R, F]
+    return jax.lax.dot_general(
+        dst_p, src_p, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=precision).astype(x_src.dtype)
+
+
 # ---------------------------------------------------------------------------
 # dense masked attention: per-block softmax num/den partial sums
 # ---------------------------------------------------------------------------

@@ -79,6 +79,30 @@ def _spmm_kernel(
         preferred_element_type=jnp.float32, precision=precision)
 
 
+# Above ~100k tiles the two scalar-prefetch arrays outgrow SMEM and the
+# Mosaic compile crashes (measured: 101k tiles OK, 207k fails); kernels
+# split larger tile sets into multiple pallas calls at row-stripe
+# boundaries (tiles are rb-sorted, so chunks cover disjoint row ranges).
+MAX_TILES_PER_CALL = 65536
+
+
+def _stripe_chunks(row_first: tuple, n_tiles: int, cap: int):
+    """Split [0, n_tiles) into (t0, t1, rb0, rb1) chunks of <= cap tiles,
+    cut at row-stripe starts (row_first is strictly increasing since every
+    row block owns at least one tile)."""
+    import bisect
+    n_rb = len(row_first) - 1
+    chunks = []
+    t0, rb0 = 0, 0
+    while t0 < n_tiles:
+        rb1 = bisect.bisect_right(row_first, t0 + cap) - 1
+        rb1 = max(rb1, rb0 + 1)          # a stripe larger than cap: one call
+        rb1 = min(rb1, n_rb)
+        chunks.append((t0, int(row_first[rb1]), rb0, rb1))
+        t0, rb0 = int(row_first[rb1]), rb1
+    return chunks
+
+
 def spmm(
     tg: TiledGraph,
     x: jax.Array,
@@ -87,6 +111,7 @@ def spmm(
     feat_block: int = 512,
     interpret: bool = False,
     precision: Optional[jax.lax.Precision] = None,
+    max_tiles_per_call: int = MAX_TILES_PER_CALL,
 ) -> jax.Array:
     """Block-sparse SpMM: returns ``y`` [n_node, F] float32.
 
@@ -98,9 +123,12 @@ def spmm(
       edge_vals: optional per-edge multiplier [e_pad] (e.g. attention alpha);
           combined with the static tile weights.  Gathered into tile layout
           with one XLA take (cheap) before entering the kernel.
+
+    Tile sets beyond ``max_tiles_per_call`` are executed as several pallas
+    calls over disjoint row-stripe ranges (SMEM holds the per-call scalar
+    prefetch arrays) and concatenated.
     """
     n_cols = tg.n_col_blocks * tg.block_cols
-    n_rows = tg.n_row_blocks * tg.block_rows
     f = x.shape[1]
     fb = min(feat_block, _round_up(f, 128))
     f_pad = _round_up(f, fb)
@@ -118,7 +146,6 @@ def spmm(
         precision = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
 
-    T = tg.n_tiles
     kernel = functools.partial(
         _spmm_kernel,
         block_rows=tg.block_rows,
@@ -126,35 +153,58 @@ def spmm(
         tile_edges=tg.tile_edges,
         precision=precision,
     )
-    # grid: feature blocks outer, tiles inner -> output row blocks are
-    # visited contiguously per feature block (accumulation stays in VMEM).
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(f_pad // fb, T),
-        in_specs=[
-            # [T, 1, ET] layout: TPU requires the last two block dims to be
-            # (8k, 128k) or equal to the array dims — (1, ET) blocks over a
-            # [T, ET] array are illegal, (1, 1, ET) over [T, 1, ET] are fine.
-            pl.BlockSpec((1, 1, tg.tile_edges), lambda fi, t, rb, cb: (t, 0, 0)),
-            pl.BlockSpec((1, 1, tg.tile_edges), lambda fi, t, rb, cb: (t, 0, 0)),
-            pl.BlockSpec((1, 1, tg.tile_edges), lambda fi, t, rb, cb: (t, 0, 0)),
-            pl.BlockSpec(
-                (tg.block_cols, fb), lambda fi, t, rb, cb: (cb[t], fi)),
-        ],
-        out_specs=pl.BlockSpec(
-            (tg.block_rows, fb), lambda fi, t, rb, cb: (rb[t], fi)),
-    )
-    flops = 2 * T * tg.tile_edges * (tg.block_cols + tg.block_rows) * f_pad
-    y = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_rows, f_pad), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=xp.size * xp.dtype.itemsize + T * tg.tile_edges * 12,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(tg.tile_rb, tg.tile_cb,
-      tg.src_local[:, None, :], tg.dst_local[:, None, :], w[:, None, :], xp)
+
+    def call(tile_rb, tile_cb, srcl, dstl, wv, n_rb):
+        T = int(tile_rb.shape[0])
+        # grid: feature blocks outer, tiles inner -> output row blocks are
+        # visited contiguously per feature block (accumulation in VMEM).
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(f_pad // fb, T),
+            in_specs=[
+                # [T, 1, ET] layout: TPU requires the last two block dims to
+                # be (8k, 128k) or equal to the array dims — (1, ET) blocks
+                # over [T, ET] are illegal, (1, 1, ET) over [T, 1, ET] fine.
+                pl.BlockSpec((1, 1, tg.tile_edges),
+                             lambda fi, t, rb, cb: (t, 0, 0)),
+                pl.BlockSpec((1, 1, tg.tile_edges),
+                             lambda fi, t, rb, cb: (t, 0, 0)),
+                pl.BlockSpec((1, 1, tg.tile_edges),
+                             lambda fi, t, rb, cb: (t, 0, 0)),
+                pl.BlockSpec(
+                    (tg.block_cols, fb), lambda fi, t, rb, cb: (cb[t], fi)),
+            ],
+            out_specs=pl.BlockSpec(
+                (tg.block_rows, fb), lambda fi, t, rb, cb: (rb[t], fi)),
+        )
+        flops = (2 * T * tg.tile_edges
+                 * (tg.block_cols + tg.block_rows) * f_pad)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_rb * tg.block_rows, f_pad), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=(xp.size * xp.dtype.itemsize
+                                + T * tg.tile_edges * 12),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(tile_rb, tile_cb,
+          srcl[:, None, :], dstl[:, None, :], wv[:, None, :], xp)
+
+    T = tg.n_tiles
+    if T <= max_tiles_per_call or tg.row_first_host is None:
+        y = call(tg.tile_rb, tg.tile_cb, tg.src_local, tg.dst_local, w,
+                 tg.n_row_blocks)
+    else:
+        parts = []
+        for t0, t1, rb0, rb1 in _stripe_chunks(
+                tg.row_first_host, T, max_tiles_per_call):
+            parts.append(call(
+                tg.tile_rb[t0:t1] - rb0, tg.tile_cb[t0:t1],
+                tg.src_local[t0:t1], tg.dst_local[t0:t1], w[t0:t1],
+                rb1 - rb0))
+        y = jnp.concatenate(parts, axis=0)
     return y[: tg.n_node, :f]

@@ -18,7 +18,7 @@ import ml_dtypes
 import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
 from gta_graph_tensor_acclelrator_for_general_gnn_tpu.data.datasets import synthetic_coo
 from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
-    hybrid_graph, reorder_nodes)
+    hybrid_graph, reorder_nodes, tile_graph)
 from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import dense as D
 from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import spmm as spmm_mod
 from gta_graph_tensor_acclelrator_for_general_gnn_tpu.utils.benchmark import (
@@ -119,6 +119,30 @@ if DO_STREAM:
         None, g, x, k_small=1, k_big=5, reps=2)
     print(f"STREAM spmm: {t2*1e3:.1f} ms  {hg.n_edge/t2/1e9:.3f} Gedge/s",
           flush=True)
+
+# --- SDDMM at full scale (--sddmm): hybrid per-edge logits ----------------
+if "--sddmm" in sys.argv:
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import sddmm as sddmm_mod
+    # dense blocks: SDDMM-as-GEMM (all R*C pair dots, bg.values is the
+    # sampling mask); tail: one-hot gather-pair tiles.  Reuses the spmm
+    # hybrid split (same FLOP balance).
+    xs = jax.device_put(jax.random.normal(jax.random.key(7), (N, F),
+                                          jnp.bfloat16))
+
+    def sddmm_fn(p, gg, xx):
+        bg, tg = gg
+        e_tail = sddmm_mod.sddmm(tg, xx, p, heads=1)      # [1, T, ET]
+        # scalar reduction keeps the logits live (anti-DCE) at negligible cost
+        out = e_tail.sum().astype(xx.dtype)
+        if bg is not None:
+            e_blk = D.sddmm_dense_blocks(bg, xx, p)       # [B, R, C]
+            out = out + e_blk.sum().astype(xx.dtype)
+        return xx + out * 1e-9
+
+    gg = (hyb.dense, hyb.tiles)
+    ts_ = time_layer_device(sddmm_fn, xs, gg, x, k_small=1, k_big=4, reps=2)
+    print(f"HYBRID sddmm F{F}: {ts_*1e3:.1f} ms  "
+          f"{hg.n_edge/ts_/1e9:.3f} Gedge/s", flush=True)
 
 # --- GAT attention at full scale (--gat): hybrid dense-mask + edge tiles --
 if "--gat" in sys.argv:

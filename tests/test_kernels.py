@@ -86,3 +86,46 @@ def test_edges_to_tiles_roundtrip(rng):
     tiled = edges_to_tiles(tg, vals)               # [T, ET, 3]
     back = tiles_to_edges(tg, jnp.moveaxis(tiled, -1, 0), g.e_pad)
     np.testing.assert_allclose(np.asarray(back), np.asarray(vals), rtol=1e-6, atol=1e-6)
+
+
+def test_spmm_chunked_matches_single_call(rng):
+    """Huge tile sets split into multiple stripe-aligned pallas calls (SMEM
+    cap on scalar prefetch); the chunked result must equal the single call."""
+    g, tg = _graph(rng)
+    assert tg.row_first_host is not None and tg.n_tiles > 8
+    x = jnp.asarray(rng.normal(size=(g.n_node, 64)).astype(np.float32))
+    y1 = spmm(tg, x, interpret=True)
+    y2 = spmm(tg, x, interpret=True, max_tiles_per_call=4)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sddmm_dense_blocks_matches_oracle(rng):
+    """Dense-block SDDMM (GEMM-then-sample): block logits at real edges
+    equal the per-edge dots."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+        hybrid_graph)
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import dense as D
+
+    s, r = small_graph(rng, n=256, e=4000, multi_edges=True)
+    g = build_graph(s, r, 256, symmetric_norm=False, edge_pad_multiple=128)
+    hyb = hybrid_graph(g, block_rows=64, block_cols=64, tile_edges=128,
+                       min_nnz=20, unit_weight=True)
+    assert hyb.dense is not None and hyb.dense.n_blocks > 0
+    f = 48
+    xs = jnp.asarray(rng.normal(size=(256, f)).astype(np.float32))
+    xd = jnp.asarray(rng.normal(size=(256, f)).astype(np.float32))
+    eb = np.asarray(D.sddmm_dense_blocks(hyb.dense, xs, xd))
+    vals = np.asarray(hyb.dense.values)
+    rbs = np.asarray(hyb.dense.blk_rb)
+    cbs = np.asarray(hyb.dense.blk_cb)
+    xs_h, xd_h = np.asarray(xs), np.asarray(xd)
+    checked = 0
+    for b in range(hyb.dense.n_blocks):
+        rr, cc = np.nonzero(vals[b])
+        gr = rbs[b] * 64 + rr
+        gc = cbs[b] * 64 + cc
+        ref = (xd_h[gr] * xs_h[gc]).sum(axis=1)
+        np.testing.assert_allclose(eb[b][rr, cc], ref, rtol=1e-4, atol=1e-4)
+        checked += len(rr)
+    assert checked > 100
