@@ -194,6 +194,7 @@ def main(argv=None):
 
     elif args.command == "bench":
         from .graph import tile_graph
+        from .ops import sddmm as sddmm_mod
         from .ops import spmm as spmm_mod
         tg = tile_graph(ds.host_graph)
         x = jax.device_put(jax.random.normal(
@@ -204,6 +205,18 @@ def main(argv=None):
             k_small=8, k_big=8 + args.iters)
         out.update(dict(spmm_latency_us=lat * 1e6,
                         spmm_edges_per_s=ds.host_graph.n_edge / lat))
+
+        # SDDMM (per-edge pair dots — the attention-logit hot op; the
+        # north-star metric is SpMM+SDDMM edges/s)
+        def sddmm_fn(p, t, v):
+            e = sddmm_mod.sddmm(t, v, v, heads=1)
+            # scalar keep-alive folded back at negligible cost
+            return v + e.sum().astype(v.dtype) * 1e-9
+
+        lat2 = time_layer_device(sddmm_fn, None, tg, x,
+                                 k_small=8, k_big=8 + args.iters)
+        out.update(dict(sddmm_latency_us=lat2 * 1e6,
+                        sddmm_edges_per_s=ds.host_graph.n_edge / lat2))
 
     print(json.dumps(out))
     return 0

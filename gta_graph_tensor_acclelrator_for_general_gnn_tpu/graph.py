@@ -458,12 +458,22 @@ def hybrid_graph(
     extremely sparse — a 256-grid block holds a handful of edges, so every
     512-slot tile is ~1% utilised; the tail wants blocks as large as VMEM
     allows (per-edge one-hot cost ∝ (1/R + 1/C) / density).  Outputs still
-    add: both kernels emit [row-padded, F] aligned at row 0."""
+    add: both kernels emit [row-padded, F] aligned at row 0.
+
+    An INTEGRAL ``values_dtype`` (np.int8) stores dense blocks as edge
+    COUNTS (0/1 after dedup) regardless of edge weights — halving the
+    dense-path HBM traffic vs bf16.  The tail tiles keep the real
+    weights; callers recover separable weights (e.g. symmetric norm
+    ``w_e = deg_in[r]^-1/2 * deg_out[s]^-1/2``) via the ``row_scale`` /
+    ``col_scale`` arguments of ``ops.dense.spmm_dense``."""
     g = _as_host(g)
     s = g.senders[: g.n_edge]
     r = g.receivers[: g.n_edge]
+    integral_vals = np.issubdtype(np.dtype(values_dtype), np.integer)
     w = (np.ones(g.n_edge, np.float32) if unit_weight
          else g.edge_weight[: g.n_edge])
+    # dense accumulation source: unit counts for integral dtypes
+    wd = np.ones(g.n_edge, np.float32) if integral_vals else w
 
     sbr = sparse_block_rows or block_rows
     sbc = sparse_block_cols or block_cols
@@ -496,7 +506,7 @@ def hybrid_graph(
         values = np.zeros((len(dense_ids), block_rows, block_cols), np.float32)
         np.add.at(values,
                   (e_slot[in_dense], r[in_dense] % block_rows,
-                   s[in_dense] % block_cols), w[in_dense])
+                   s[in_dense] % block_cols), wd[in_dense])
     else:
         # low-precision store: accumulate in f32 CHUNKS of blocks, cast per
         # chunk (np.add.at on exotic dtypes is slow and lossy; a per-block
@@ -505,7 +515,7 @@ def hybrid_graph(
         values = np.zeros((B, block_rows, block_cols), values_dtype)
         es, rs, cs, ws = (e_slot[in_dense],
                           r[in_dense] % block_rows,
-                          s[in_dense] % block_cols, w[in_dense])
+                          s[in_dense] % block_cols, wd[in_dense])
         eorder = np.argsort(es, kind="stable")
         es, rs, cs, ws = es[eorder], rs[eorder], cs[eorder], ws[eorder]
         CH = max(1, (256 * 2**20) // (block_rows * block_cols * 4))

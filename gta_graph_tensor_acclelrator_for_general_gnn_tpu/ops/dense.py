@@ -80,7 +80,9 @@ def _spmm_dense_kernel(rb_ref, cb_ref, a_ref, x_ref, o_ref, *, precision):
     def _zero():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    o_ref[:] += jnp.dot(a_ref[0], x_ref[:],
+    # int8-stored blocks (edge counts) widen to the x dtype on the VPU —
+    # negligible next to the halved A DMA
+    o_ref[:] += jnp.dot(a_ref[0].astype(x_ref.dtype), x_ref[:],
                         preferred_element_type=jnp.float32,
                         precision=precision)
 
@@ -99,7 +101,8 @@ def _spmm_dense_super_kernel(rb_ref, cb_ref, a_ref, x_ref, o_ref,
 
     off = (rb_ref[b] % G) * R
     o_ref[pl.ds(off, R), :] += jnp.dot(
-        a_ref[0], x_ref[:], preferred_element_type=jnp.float32,
+        a_ref[0].astype(x_ref.dtype), x_ref[:],
+        preferred_element_type=jnp.float32,
         precision=precision)
 
 
@@ -110,18 +113,31 @@ def spmm_dense(
     feat_block: int = 512,
     interpret: bool = False,
     precision: Optional[jax.lax.Precision] = None,
+    row_scale: Optional[jax.Array] = None,
+    col_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """y[r] = sum_c A[r, c] * x[c] over the dense blocks only; rows in
     blocks the dense set never touches are 0 (the edge-tile kernel owns
-    them).  Returns [n_rows_padded, F] f32 like ops/spmm.spmm."""
+    them).  Returns [n_rows_padded, F] f32 like ops/spmm.spmm.
+
+    ``row_scale`` / ``col_scale`` ([n_node] f32) recover separable edge
+    weights when ``bg.values`` stores int8 edge counts: the result is
+    ``diag(row_scale) @ A @ diag(col_scale) @ x`` (symmetric norm is
+    ``deg_in^-1/2`` / ``deg_out^-1/2``).  Elementwise scaling fuses into
+    the padding copies; the kernel streams half the A bytes."""
     R, C = bg.block_rows, bg.block_cols
     n_cols = bg.n_col_blocks * C
     n_rows = bg.n_row_blocks * R
     f = x.shape[1]
     fb = min(feat_block, _round_up(f, 128))
     f_pad = _round_up(f, fb)
+    if col_scale is not None:
+        x = x * col_scale[:, None].astype(x.dtype)
     xp = jnp.zeros((n_cols, f_pad), x.dtype).at[: x.shape[0], :f].set(x)
-    a = bg.values.astype(x.dtype)
+    # integral (count) blocks enter the kernel as-is and widen in VMEM;
+    # float blocks pre-cast to the compute dtype (free when equal)
+    a = (bg.values if jnp.issubdtype(bg.values.dtype, jnp.integer)
+         else bg.values.astype(x.dtype))
     if precision is None:
         precision = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
@@ -175,7 +191,12 @@ def spmm_dense(
         sel = jnp.concatenate(
             [sel, jnp.zeros(n_rows_pad - n_rows, bool)])
     y = jnp.where(sel[:, None], y, 0.0)
-    return y[:n_rows, :f]
+    y = y[:n_rows, :f]
+    if row_scale is not None:
+        rs = jnp.zeros(n_rows, jnp.float32).at[: row_scale.shape[0]].set(
+            row_scale.astype(jnp.float32))
+        y = y * rs[:, None]
+    return y
 
 
 def sddmm_dense_blocks(
@@ -295,7 +316,10 @@ def gat_dense_partial(
         a_src.astype(jnp.float32).T)
     ads = jnp.zeros((n_rows, H), jnp.float32).at[: a_dst.shape[0]].set(
         a_dst.astype(jnp.float32))
-    mvals = bg.values.astype(h_src.dtype)
+    # int8 count blocks stream at half the bf16 bytes; the kernel widens
+    # the mask to f32 either way
+    mvals = (bg.values if jnp.issubdtype(bg.values.dtype, jnp.integer)
+             else bg.values.astype(h_src.dtype))
 
     B = bg.n_blocks
     kernel = functools.partial(

@@ -69,11 +69,9 @@ def _round_up(x: int, m: int) -> int:
 def _gat_kernel(
     rb_ref, cb_ref,
     src_ref, dst_ref,
-    hcat_ref, adst_ref, msrc_ref,
-    o_ref,
-    acc_ref,
-    *, R: int, C: int, ET: int, H: int, HD: int, slope: float,
-    normalize: bool, precision,
+    *refs,
+    R: int, C: int, ET: int, H: int, HD: int, slope: float,
+    normalize: bool, precision, derive: bool = False,
 ):
     """One edge tile of the softmax-aggregate (3-wide-pass structure, see
     module docstring).
@@ -84,7 +82,17 @@ def _gat_kernel(
     bound  b[r] = leaky_relu(max_s a_src[s] + a_dst[r])  >= every logit of
     row r (leaky_relu is monotone).  exp(e - b) <= 1 — no overflow, no
     rescaling, num/den accumulate across the row stripe unmodified.
+
+    ``derive=True`` (width-128 repack): the pass-1 gather reads h ALONE
+    (HD lanes, one 128-lane MXU chunk at HD=128 instead of two for the
+    [h ‖ a_src] pack) and a_src is derived in-kernel by the tiny
+    [ET, HD] @ [HD, H] matmul — a_src is a linear map of h, so the extra
+    matmul costs ~ET*HD*H MACs vs the ET*C*128 saved on the gather.
     """
+    if derive:
+        hcat_ref, w_ref, adst_ref, msrc_ref, o_ref, acc_ref = refs
+    else:
+        hcat_ref, adst_ref, msrc_ref, o_ref, acc_ref = refs
     t = pl.program_id(0)
     T = pl.num_programs(0)
     prev_rb = jnp.where(t == 0, -1, rb_ref[jnp.maximum(t - 1, 0)])
@@ -106,11 +114,19 @@ def _gat_kernel(
     rows_er = jax.lax.broadcasted_iota(jnp.int32, (ET, R), 1)
     oh_dst = (dst[:, None] == rows_er).astype(dt)             # [ET, R]
 
-    # pass 1: packed gather of [h ‖ a_src] rows
-    g = jnp.dot(oh_src, hcat_ref[:], preferred_element_type=jnp.float32,
-                precision=precision)                          # [ET, HD+H]
-    hs = g[:, :HD]
-    a_s = g[:, HD:]
+    if derive:
+        # pass 1: gather h rows only; derive a_src = hs @ W in-kernel
+        hs = jnp.dot(oh_src, hcat_ref[:], preferred_element_type=jnp.float32,
+                     precision=precision)                     # [ET, HD]
+        a_s = jnp.dot(hs.astype(dt), w_ref[:],
+                      preferred_element_type=jnp.float32,
+                      precision=precision)                    # [ET, H]
+    else:
+        # pass 1: packed gather of [h ‖ a_src] rows
+        g = jnp.dot(oh_src, hcat_ref[:], preferred_element_type=jnp.float32,
+                    precision=precision)                      # [ET, HD+H]
+        hs = g[:, :HD]
+        a_s = g[:, HD:]
     # pass 2: a_dst gather
     a_d = jnp.dot(oh_dst, adst_ref[:], preferred_element_type=jnp.float32,
                   precision=precision)                        # [ET, H]
@@ -270,27 +286,41 @@ def _gat_forward(
     precision=None,
     normalize: bool = True,
     msrc: jax.Array = None,
+    max_tiles_per_call: int = None,
 ) -> jax.Array:
+    from .spmm import MAX_TILES_PER_CALL, _stripe_chunks
+    if max_tiles_per_call is None:
+        max_tiles_per_call = MAX_TILES_PER_CALL
     H = a_dst.shape[1]
     HD = h_src.shape[1]
     assert HD % H == 0, (HD, H)
     if precision is None:
         precision = (jax.lax.Precision.HIGHEST if h_src.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
+    derive = False
     if w_asrc is not None:
         # a_src is a linear map of h: the [N, HD] @ [HD, H] matmul is noise
         # next to the kernel, and taking *values* keeps the data-dependent
-        # softmax bound exact at every input scale
+        # softmax bound exact at every input scale.  For the WIDE (row-
+        # major) kernel the values stay out of the gather operand — the
+        # kernel re-derives them so pass 1 is one 128-lane chunk, not two
+        # (ROADMAP "width-128 repack").
         a_src = jnp.dot(h_src, w_asrc.astype(h_src.dtype),
                         preferred_element_type=jnp.float32)
+        derive = HD + H > NARROW_T
 
     R, C, ET, T = tg.block_rows, tg.block_cols, tg.tile_edges, tg.n_tiles
     n_cols = tg.n_col_blocks * C
     n_rows = tg.n_row_blocks * R
-    # packed pass-1 operand [h ‖ a_src]
-    hcat = jnp.zeros((n_cols, HD + H), h_src.dtype)
-    hcat = hcat.at[: h_src.shape[0], :HD].set(h_src)
-    hcat = hcat.at[: a_src.shape[0], HD:].set(a_src.astype(h_src.dtype))
+    if derive:
+        hcat = jnp.zeros((n_cols, HD), h_src.dtype)
+        hcat = hcat.at[: h_src.shape[0]].set(h_src)
+        wk = w_asrc.astype(h_src.dtype)
+    else:
+        # packed pass-1 operand [h ‖ a_src]
+        hcat = jnp.zeros((n_cols, HD + H), h_src.dtype)
+        hcat = hcat.at[: h_src.shape[0], :HD].set(h_src)
+        hcat = hcat.at[: a_src.shape[0], HD:].set(a_src.astype(h_src.dtype))
     ads = jnp.zeros((n_rows, H), a_dst.dtype).at[: a_dst.shape[0]].set(a_dst)
     if msrc is None:
         # global per-head source-logit max (over real nodes): the softmax
@@ -299,72 +329,99 @@ def _gat_forward(
         msrc = jnp.max(a_src.astype(jnp.float32), axis=0, keepdims=True)
 
     out_w = HD + H if not normalize else HD
-    flops = 2 * T * ET * (C + 2 * R) * max(H + HD, 128)
-    cost = pl.CostEstimate(
-        flops=flops,
-        bytes_accessed=(hcat.size + ads.size) * h_src.dtype.itemsize,
-        transcendentals=T * ET * H,
-    )
-    if HD + H <= NARROW_T:
-        # transposed dataflow: [feat, edges] orientation (see _gat_kernel_t)
+    narrow = HD + H <= NARROW_T
+
+    def call(tile_rb, tile_cb, srcl, dstl, rb0, n_rb):
+        Tc = int(tile_rb.shape[0])
+        cost = pl.CostEstimate(
+            flops=2 * Tc * ET * (C + 2 * R) * max(H + HD, 128),
+            bytes_accessed=(hcat.size + ads.size) * h_src.dtype.itemsize,
+            transcendentals=Tc * ET * H,
+        )
+        if narrow:
+            # transposed dataflow: [feat, edges] (see _gat_kernel_t)
+            kernel = functools.partial(
+                _gat_kernel_t, R=R, C=C, ET=ET, H=H, HD=HD,
+                slope=float(negative_slope), normalize=normalize,
+                precision=precision)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(Tc,),
+                in_specs=[
+                    pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
+                    pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
+                    pl.BlockSpec((HD + H, C), lambda t, rb, cb: (0, cb[t])),
+                    pl.BlockSpec((H, R), lambda t, rb, cb: (0, rb[t] + rb0)),
+                    pl.BlockSpec((H, 1), lambda t, rb, cb: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (out_w, R), lambda t, rb, cb: (0, rb[t])),
+                scratch_shapes=[
+                    pltpu.VMEM((HD + H, R), jnp.float32),
+                ],
+            )
+            return pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((out_w, n_rb * R), jnp.float32),
+                cost_estimate=cost,
+                interpret=interpret,
+            )(tile_rb, tile_cb,
+              srcl[:, None, :], dstl[:, None, :],
+              hcat.T, ads.astype(jnp.float32).T, msrc.T)
+
         kernel = functools.partial(
-            _gat_kernel_t, R=R, C=C, ET=ET, H=H, HD=HD,
+            _gat_kernel, R=R, C=C, ET=ET, H=H, HD=HD,
             slope=float(negative_slope), normalize=normalize,
-            precision=precision)
+            precision=precision, derive=derive)
+        hcat_w = HD if derive else HD + H
+        in_specs = [
+            pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
+            pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
+            pl.BlockSpec((C, hcat_w), lambda t, rb, cb: (cb[t], 0)),
+        ]
+        operands = [tile_rb, tile_cb,
+                    srcl[:, None, :], dstl[:, None, :], hcat]
+        if derive:
+            in_specs.append(pl.BlockSpec((HD, H), lambda t, rb, cb: (0, 0)))
+            operands.append(wk)
+        in_specs += [
+            pl.BlockSpec((R, H), lambda t, rb, cb: (rb[t] + rb0, 0)),
+            pl.BlockSpec((1, H), lambda t, rb, cb: (0, 0)),
+        ]
+        operands += [ads, msrc]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(T,),
-            in_specs=[
-                pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
-                pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
-                pl.BlockSpec((HD + H, C), lambda t, rb, cb: (0, cb[t])),
-                pl.BlockSpec((H, R), lambda t, rb, cb: (0, rb[t])),
-                pl.BlockSpec((H, 1), lambda t, rb, cb: (0, 0)),
-            ],
-            out_specs=pl.BlockSpec((out_w, R), lambda t, rb, cb: (0, rb[t])),
+            grid=(Tc,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((R, out_w), lambda t, rb, cb: (rb[t], 0)),
             scratch_shapes=[
-                pltpu.VMEM((HD + H, R), jnp.float32),
+                pltpu.VMEM((R, HD + H), jnp.float32),
             ],
         )
-        out_t = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((out_w, n_rows), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n_rb * R, out_w), jnp.float32),
             cost_estimate=cost,
             interpret=interpret,
-        )(tg.tile_rb, tg.tile_cb,
-          tg.src_local[:, None, :], tg.dst_local[:, None, :],
-          hcat.T, ads.astype(jnp.float32).T, msrc.T)
-        return out_t.T[: tg.n_node]
+        )(*operands)
 
-    kernel = functools.partial(
-        _gat_kernel, R=R, C=C, ET=ET, H=H, HD=HD,
-        slope=float(negative_slope), normalize=normalize, precision=precision)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
-            pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
-            pl.BlockSpec((C, HD + H), lambda t, rb, cb: (cb[t], 0)),
-            pl.BlockSpec((R, H), lambda t, rb, cb: (rb[t], 0)),
-            pl.BlockSpec((1, H), lambda t, rb, cb: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((R, HD + H if not normalize else HD),
-                               lambda t, rb, cb: (rb[t], 0)),
-        scratch_shapes=[
-            pltpu.VMEM((R, HD + H), jnp.float32),
-        ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (n_rows, HD + H if not normalize else HD), jnp.float32),
-        cost_estimate=cost,
-        interpret=interpret,
-    )(tg.tile_rb, tg.tile_cb,
-      tg.src_local[:, None, :], tg.dst_local[:, None, :], hcat, ads, msrc)
+    if T <= max_tiles_per_call or tg.row_first_host is None:
+        out = call(tg.tile_rb, tg.tile_cb, tg.src_local, tg.dst_local,
+                   0, tg.n_row_blocks)
+    else:
+        # SMEM holds only ~100k scalar-prefetch tile entries per call
+        # (see spmm.MAX_TILES_PER_CALL): split at row-stripe boundaries
+        parts = []
+        for t0, t1, rb0, rb1 in _stripe_chunks(
+                tg.row_first_host, T, max_tiles_per_call):
+            parts.append(call(
+                tg.tile_rb[t0:t1] - rb0, tg.tile_cb[t0:t1],
+                tg.src_local[t0:t1], tg.dst_local[t0:t1], rb0, rb1 - rb0))
+        out = jnp.concatenate(parts, axis=1 if narrow else 0)
+    if narrow:
+        return out.T[: tg.n_node]
     return out[: tg.n_node]
 
 

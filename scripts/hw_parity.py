@@ -105,6 +105,43 @@ sd_ref = jax.jit(lambda: (P.scatter_to_edges(a_s, g, "C")
 check("sddmm_edges/ADD",
       jax.jit(lambda: SD.sddmm_edges(tgu, g, a_s, a_d, "ADD"))(), sd_ref, 1e-5)
 
+# chunked (stripe-split) dispatch — the >65k-tile SMEM path on real HW
+check("spmm_chunked/f32",
+      jax.jit(lambda: SP.spmm(tg, x, max_tiles_per_call=8))(), y_ref, 1e-5)
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops.gat import (
+    _gat_forward)
+check("gat_chunked/f32",
+      jax.jit(lambda: _gat_forward(tgu, x, a_s, a_d,
+                                   max_tiles_per_call=8))(), gat_ref, 1e-4)
+
+# int8 count blocks + separable degree scaling (spmm) and int8 mask (gat)
+hyb8 = hybrid_graph(hg, block_rows=128, block_cols=128, tile_edges=256,
+                    min_nnz=180, values_dtype=np.int8)
+deg_in = np.bincount(hg.receivers[: hg.n_edge], minlength=n)
+deg_out = np.bincount(hg.senders[: hg.n_edge], minlength=n)
+rs_ = jax.device_put(jnp.asarray(1.0 / np.sqrt(np.maximum(deg_in, 1)),
+                                 jnp.float32))
+cs_ = jax.device_put(jnp.asarray(1.0 / np.sqrt(np.maximum(deg_out, 1)),
+                                 jnp.float32))
+check("spmm_int8_sep/f32",
+      jax.jit(lambda: (D.spmm_dense(hyb8.dense, x, row_scale=rs_,
+                                    col_scale=cs_)[: n]
+                       + SP.spmm(hyb8.tiles, x)[: n]))(), y_ref, 1e-4)
+
+# wide derive path: a_src derived in-kernel from w_asrc (width-128 repack)
+w_a = jax.device_put(
+    jax.random.normal(jax.random.key(9), (F, H), jnp.float32) * 0.3)
+gat_ref_w = jax.jit(
+    lambda: D._gat_reference_g(gu, x, jnp.dot(x, w_a), a_d, 0.2))()
+check("gat_derive/f32",
+      jax.jit(lambda: gat_attention(tgu, x, None, a_d, heads=H,
+                                    w_asrc=w_a))(), gat_ref_w, 1e-4)
+check("gat_derive/bf16",
+      jax.jit(lambda: gat_attention(tgu, x.astype(jnp.bfloat16), None,
+                                    a_d.astype(jnp.bfloat16), heads=H,
+                                    w_asrc=w_a.astype(jnp.bfloat16)))(),
+      gat_ref_w, 3e-2)
+
 # sparse-input MM
 from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import sinput
 xs = (rng.random((n, 200)) < 0.03).astype(np.float32) * \

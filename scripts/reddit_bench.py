@@ -25,7 +25,17 @@ from gta_graph_tensor_acclelrator_for_general_gnn_tpu.utils.benchmark import (
     time_layer_device)
 
 N = 232965
-_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+_VALUE_FLAGS = {"--rb"}          # flags that consume the next token
+_pos, _skip = [], False
+for _a in sys.argv[1:]:
+    if _skip:
+        _skip = False
+        continue
+    if _a in _VALUE_FLAGS:
+        _skip = True
+        continue
+    if not _a.startswith("--"):
+        _pos.append(_a)
 E = int(_pos[0]) if _pos else 114_615_892
 DO_STREAM = "--stream" in sys.argv
 UNIFORM = "--uniform" in sys.argv   # adversarial no-locality variant
@@ -53,57 +63,112 @@ print(f"reorder {time.time()-t0:.0f}s", flush=True)
 
 # --- hybrid split: dense blocks >= FLOP-balance threshold ---------------
 # adaptive: raise the threshold until the dense value matrices fit the
-# HBM budget (bf16, [B, 256, 256] = 128 KiB/block)
-RB = CB = 256
+# HBM budget.  Default dense store: int8 edge counts + separable degree
+# scaling (halves A traffic vs bf16; the dense part is DMA-bound).
+INT8 = "--bf16-dense" not in sys.argv
+
+
+def _flag(name, default):
+    return (int(sys.argv[sys.argv.index(name) + 1])
+            if name in sys.argv else default)
+
+
+# dense grid: the per-grid-step fixed cost (~400ns measured) dominates the
+# 256-grid dense part; --rb 512 amortises it over 4x block area (int8
+# makes the extra covered area affordable)
+RB = CB = _flag("--rb", 256)
 DENSE_BUDGET = 5 << 30
 from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import block_nnz
 bn = block_nnz(hg, RB, CB).reshape(-1)
 bn_sorted = np.sort(bn)[::-1]
-max_blocks = DENSE_BUDGET // (RB * CB * 2)
-thr = max(D.spmm_dense_threshold(RB, CB),
+VB = 1 if INT8 else 2                   # bytes per dense A entry
+max_blocks = DENSE_BUDGET // (RB * CB * VB)
+# int8 halves the dense byte cost per block -> the bandwidth-balance
+# threshold halves with it (fudge 0.5)
+thr = max(D.spmm_dense_threshold(RB, CB, fudge=0.5 if INT8 else 1.0),
           int(bn_sorted[max_blocks - 1]) + 1 if len(bn_sorted) > max_blocks
           else 0)
-# adaptive tail tile capacity: ~the mean nnz of nonempty 1024-grid tail
-# blocks, so tail tiles are well utilised at any density
+# adaptive tail tile capacity: pick ET minimising total tile SLOTS
+# (sum ceil(nnz_b/ET) * ET over tail blocks — per-tile kernel cost is
+# linear in ET, so slots ~ time; the old mean*1.2 heuristic overshot by a
+# capacity class at some densities, costing ~20%)
+cbn256 = int(np.ceil(N / CB))
+
+
+def tail_edge_ids(thr_):
+    """host mask of edges whose 256-grid block is below thr_ (the tail)."""
+    key = ((hg.receivers[: hg.n_edge] // RB).astype(np.int64) * cbn256
+           + hg.senders[: hg.n_edge] // CB)
+    return bn[key] < thr_
+
+
+def best_tile_edges(thr_, tr, tc):
+    """argmin_ET sum(ceil(nnz/ET))*ET over the (tr, tc) tail blocks."""
+    m = tail_edge_ids(thr_)
+    tcn = int(np.ceil(N / tc))
+    key = ((hg.receivers[: hg.n_edge][m] // tr).astype(np.int64) * tcn
+           + hg.senders[: hg.n_edge][m] // tc)
+    nnz = np.bincount(key)
+    nnz = nnz[nnz > 0]
+    cands = range(256, 1025, 128)
+    slots = {et: int(np.ceil(nnz / et).sum()) * et for et in cands}
+    return min(cands, key=lambda et: (slots[et], et))
+
+
 tail_e = int(bn[bn < thr].sum())
-tail_blocks = max(int(np.count_nonzero(
-    block_nnz(hg, 1024, 1024))), 1)
-ET = int(np.clip(((tail_e * 1.2 / tail_blocks) // 128 + 1) * 128, 256, 1024))
+ET = best_tile_edges(thr, 1024, 1024)
 t0 = time.time()
 hyb = hybrid_graph(hg, block_rows=RB, block_cols=CB, tile_edges=ET,
                    min_nnz=thr, supergroup=16,
-                   values_dtype=ml_dtypes.bfloat16,
+                   values_dtype=np.int8 if INT8 else ml_dtypes.bfloat16,
                    sparse_block_rows=1024, sparse_block_cols=1024)
 nb = hyb.dense.n_blocks if hyb.dense else 0
 print(f"hybrid split {time.time()-t0:.0f}s thr={thr}: "
       f"dense {hyb.n_dense_edges} edges in {nb} blocks "
-      f"({nb*RB*CB*2/2**30:.2f} GiB), "
+      f"({nb*RB*CB*VB/2**30:.2f} GiB {'int8' if INT8 else 'bf16'}), "
       f"sparse {hyb.n_sparse_edges} in {hyb.tiles.n_tiles} tiles "
       f"(ET={ET} util {hyb.n_sparse_edges/max(hyb.tiles.n_tiles*ET,1):.2f})",
       flush=True)
 
 x = jax.device_put(jax.random.normal(jax.random.key(0), (N, F), jnp.bfloat16))
 
+# separable symmetric-norm factors for the int8 count blocks (the tail
+# tiles carry the full per-edge weights either way)
+if INT8:
+    deg_in = np.bincount(hg.receivers[: hg.n_edge], minlength=N)
+    deg_out = np.bincount(hg.senders[: hg.n_edge], minlength=N)
+    rs = jax.device_put(jnp.asarray(
+        1.0 / np.sqrt(np.maximum(deg_in, 1)), jnp.float32))
+    cs = jax.device_put(jnp.asarray(
+        1.0 / np.sqrt(np.maximum(deg_out, 1)), jnp.float32))
+else:
+    rs = cs = None
+
 # the tile/dense arrays are GBs: they MUST be jit ARGUMENTS (a closure
 # would embed them as HLO constants — multi-GB lowering, compile never
 # finishes; bisected from the round-1 "full Reddit crashes" bug)
+def _dense_part(bg, xx, scales):
+    r_, c_ = scales
+    return D.spmm_dense(bg, xx, row_scale=r_, col_scale=c_)
+
 def hybrid_fn(p, gg, xx):
-    bg, tg = gg
+    bg, tg, scales = gg
     y = spmm_mod.spmm(tg, xx)
     if bg is not None:
-        yd = D.spmm_dense(bg, xx)
+        yd = _dense_part(bg, xx, scales)
         y = y + yd[: y.shape[0]]
     return y[:N]
 
-gg = (hyb.dense, hyb.tiles)
+gg = (hyb.dense, hyb.tiles, (rs, cs))
 t = time_layer_device(hybrid_fn, None, gg, x, k_small=1, k_big=7, reps=2)
 print(f"HYBRID spmm F={F} bf16: {t*1e3:.1f} ms  "
       f"{hg.n_edge/t/1e9:.3f} Gedge/s", flush=True)
 
 # dense-only and sparse-only components (same data) for the breakdown
 if hyb.dense is not None:
-    td = time_layer_device(lambda p, gg, xx: D.spmm_dense(gg[0], xx)[:N],
-                           None, gg, x, k_small=1, k_big=7, reps=2)
+    td = time_layer_device(
+        lambda p, gg, xx: _dense_part(gg[0], xx, gg[2])[:N],
+        None, gg, x, k_small=1, k_big=7, reps=2)
     print(f"  dense part:  {td*1e3:.1f} ms  "
           f"{hyb.n_dense_edges/td/1e9:.3f} Gedge/s", flush=True)
 ts = time_layer_device(lambda p, gg, xx: spmm_mod.spmm(gg[1], xx)[:N],
@@ -153,36 +218,49 @@ if "--gat" in sys.argv:
     thr_g = max(thr_g,
                 int(bn_sorted[max_blocks - 1]) + 1
                 if len(bn_sorted) > max_blocks else 0)
-    t0 = time.time()
-    hyb_g = hybrid_graph(hg, block_rows=RB, block_cols=CB, tile_edges=ET,
-                         min_nnz=thr_g, unit_weight=True,
-                         values_dtype=ml_dtypes.bfloat16,
-                         sparse_block_rows=1024, sparse_block_cols=1024)
-    nbg = hyb_g.dense.n_blocks if hyb_g.dense else 0
-    print(f"gat split {time.time()-t0:.0f}s thr={thr_g}: dense "
-          f"{hyb_g.n_dense_edges} in {nbg} blocks, sparse "
-          f"{hyb_g.n_sparse_edges} in {hyb_g.tiles.n_tiles} tiles",
-          flush=True)
-    a_s = jax.device_put(jax.random.normal(jax.random.key(5), (N, H),
-                                           jnp.float32))
-    a_d = jax.device_put(jax.random.normal(jax.random.key(6), (N, H),
-                                           jnp.float32))
     from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops.gat import (
         _gat_forward)
 
-    def gat_fn(p, gg, xx):
-        bg, tg = gg
-        msrc = jnp.max(a_s, axis=0, keepdims=True)
-        acc = _gat_forward(tg, xx, a_s.astype(jnp.bfloat16),
-                           a_d.astype(jnp.bfloat16),
-                           normalize=False, msrc=msrc)
-        if bg is not None:
-            accd = D.gat_dense_partial(bg, xx, a_s, a_d, msrc)
-            acc = acc + accd[: acc.shape[0]]
-        num, den = acc[:, :HD], acc[:, HD:]
-        return num / jnp.repeat(jnp.maximum(den, 1e-20), HD // H, axis=1)
+    # a_src is derived IN-KERNEL from w (width-128 repack: the pass-1
+    # gather stays one lane chunk); a_dst stays a value input
+    w_a = jax.device_put(jax.random.normal(jax.random.key(5), (HD, H),
+                                           jnp.bfloat16) * 0.1)
+    a_d = jax.device_put(jax.random.normal(jax.random.key(6), (N, H),
+                                           jnp.float32))
 
-    gg = (hyb_g.dense, hyb_g.tiles)
-    tg_ = time_layer_device(gat_fn, None, gg, x, k_small=1, k_big=5, reps=2)
-    print(f"HYBRID gat H{H} HD{HD}: {tg_*1e3:.1f} ms  "
-          f"{hg.n_edge/tg_/1e9:.3f} Gedge/s", flush=True)
+    # tail geometry: with pass 1 at one chunk, per-edge MXU passes ∝
+    # (C + 3R) at fixed block area — C ≈ 4R beats the square
+    geos = ([(1024, 1024), (512, 2048), (512, 4096), (256, 2048)]
+            if "--geo-sweep" in sys.argv else [(512, 2048)])
+    for TRr, TCc in geos:
+        ET_g = best_tile_edges(thr_g, TRr, TCc)
+        t0 = time.time()
+        hyb_g = hybrid_graph(
+            hg, block_rows=RB, block_cols=CB, tile_edges=ET_g,
+            min_nnz=thr_g, unit_weight=True,
+            values_dtype=np.int8 if INT8 else ml_dtypes.bfloat16,
+            sparse_block_rows=TRr, sparse_block_cols=TCc)
+        nbg = hyb_g.dense.n_blocks if hyb_g.dense else 0
+        print(f"gat split {time.time()-t0:.0f}s thr={thr_g} "
+              f"tail {TRr}x{TCc}/ET{ET_g}: dense {hyb_g.n_dense_edges} in "
+              f"{nbg} blocks, sparse {hyb_g.n_sparse_edges} in "
+              f"{hyb_g.tiles.n_tiles} tiles", flush=True)
+
+        def gat_fn(p, gg, xx):
+            bg, tg, wv = gg
+            a_s = jnp.dot(xx, wv, preferred_element_type=jnp.float32)
+            msrc = jnp.max(a_s, axis=0, keepdims=True)
+            acc = _gat_forward(tg, xx, None, a_d.astype(jnp.bfloat16),
+                               w_asrc=wv, normalize=False, msrc=msrc)
+            if bg is not None:
+                accd = D.gat_dense_partial(bg, xx, a_s, a_d, msrc)
+                acc = acc + accd[: acc.shape[0]]
+            num, den = acc[:, :HD], acc[:, HD:]
+            return num / jnp.repeat(jnp.maximum(den, 1e-20), HD // H, axis=1)
+
+        gg = (hyb_g.dense, hyb_g.tiles, w_a)
+        tg_ = time_layer_device(gat_fn, None, gg, x, k_small=1, k_big=5,
+                                reps=2)
+        print(f"HYBRID gat H{H} HD{HD} tail {TRr}x{TCc}: {tg_*1e3:.1f} ms  "
+              f"{hg.n_edge/tg_/1e9:.3f} Gedge/s", flush=True)
+        del hyb_g, gg

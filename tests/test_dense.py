@@ -275,6 +275,99 @@ def test_hybrid_bf16_values(rng):
                                rtol=2e-2, atol=2e-2)
 
 
+def test_spmm_dense_int8_separable(rng):
+    """int8 count blocks + separable degree scaling == the f32 weighted
+    dense kernel (symmetric norm w_e = deg_in[r]^-1/2 * deg_out[s]^-1/2
+    factorises exactly; the int8 store halves dense A traffic)."""
+    hg, g = _graphs(rng, n=120, e=900, symmetric_norm=True)
+    x = jnp.asarray(rng.normal(size=(hg.n_node, 16)).astype(np.float32))
+    hyb_f = hybrid_graph(hg, block_rows=32, block_cols=32, tile_edges=64,
+                         min_nnz=1)
+    hyb_i = hybrid_graph(hg, block_rows=32, block_cols=32, tile_edges=64,
+                         min_nnz=1, values_dtype=np.int8)
+    assert hyb_i.dense.values.dtype == jnp.int8
+    deg_in = np.bincount(hg.receivers[: hg.n_edge], minlength=hg.n_node)
+    deg_out = np.bincount(hg.senders[: hg.n_edge], minlength=hg.n_node)
+    rs = jnp.asarray(1.0 / np.sqrt(np.maximum(deg_in, 1)), jnp.float32)
+    cs = jnp.asarray(1.0 / np.sqrt(np.maximum(deg_out, 1)), jnp.float32)
+    y_f = D.spmm_dense(hyb_f.dense, x, interpret=True)[: hg.n_node]
+    y_i = D.spmm_dense(hyb_i.dense, x, interpret=True,
+                       row_scale=rs, col_scale=cs)[: hg.n_node]
+    np.testing.assert_allclose(np.asarray(y_i), np.asarray(y_f),
+                               rtol=1e-4, atol=1e-4)
+    # int8 counts also serve the GAT mask path (unit-weight edges)
+    hyb_g = hybrid_graph(hg, block_rows=32, block_cols=32, tile_edges=64,
+                         min_nnz=1, unit_weight=True, values_dtype=np.int8)
+    H, HD = 2, 8
+    h = jnp.asarray(rng.normal(size=(hg.n_node, HD)).astype(np.float32))
+    a_s = jnp.asarray(rng.normal(size=(hg.n_node, H)).astype(np.float32))
+    a_d = jnp.asarray(rng.normal(size=(hg.n_node, H)).astype(np.float32))
+    msrc = jnp.max(a_s, axis=0, keepdims=True)
+    acc_i = D.gat_dense_partial(hyb_g.dense, h, a_s, a_d, msrc,
+                                interpret=True)
+    hyb_gf = hybrid_graph(hg, block_rows=32, block_cols=32, tile_edges=64,
+                          min_nnz=1, unit_weight=True)
+    acc_f = D.gat_dense_partial(hyb_gf.dense, h, a_s, a_d, msrc,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(acc_i), np.asarray(acc_f),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_gat_wide_derive_asrc(rng):
+    """Width-128 repack: the WIDE row-major kernel with w_asrc derives
+    a_src in-kernel (pass-1 gather stays one 128-lane chunk) and matches
+    the packed-values oracle."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+        tile_graph)
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops.gat import (
+        NARROW_T, gat_attention)
+    hg, g = _graphs(rng, n=120, e=900)
+    tg = tile_graph(hg, block_rows=32, block_cols=32, tile_edges=64,
+                    unit_weight=True)
+    H, HD = 2, 64
+    assert HD + H > NARROW_T    # forces the row-major (derive) kernel
+    h = jnp.asarray(rng.normal(size=(hg.n_node, HD)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(HD, H)).astype(np.float32))
+    a_d = jnp.asarray(rng.normal(size=(hg.n_node, H)).astype(np.float32))
+    out = gat_attention(tg, h, None, a_d, heads=H, w_asrc=w, interpret=True)
+    ref = D._gat_reference_g(g, h, jnp.dot(h, w), a_d, 0.2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # gradients flow through the custom VJP (h and w)
+    f = lambda v, wv: jnp.sum(gat_attention(tg, v, None, a_d, heads=H,
+                                            w_asrc=wv, interpret=True) ** 2)
+    fr = lambda v, wv: jnp.sum(
+        D._gat_reference_g(g, v, jnp.dot(v, wv), a_d, 0.2) ** 2)
+    gh, gw = jax.grad(f, argnums=(0, 1))(h, w)
+    gh_r, gw_r = jax.grad(fr, argnums=(0, 1))(h, w)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(gh_r),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_gat_chunked_matches_single_call(rng):
+    """Stripe-chunked GAT dispatch (SMEM scalar-prefetch cap) == one call,
+    in both the narrow (transposed) and wide (row-major) kernels."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+        tile_graph)
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops.gat import (
+        _gat_forward)
+    hg, g = _graphs(rng, n=120, e=900)
+    tg = tile_graph(hg, block_rows=16, block_cols=16, tile_edges=32,
+                    unit_weight=True)
+    assert tg.n_tiles > 8 and tg.row_first_host is not None
+    a_d = jnp.asarray(rng.normal(size=(hg.n_node, 2)).astype(np.float32))
+    for HD in (8, 64):   # narrow / wide
+        h = jnp.asarray(rng.normal(size=(hg.n_node, HD)).astype(np.float32))
+        a_s = jnp.asarray(rng.normal(size=(hg.n_node, 2)).astype(np.float32))
+        y1 = _gat_forward(tg, h, a_s, a_d, interpret=True)
+        y2 = _gat_forward(tg, h, a_s, a_d, interpret=True,
+                          max_tiles_per_call=4)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_gat_chain_single_head_dim(rng):
     """HD == H (head_dim 1, the reference layer3 config) elides the head
     expansion entirely — must still match the oracle."""
