@@ -354,8 +354,29 @@ def train_sampled_scan(
     xfull = jax.device_put(jnp.asarray(ds.x))
     yfull = jax.device_put(jnp.asarray(ds.y.astype(np.int32)))
 
+    from .. import native as native_mod
+    epoch_counter = [0]
+    e_pad_static = sampler.cap_edges + sampler.cap_nodes
+
     def stack_epoch():
-        """Host-sample one epoch; returns stacked numpy pytree + e_pad."""
+        """Host-sample one epoch; returns stacked numpy pytree + e_pad.
+
+        Native path: all batches of the epoch sample in parallel C++
+        threads (native/sampler.cpp) straight into the stacked arrays —
+        ~10x the single-threaded numpy path at Reddit scale."""
+        n_steps = len(train_nodes) // batch_size
+        if steps_per_epoch:
+            n_steps = min(n_steps, steps_per_epoch)
+        if native_mod.HAVE_NATIVE and n_steps >= 1:
+            perm = sampler.rng.permutation(train_nodes)
+            seeds = perm[: n_steps * batch_size]
+            epoch_counter[0] += 1
+            stacked = native_mod.sample_epoch_native(
+                sampler.row_ptr, sampler.senders, seeds, fanouts,
+                batch_size, cap_n, e_pad_static,
+                seed * 1_000_003 + epoch_counter[0])
+            if stacked is not None:
+                return stacked, e_pad_static, n_steps
         gs = []
         for batch in sampler.epoch(train_nodes):
             gs.append(batch)

@@ -32,9 +32,10 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    src = os.path.join(_DIR, "tiler.cpp")
+    srcs = [os.path.join(_DIR, f) for f in ("tiler.cpp", "sampler.cpp")]
     if (not os.path.exists(_SO)
-            or os.path.getmtime(_SO) < os.path.getmtime(src)):
+            or any(os.path.getmtime(_SO) < os.path.getmtime(s)
+                   for s in srcs)):
         if not _build():
             return None
     lib = ctypes.CDLL(_SO)
@@ -52,6 +53,13 @@ def _load():
     lib.gta_sort_by_receiver.argtypes = [
         i32p, ctypes.c_int64, ctypes.c_int32, i64p, i64p]
     lib.gta_degrees.argtypes = [i32p, i32p, ctypes.c_int64, f64p, f64p]
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.gta_sample_epoch.argtypes = [
+        i64p, i32p, ctypes.c_int64,                     # row_ptr, senders, n
+        i32p, ctypes.c_int32, ctypes.c_int32,           # seeds, batch, S
+        i32p, ctypes.c_int32,                           # fanouts, n_hops
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_uint64,  # cap_n, e_pad, seed
+        i32p, i32p, u8p, f32p, i32p, u8p]               # outputs
     _lib = lib
     return lib
 
@@ -154,6 +162,40 @@ def degrees_native(senders, receivers, n_node, _checked=True):
     in_deg = np.zeros(n_node, np.float64)
     lib.gta_degrees(senders, receivers, len(senders), out_deg, in_deg)
     return out_deg, in_deg
+
+
+def sample_epoch_native(row_ptr, senders, seeds, fanouts, batch,
+                        cap_nodes, e_pad, seed):
+    """Parallel native epoch sampler (see sampler.cpp).
+
+    ``seeds`` is [S * batch] global ids; returns the stacked batch dict the
+    scanned train step consumes (models/train.train_sampled_scan), or None
+    when native code is unavailable.  Per-batch RNG is deterministic in
+    (seed, batch index) — independent of thread schedule."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_node = len(row_ptr) - 1
+    seeds = np.ascontiguousarray(seeds, np.int32)
+    _validate_ids(n_node, seeds)
+    S = len(seeds) // batch
+    assert S * batch == len(seeds), (len(seeds), batch)
+    row_ptr = np.ascontiguousarray(row_ptr, np.int64)
+    senders = np.ascontiguousarray(senders, np.int32)
+    fan = np.ascontiguousarray(fanouts, np.int32)
+    out_src = np.empty((S, e_pad), np.int32)
+    out_dst = np.empty((S, e_pad), np.int32)
+    out_mask = np.empty((S, e_pad), np.uint8)
+    out_w = np.empty((S, e_pad), np.float32)
+    out_ids = np.empty((S, cap_nodes), np.int32)
+    out_seed = np.empty((S, cap_nodes), np.uint8)
+    lib.gta_sample_epoch(
+        row_ptr, senders, n_node, seeds, batch, S, fan, len(fan),
+        cap_nodes, e_pad, seed & (2**64 - 1),
+        out_src, out_dst, out_mask, out_w, out_ids, out_seed)
+    return dict(
+        senders=out_src, receivers=out_dst, mask=out_mask.astype(bool),
+        weight=out_w, ids=out_ids, seed=out_seed.astype(bool))
 
 
 # resolved at import time, after all entry points above are defined

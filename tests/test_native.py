@@ -41,3 +41,65 @@ def test_native_tiling_identical_to_numpy(rng, monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(getattr(tg_native, field)),
             np.asarray(getattr(tg_numpy, field)), err_msg=field)
+
+
+def test_native_epoch_sampler_structure(rng):
+    """The parallel C++ sampler must produce batches with every invariant
+    the numpy NeighborSampler + build_host_graph pipeline guarantees."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.data.sampling import (
+        NeighborSampler)
+
+    s, r = small_graph(rng, n=400, e=6000, multi_edges=True)
+    hg = gta.build_host_graph(s, r, 400)
+    sam = NeighborSampler(hg, [4, 3], batch_size=32, seed=1)
+    seeds = rng.permutation(rng.choice(400, 128, replace=False)).astype(
+        np.int32)
+    e_pad = sam.cap_edges + sam.cap_nodes
+    out = native.sample_epoch_native(
+        sam.row_ptr, sam.senders, seeds, [4, 3], 32, sam.cap_nodes,
+        e_pad, 7)
+    S = 4
+    assert out["senders"].shape == (S, e_pad)
+    edge_set = set(zip(hg.senders[: hg.n_edge].tolist(),
+                       hg.receivers[: hg.n_edge].tolist()))
+    for b in range(S):
+        ids = out["ids"][b]
+        src, dst = out["senders"][b], out["receivers"][b]
+        m, w = out["mask"][b], out["weight"][b]
+        # seeds occupy the leading local slots
+        np.testing.assert_array_equal(ids[:32], seeds[b * 32:(b + 1) * 32])
+        assert out["seed"][b][:32].all() and not out["seed"][b][32:].any()
+        # real edges are a contiguous prefix; padding points at the dump row
+        k = int(m.sum())
+        assert m[:k].all() and not m[k:].any()
+        np.testing.assert_array_equal(w, m.astype(np.float32))
+        assert (src[k:] == sam.cap_nodes).all()
+        assert (dst[k:] == sam.cap_nodes).all()
+        # receiver-sorted (the GraphTensor invariant)
+        assert (np.diff(dst[:k]) >= 0).all()
+        # one self-loop per local slot (build_host_graph parity)
+        loops = src[:k] == dst[:k]
+        assert loops.sum() >= sam.cap_nodes
+        # every sampled non-loop edge exists in the host graph
+        nz = ~loops
+        gs_, gd_ = ids[src[:k][nz]], ids[dst[:k][nz]]
+        assert (gs_ >= 0).all() and (gd_ >= 0).all()
+        for a, c in zip(gs_.tolist(), gd_.tolist()):
+            assert (a, c) in edge_set
+
+
+def test_native_epoch_sampler_deterministic(rng):
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.data.sampling import (
+        NeighborSampler)
+
+    s, r = small_graph(rng, n=200, e=3000)
+    hg = gta.build_host_graph(s, r, 200)
+    sam = NeighborSampler(hg, [3, 2], batch_size=16, seed=0)
+    seeds = rng.choice(200, 64, replace=False).astype(np.int32)
+    e_pad = sam.cap_edges + sam.cap_nodes
+    a = native.sample_epoch_native(sam.row_ptr, sam.senders, seeds, [3, 2],
+                                   16, sam.cap_nodes, e_pad, 5)
+    b = native.sample_epoch_native(sam.row_ptr, sam.senders, seeds, [3, 2],
+                                   16, sam.cap_nodes, e_pad, 5)
+    for key in a:
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
