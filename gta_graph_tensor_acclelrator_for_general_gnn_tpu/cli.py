@@ -134,7 +134,7 @@ def main(argv=None):
     elif args.command == "tune":
         memo = args.memo or f"results/memo_{args.network}_{args.dataset}.csv"
 
-        def tune_one(graph, in_w):
+        def tune_one(graph, in_w, warm=()):
             params = jax.device_put(
                 init_params(graph, jax.random.key(args.seed)))
             x = jax.device_put(jax.random.normal(
@@ -144,7 +144,8 @@ def main(argv=None):
                 from .tune import GeneticTuner
                 tuner = GeneticTuner(graph, ds.host_graph,
                                      compute_dtype=dtype,
-                                     memo_path=memo, iters=args.iters)
+                                     memo_path=memo, iters=args.iters,
+                                     warm_start=warm)
                 return tuner.search(params, ds.graph, x,
                                     verbose=not args.json)
             from .tune import autotune
@@ -162,8 +163,10 @@ def main(argv=None):
                                 heads=args.heads, reorder=args.reorder)
             specs, total = [], 0.0
             w = ds.x.shape[1]
+            prev_best = []           # transfer: seed layer i+1 from layer i
             for li, graph in enumerate(model.layers):
-                res = tune_one(graph, w)
+                res = tune_one(graph, w, warm=tuple(prev_best[-1:]))
+                prev_best.append(res.best)
                 total += res.latency_s
                 specs.append(dict(
                     blocks=[list(b) for b in res.best.blocks],

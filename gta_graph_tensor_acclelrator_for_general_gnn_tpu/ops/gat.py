@@ -287,6 +287,7 @@ def _gat_forward(
     normalize: bool = True,
     msrc: jax.Array = None,
     max_tiles_per_call: int = None,
+    dataflow: str = None,
 ) -> jax.Array:
     from .spmm import MAX_TILES_PER_CALL, _stripe_chunks
     if max_tiles_per_call is None:
@@ -297,6 +298,13 @@ def _gat_forward(
     if precision is None:
         precision = (jax.lax.Precision.HIGHEST if h_src.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
+    # dataflow: None = measured heuristic (transposed below NARROW_T lanes);
+    # "wide" / "transposed" force one orientation (the tuner sweeps both)
+    if dataflow is None:
+        narrow = HD + H <= NARROW_T
+    else:
+        assert dataflow in ("wide", "transposed"), dataflow
+        narrow = dataflow == "transposed"
     derive = False
     if w_asrc is not None:
         # a_src is a linear map of h: the [N, HD] @ [HD, H] matmul is noise
@@ -307,7 +315,7 @@ def _gat_forward(
         # (ROADMAP "width-128 repack").
         a_src = jnp.dot(h_src, w_asrc.astype(h_src.dtype),
                         preferred_element_type=jnp.float32)
-        derive = HD + H > NARROW_T
+        derive = not narrow
 
     R, C, ET, T = tg.block_rows, tg.block_cols, tg.tile_edges, tg.n_tiles
     n_cols = tg.n_col_blocks * C
@@ -329,7 +337,6 @@ def _gat_forward(
         msrc = jnp.max(a_src.astype(jnp.float32), axis=0, keepdims=True)
 
     out_w = HD + H if not normalize else HD
-    narrow = HD + H <= NARROW_T
 
     def call(tile_rb, tile_cb, srcl, dstl, rb0, n_rb):
         Tc = int(tile_rb.shape[0])

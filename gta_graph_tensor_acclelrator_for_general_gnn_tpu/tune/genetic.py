@@ -60,6 +60,7 @@ class GeneticTuner:
         stable_stop: int = 5,
         traffic_prune: float = 4.0,
         iters: int = 30,
+        warm_start: Optional[Sequence[S.Schedule]] = None,
     ):
         self.graph = graph
         self.hg = host_graph
@@ -84,6 +85,7 @@ class GeneticTuner:
                                   host_graph.e_pad)
         from ..ops.gat import find_gat_chain
         self.chain = find_gat_chain(graph)
+        self.warm_start = list(warm_start or [])
 
     # -- genome -> schedule -------------------------------------------------
     def decode(self, gen: Genome) -> Optional[S.Schedule]:
@@ -115,6 +117,47 @@ class GeneticTuner:
                 tiles.append(S.TileConfig(path=S.PATH_XLA))
         return S.Schedule(blocks=part, tiles=tuple(tiles))
 
+    def encode(self, sched: S.Schedule) -> Genome:
+        """Inverse of :meth:`decode` — lift a schedule into genome space.
+
+        Used for warm-starting the search from another layer's or dataset's
+        tuned schedule (the transfer analogue of the reference's known-good
+        GAT seeds, genetic_algorithm.py:70-101).  The schedule's op ids need
+        not match this graph exactly: only its *shape* transfers — fusion
+        edges map by position in the free-edge list, tile configs by nearest
+        palette entry — so a best-of from GAT layer1 seeds layer2."""
+        block_of = {}
+        for i, b in enumerate(sched.blocks):
+            for o in b:
+                block_of[o] = i
+        bits = tuple(
+            1 if (u in block_of and v in block_of
+                  and block_of[u] == block_of[v]) else 0
+            for u, v in self.free)
+        use_pattern = bool(
+            self.chain is not None
+            and any(set(b) == self.chain.ops for b in sched.blocks))
+        kernels = any(tc.path != S.PATH_XLA for tc in sched.tiles)
+        nt = self._n_tile_genes
+        idxs = []
+        for tc in sched.tiles:
+            if tc.path == S.PATH_XLA:
+                continue
+            if tc in self.palette:
+                idxs.append(self.palette.index(tc))
+            else:   # nearest by block geometry (palette may differ)
+                idxs.append(min(
+                    range(len(self.palette)),
+                    key=lambda i: (
+                        abs(self.palette[i].block_rows - tc.block_rows)
+                        + abs(self.palette[i].block_cols - tc.block_cols)
+                        + abs(self.palette[i].tile_edges - tc.tile_edges)
+                        + (0 if self.palette[i].path == tc.path else 10_000))))
+        if not idxs:
+            idxs = [len(self.palette) // 2]
+        tile_idx = tuple((idxs + idxs * nt)[:nt])
+        return Genome(bits, tile_idx, kernels, use_pattern)
+
     # -- operators ----------------------------------------------------------
     @property
     def _n_tile_genes(self) -> int:
@@ -130,6 +173,8 @@ class GeneticTuner:
             Genome((1,) * n, mid, False, False),           # max fusion, XLA
             Genome((1,) * n, mid, True, False),            # max fusion, kernels
         ]
+        # transfer seeds: schedules tuned for another layer/dataset
+        seeds.extend(self.encode(s) for s in self.warm_start)
         if self.chain is not None:
             seeds.append(Genome((1,) * n, mid, True, True))    # pattern block
             seeds.append(Genome((0,) * n, mid, True, True))

@@ -111,3 +111,48 @@ def test_hw_config_file(tmp_path):
     assert S.tile_is_feasible(S.TileConfig(128, 128, 256), 32,
                               cfg.vmem_budget_bytes)
     assert load_hw_config(None).vmem_budget_bytes == 16 * 2**20
+
+
+def test_genome_encode_decode_roundtrip(rng):
+    """encode() must be a right-inverse of decode(): re-decoding a lifted
+    schedule reproduces the same blocks and tile keys (the warm-start
+    transfer path, cli tune --stack)."""
+    hg, g, og, params, x = _setup(rng, "GAT", iw=8, ow=8, heads=2)
+    tuner = GeneticTuner(og, hg)
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.tune import Genome
+    import random as _random
+    r = _random.Random(3)
+    n = len(tuner.free)
+    nt = tuner._n_tile_genes
+    checked = 0
+    for _ in range(40):
+        gen = Genome(tuple(r.randint(0, 1) for _ in range(n)),
+                     tuple(r.randrange(len(tuner.palette))
+                           for _ in range(nt)),
+                     r.random() < 0.7, r.random() < 0.5)
+        sched = tuner.decode(gen)
+        if sched is None:
+            continue
+        sched2 = tuner.decode(tuner.encode(sched))
+        assert sched2 is not None
+        assert sched2.blocks == sched.blocks
+        # tile keys must match on pattern blocks (XLA blocks carry no genes)
+        pat = [i for i, t in enumerate(sched.tiles) if t.path != S.PATH_XLA]
+        for i in pat:
+            assert sched2.tiles[i].key() == sched.tiles[i].key(), i
+        checked += 1
+    assert checked >= 5, checked
+
+
+def test_warm_start_seeds_present(rng):
+    hg, g, og, params, x = _setup(rng, "GAT", iw=8, ow=8, heads=2)
+    base = GeneticTuner(og, hg)
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.tune import Genome
+    sched = base.decode(Genome((1,) * len(base.free),
+                               (1,) * base._n_tile_genes, True, True))
+    assert sched is not None
+    warm = GeneticTuner(og, hg, warm_start=[sched])
+    seeds = warm._seeds()
+    enc = warm.encode(sched)
+    assert enc in seeds
+    assert warm.decode(enc).key() == sched.key()
