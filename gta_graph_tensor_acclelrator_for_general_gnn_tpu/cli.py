@@ -55,6 +55,10 @@ def main(argv=None):
                    help="hardware config JSON/YAML (VMEM budget, region "
                         "caps, tile palette — the reference's "
                         "hardware_info.yaml); also via $GTA_HW_CONFIG")
+    p.add_argument("--derive-palette", action="store_true",
+                   help="tune over a palette derived from the VMEM-maximal "
+                        "tile for this graph's widest op (the reference's "
+                        "buffer-maximal tile-scale sweep)")
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true", help="machine-readable output")
@@ -145,7 +149,8 @@ def main(argv=None):
                 tuner = GeneticTuner(graph, ds.host_graph,
                                      compute_dtype=dtype,
                                      memo_path=memo, iters=args.iters,
-                                     warm_start=warm)
+                                     warm_start=warm,
+                                     derive_palette=args.derive_palette)
                 return tuner.search(params, ds.graph, x,
                                     verbose=not args.json)
             from .tune import autotune

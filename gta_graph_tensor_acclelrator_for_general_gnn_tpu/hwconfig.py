@@ -44,6 +44,54 @@ class HwConfig:
             out.append(S.TileConfig(br, bc, te, path))
         return tuple(out)
 
+    def max_tile(self, feat_width: int, dtype_bytes: int = 4):
+        """Largest square onehot tile feasible under the VMEM budget and
+        region caps — the reference's buffer-maximal tile (its
+        binary_search under the 2 MB buffer, compiler.py:67-131)."""
+        from .compiler import schedule as S
+        best = None
+        n = 128
+        while True:
+            tc = S.TileConfig(n, n, min(n, 1024))
+            if not S.tile_is_feasible(tc, feat_width, self.vmem_budget_bytes,
+                                      dtype_bytes):
+                break
+            best = tc
+            n *= 2
+        return best
+
+    def derived_palette(self, feat_width: int, dtype_bytes: int = 4):
+        """Palette derived from the buffer-maximal tile: scale sweep
+        {1, .5, .25} of the max square plus rectangular variants (the
+        reference sweeps tile scale factors relative to the maximal tile,
+        code/enumeration.py:93-99) plus the hybrid/stream entries.  Falls
+        back to the static palette when even 128^2 does not fit."""
+        from .compiler import schedule as S
+        mx = self.max_tile(feat_width, dtype_bytes)
+        if mx is None:
+            return self.palette()
+        seen, out = set(), []
+
+        def add(br, bc, te, path=S.PATH_ONEHOT):
+            br, bc, te = max(br, 128), max(bc, 128), max(te, 128)
+            tc = S.TileConfig(br, bc, te, path)
+            if tc.key() not in seen and S.tile_is_feasible(
+                    tc, feat_width, self.vmem_budget_bytes, dtype_bytes):
+                seen.add(tc.key())
+                out.append(tc)
+
+        m = mx.block_rows
+        for scale in (1.0, 0.5, 0.25):
+            n = max(int(m * scale) // 128 * 128, 128)
+            add(n, n, min(n, 1024))
+            add(n, n, min(n // 2, 1024))
+        add(m // 2, m, min(m, 1024))        # wide-C (gather-heavy shapes)
+        add(m, m // 2, min(m, 1024))        # wide-R
+        for tc in self.palette():
+            if tc.path != S.PATH_ONEHOT:
+                out.append(tc)
+        return tuple(out)
+
 
 def load_hw_config(path: Optional[str] = None) -> HwConfig:
     """Read the config file (JSON; YAML when pyyaml is available).  With no

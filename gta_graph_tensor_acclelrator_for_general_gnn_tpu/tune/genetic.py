@@ -61,13 +61,21 @@ class GeneticTuner:
         traffic_prune: float = 4.0,
         iters: int = 30,
         warm_start: Optional[Sequence[S.Schedule]] = None,
+        derive_palette: bool = False,
     ):
         self.graph = graph
         self.hg = host_graph
         self.dtype = compute_dtype
         if tile_palette is None:
             from ..hwconfig import load_hw_config
-            tile_palette = load_hw_config().palette()
+            cfg = load_hw_config()
+            if derive_palette:
+                # palette relative to the buffer-maximal tile for THIS
+                # graph's widest op (reference enumeration.py:93-99)
+                fw = max(op.out_width for op in graph.ops)
+                tile_palette = cfg.derived_palette(fw)
+            else:
+                tile_palette = cfg.palette()
         self.palette = list(tile_palette)
         self.memo = Memo(memo_path)
         self.rng = random.Random(seed)

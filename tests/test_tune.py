@@ -156,3 +156,29 @@ def test_warm_start_seeds_present(rng):
     enc = warm.encode(sched)
     assert enc in seeds
     assert warm.decode(enc).key() == sched.key()
+
+
+def test_derived_palette_feasible(rng):
+    """derived_palette entries must all be VMEM-feasible and include the
+    buffer-maximal tile (reference enumeration.py:93-99 scale sweep)."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.hwconfig import (
+        HwConfig)
+    cfg = HwConfig(vmem_budget_bytes=4 * 2**20)
+    pal = cfg.derived_palette(feat_width=128)
+    onehot = [t for t in pal if t.path == S.PATH_ONEHOT]
+    assert onehot, pal
+    mx = cfg.max_tile(128)
+    assert any(t.block_rows == mx.block_rows for t in onehot)
+    for t in onehot:
+        assert S.tile_is_feasible(t, 128, cfg.vmem_budget_bytes)
+    # a bigger budget must allow at least as large a maximal tile
+    big = HwConfig(vmem_budget_bytes=16 * 2**20).max_tile(128)
+    assert big.block_rows >= mx.block_rows
+
+
+def test_tuner_derive_palette(rng):
+    hg, g, og, params, x = _setup(rng, "GAT", iw=8, ow=8, heads=2)
+    t = GeneticTuner(og, hg, derive_palette=True)
+    assert len(t.palette) >= 3
+    sched = t.decode(t._seeds()[2])
+    assert sched is not None
