@@ -400,6 +400,10 @@ class DenseBlockGraph:
     n_row_blocks: int = dataclasses.field(metadata=dict(static=True))
     n_col_blocks: int = dataclasses.field(metadata=dict(static=True))
     supergroup: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # 'rc': values[b] is [R, C] (A_b, the SpMM operand); 'cr': [C, R]
+    # (A_b^T, pre-transposed for the transposed attention kernel)
+    values_layout: str = dataclasses.field(default="rc",
+                                           metadata=dict(static=True))
 
     @property
     def n_blocks(self) -> int:
@@ -445,6 +449,7 @@ def hybrid_graph(
     values_dtype=np.float32,
     sparse_block_rows: Optional[int] = None,
     sparse_block_cols: Optional[int] = None,
+    block_layout: str = "rc",
 ) -> HybridGraph:
     """Split the adjacency by per-block density: blocks with
     ``nnz >= min_nnz`` become dense [R, C] value matrices, the rest stays
@@ -502,27 +507,30 @@ def hybrid_graph(
     e_slot = slot_of[key]
     in_dense = e_slot >= 0
 
+    assert block_layout in ("rc", "cr"), block_layout
+    blk_shape = ((block_rows, block_cols) if block_layout == "rc"
+                 else (block_cols, block_rows))
+    i_r = r[in_dense] % block_rows
+    i_c = s[in_dense] % block_cols
+    if block_layout == "cr":
+        i_r, i_c = i_c, i_r
     if values_dtype == np.float32:
-        values = np.zeros((len(dense_ids), block_rows, block_cols), np.float32)
-        np.add.at(values,
-                  (e_slot[in_dense], r[in_dense] % block_rows,
-                   s[in_dense] % block_cols), wd[in_dense])
+        values = np.zeros((len(dense_ids),) + blk_shape, np.float32)
+        np.add.at(values, (e_slot[in_dense], i_r, i_c), wd[in_dense])
     else:
         # low-precision store: accumulate in f32 CHUNKS of blocks, cast per
         # chunk (np.add.at on exotic dtypes is slow and lossy; a per-block
         # Python loop costs minutes at Reddit scale)
         B = len(dense_ids)
-        values = np.zeros((B, block_rows, block_cols), values_dtype)
-        es, rs, cs, ws = (e_slot[in_dense],
-                          r[in_dense] % block_rows,
-                          s[in_dense] % block_cols, wd[in_dense])
+        values = np.zeros((B,) + blk_shape, values_dtype)
+        es, rs, cs, ws = e_slot[in_dense], i_r, i_c, wd[in_dense]
         eorder = np.argsort(es, kind="stable")
         es, rs, cs, ws = es[eorder], rs[eorder], cs[eorder], ws[eorder]
         CH = max(1, (256 * 2**20) // (block_rows * block_cols * 4))
         starts = np.searchsorted(es, np.arange(0, B + CH, CH))
         for i, b0 in enumerate(range(0, B, CH)):
             nb = min(CH, B - b0)
-            buf = np.zeros((nb, block_rows, block_cols), np.float32)
+            buf = np.zeros((nb,) + blk_shape, np.float32)
             lo, hi = starts[i], starts[i + 1]
             np.add.at(buf, (es[lo:hi] - b0, rs[lo:hi], cs[lo:hi]), ws[lo:hi])
             values[b0:b0 + nb] = buf.astype(values_dtype)
@@ -540,6 +548,7 @@ def hybrid_graph(
         n_row_blocks=rbn,
         n_col_blocks=cbn,
         supergroup=int(supergroup),
+        values_layout=block_layout,
     )
 
     rest = HostGraph(

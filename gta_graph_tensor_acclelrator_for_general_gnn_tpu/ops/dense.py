@@ -67,6 +67,18 @@ def gat_dense_threshold(block_rows: int, block_cols: int, heads: int,
     return max(int(fudge * dense / onehot_per_edge), 1)
 
 
+def gat_dense_threshold_t(block_rows: int, block_cols: int, heads: int,
+                          head_dim: int, fudge: float = 1.0) -> int:
+    """Threshold for the TRANSPOSED dense attention kernel
+    (gat_dense_partial_t): the per-head matmul streams only D sublanes, so
+    the MXU term is r*c*max(H*D, 128) total (vs heads*r*c*max(D,128) wide);
+    the H-pass VPU exp chain is unchanged."""
+    r, c = block_rows, block_cols
+    dense = r * c * (max(heads * head_dim, 128) + heads * 256)
+    onehot_per_edge = (c + 2 * r) * 128
+    return max(int(fudge * dense / onehot_per_edge), 1)
+
+
 # ---------------------------------------------------------------------------
 # dense SpMM: Y_rb += A_b @ X_cb
 # ---------------------------------------------------------------------------
@@ -125,6 +137,7 @@ def spmm_dense(
     ``diag(row_scale) @ A @ diag(col_scale) @ x`` (symmetric norm is
     ``deg_in^-1/2`` / ``deg_out^-1/2``).  Elementwise scaling fuses into
     the padding copies; the kernel streams half the A bytes."""
+    assert bg.values_layout == "rc", bg.values_layout
     R, C = bg.block_rows, bg.block_cols
     n_cols = bg.n_col_blocks * C
     n_rows = bg.n_row_blocks * R
@@ -218,6 +231,7 @@ def sddmm_dense_blocks(
     call per head slice.  Pure XLA: panel gather + batched matmul is
     already MXU-shaped; a Pallas kernel adds nothing here.
     """
+    assert bg.values_layout == "rc", bg.values_layout
     R, C = bg.block_rows, bg.block_cols
     if precision is None:
         precision = (jax.lax.Precision.HIGHEST if x_src.dtype == jnp.float32
@@ -283,6 +297,118 @@ def _gat_dense_kernel(
             p, axis=1, keepdims=True)
 
 
+def _gat_dense_kernel_t(
+    rb_ref, cb_ref,
+    m_ref, xt_ref, asrc_ref, adst_ref, msrc_ref,
+    acc_ref,
+    *, R: int, C: int, H: int, HD: int, slope: float, precision,
+):
+    """TRANSPOSED dense attention block: everything lives as [.., R-lanes].
+
+    The wide orientation pays H matmuls of [R, C] @ [C, D] whose N = D
+    (e.g. 32) pads to 128 lanes — 4x wasted MXU at H=4/D=32.  Here each
+    head's aggregation is  x_t[hD:(h+1)D, :] @ p_h_t  with M = D sublanes:
+    the H matmuls stream H*D = HD total rows instead of H*R — the MXU does
+    only useful work for any D.  The adjacency block arrives PRE-TRANSPOSED
+    [C, R] (DenseBlockGraph values_layout 'cr'), p_t is built directly in
+    that orientation, and den is a sublane reduction.  acc/out are
+    [HD+H, rows] like the narrow edge-tile kernel (callers .T once)."""
+    b = pl.program_id(0)
+    prev_rb = jnp.where(b == 0, -1, rb_ref[jnp.maximum(b - 1, 0)])
+
+    @pl.when(rb_ref[b] != prev_rb)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    mask_t = m_ref[0].astype(jnp.float32)                     # [C, R]
+    dt = xt_ref.dtype
+    D = HD // H
+
+    def leaky(v):
+        return jnp.where(v >= 0, v, slope * v)
+
+    for h in range(H):
+        a_s = asrc_ref[h, :][:, None].astype(jnp.float32)      # [C, 1]
+        a_d = jax.lax.broadcast_in_dim(
+            adst_ref[h, :].astype(jnp.float32), (C, R), (1,))  # [C, R]
+        e = leaky(a_s + a_d)
+        bound = leaky(msrc_ref[h, 0] + a_d)
+        p_t = mask_t * jnp.exp(jnp.minimum(e - bound, 60.0))   # [C, R]
+        pc = p_t.astype(dt)
+        acc_ref[h * D:(h + 1) * D, :] += jnp.dot(
+            xt_ref[h * D:(h + 1) * D, :], pc,
+            preferred_element_type=jnp.float32, precision=precision)
+        acc_ref[HD + h:HD + h + 1, :] += jnp.sum(
+            p_t, axis=0, keepdims=True)
+
+
+def gat_dense_partial_t(
+    bg: DenseBlockGraph,
+    h_src: jax.Array,
+    a_src: jax.Array,
+    a_dst: jax.Array,
+    msrc: jax.Array,
+    *,
+    negative_slope: float = 0.2,
+    interpret: bool = False,
+    precision=None,
+) -> jax.Array:
+    """Transposed-dataflow [num ‖ den] dense partials: [HD+H, n_rows] f32
+    (callers transpose once).  Requires ``bg.values_layout == 'cr'``
+    (hybrid_graph(block_layout='cr')); numerically identical to
+    :func:`gat_dense_partial`."""
+    H = a_dst.shape[1]
+    HD = h_src.shape[1]
+    assert HD % H == 0, (HD, H)
+    assert bg.values_layout == "cr", bg.values_layout
+    assert bg.supergroup == 0, "gat dense partials need rb-major block order"
+    if precision is None:
+        precision = (jax.lax.Precision.HIGHEST if h_src.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+    R, C = bg.block_rows, bg.block_cols
+    n_cols = bg.n_col_blocks * C
+    n_rows = bg.n_row_blocks * R
+    xt = jnp.zeros((HD, n_cols), h_src.dtype)
+    xt = xt.at[:, : h_src.shape[0]].set(h_src.T)
+    asr_t = jnp.zeros((H, n_cols), jnp.float32)
+    asr_t = asr_t.at[:, : a_src.shape[0]].set(a_src.astype(jnp.float32).T)
+    ads_t = jnp.zeros((H, n_rows), jnp.float32)
+    ads_t = ads_t.at[:, : a_dst.shape[0]].set(a_dst.astype(jnp.float32).T)
+    mvals = (bg.values if jnp.issubdtype(bg.values.dtype, jnp.integer)
+             else bg.values.astype(h_src.dtype))
+
+    B = bg.n_blocks
+    kernel = functools.partial(
+        _gat_dense_kernel_t, R=R, C=C, H=H, HD=HD,
+        slope=float(negative_slope), precision=precision)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, C, R), lambda b, rb, cb: (b, 0, 0)),
+            pl.BlockSpec((HD, C), lambda b, rb, cb: (0, cb[b])),
+            pl.BlockSpec((H, C), lambda b, rb, cb: (0, cb[b])),
+            pl.BlockSpec((H, R), lambda b, rb, cb: (0, rb[b])),
+            pl.BlockSpec((H, 1), lambda b, rb, cb: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((HD + H, R), lambda b, rb, cb: (0, rb[b])),
+    )
+    acc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((HD + H, n_rows), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * R * C * HD,
+            bytes_accessed=(mvals.size * mvals.dtype.itemsize
+                            + xt.size * xt.dtype.itemsize),
+            transcendentals=B * H * R * C,
+        ),
+        interpret=interpret,
+    )(bg.blk_rb, bg.blk_cb, mvals, xt, asr_t, ads_t, msrc.T)
+    acc = jnp.where(jnp.repeat(bg.row_mask, R)[None, :], acc, 0.0)
+    return acc
+
+
 def gat_dense_partial(
     bg: DenseBlockGraph,
     h_src: jax.Array,
@@ -299,7 +425,14 @@ def gat_dense_partial(
     ``msrc`` [1, H] must be the same softmax shift bound the edge-tile
     kernel uses (global per-head max of a_src) so partials add exactly.
     ``bg.values`` is interpreted as the edge-weight matrix; for standard
-    GAT it is 0/1 (unit weights)."""
+    GAT it is 0/1 (unit weights).  Blocks stored transposed
+    (``values_layout == 'cr'``) route to the cheaper transposed kernel."""
+    if bg.values_layout == "cr":
+        acc_t = gat_dense_partial_t(
+            bg, h_src, a_src, a_dst, msrc,
+            negative_slope=negative_slope, interpret=interpret,
+            precision=precision)
+        return acc_t.T
     H = a_dst.shape[1]
     HD = h_src.shape[1]
     assert HD % H == 0, (HD, H)

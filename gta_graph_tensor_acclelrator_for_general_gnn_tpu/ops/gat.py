@@ -182,11 +182,9 @@ def _gat_kernel(
 def _gat_kernel_t(
     rb_ref, cb_ref,
     src_ref, dst_ref,
-    hcat_ref, adst_ref, msrc_ref,
-    o_ref,
-    acc_ref,
-    *, R: int, C: int, ET: int, H: int, HD: int, slope: float,
-    normalize: bool, precision,
+    *refs,
+    R: int, C: int, ET: int, H: int, HD: int, slope: float,
+    normalize: bool, precision, derive: bool = False,
 ):
     """TRANSPOSED-dataflow edge tile for NARROW feature widths (HD+H small).
 
@@ -201,7 +199,16 @@ def _gat_kernel_t(
         a_d_t = adst_rb^T @ onehot_dst^T           # [H, ET]
         p_t   = exp(leaky(a_s_t + a_d_t) - b)      # [H, ET]
         acc_t += [p_full_t * hs_t ; p_t] @ onehot_dst  # [HD+H, R]
+
+    ``derive=True``: the gather operand is h alone ([HD, C] — exactly one
+    128-sublane chunk at HD=128 instead of the 132->256 pad of the packed
+    [h ‖ a_src]) and a_src is derived in-kernel from w_asrc, the same
+    width-128 repack as the wide kernel.
     """
+    if derive:
+        hcat_ref, w_ref, adst_ref, msrc_ref, o_ref, acc_ref = refs
+    else:
+        hcat_ref, adst_ref, msrc_ref, o_ref, acc_ref = refs
     t = pl.program_id(0)
     T = pl.num_programs(0)
     prev_rb = jnp.where(t == 0, -1, rb_ref[jnp.maximum(t - 1, 0)])
@@ -222,10 +229,21 @@ def _gat_kernel_t(
     oh_dst_t = (dst_b == jax.lax.broadcasted_iota(
         jnp.int32, (R, ET), 0)).astype(dt)                    # [R, ET]
 
-    g = jnp.dot(hcat_ref[:], oh_src_t, preferred_element_type=jnp.float32,
-                precision=precision)                          # [HD+H, ET]
-    hs = g[:HD, :]
-    a_s = g[HD:, :]
+    if derive:
+        hs = jnp.dot(hcat_ref[:], oh_src_t,
+                     preferred_element_type=jnp.float32,
+                     precision=precision)                     # [HD, ET]
+        # a_src rows = w^T @ hs  (tiny: H sublanes)
+        a_s = jax.lax.dot_general(
+            w_ref[:], hs.astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)                              # [H, ET]
+    else:
+        g = jnp.dot(hcat_ref[:], oh_src_t,
+                    preferred_element_type=jnp.float32,
+                    precision=precision)                      # [HD+H, ET]
+        hs = g[:HD, :]
+        a_s = g[HD:, :]
     a_d = jnp.dot(adst_ref[:], oh_dst_t, preferred_element_type=jnp.float32,
                   precision=precision)                        # [H, ET]
 
@@ -299,23 +317,25 @@ def _gat_forward(
         precision = (jax.lax.Precision.HIGHEST if h_src.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
     # dataflow: None = measured heuristic (transposed below NARROW_T lanes);
-    # "wide" / "transposed" force one orientation (the tuner sweeps both)
+    # "wide" / "transposed" / "transposed_derive" force an orientation
+    # (the tuner sweeps them)
     if dataflow is None:
         narrow = HD + H <= NARROW_T
     else:
-        assert dataflow in ("wide", "transposed"), dataflow
-        narrow = dataflow == "transposed"
+        assert dataflow in ("wide", "transposed", "transposed_derive"), \
+            dataflow
+        narrow = dataflow != "wide"
     derive = False
     if w_asrc is not None:
         # a_src is a linear map of h: the [N, HD] @ [HD, H] matmul is noise
         # next to the kernel, and taking *values* keeps the data-dependent
-        # softmax bound exact at every input scale.  For the WIDE (row-
-        # major) kernel the values stay out of the gather operand — the
-        # kernel re-derives them so pass 1 is one 128-lane chunk, not two
-        # (ROADMAP "width-128 repack").
+        # softmax bound exact at every input scale.  With ``derive`` the
+        # values stay out of the gather operand — the kernel re-derives
+        # them so pass 1 is one 128-lane (or 128-sublane) chunk, not two
+        # (ROADMAP "width-128 repack"); available in both orientations.
         a_src = jnp.dot(h_src, w_asrc.astype(h_src.dtype),
                         preferred_element_type=jnp.float32)
-        derive = not narrow
+        derive = (not narrow) or dataflow == "transposed_derive"
 
     R, C, ET, T = tg.block_rows, tg.block_cols, tg.tile_edges, tg.n_tiles
     n_cols = tg.n_col_blocks * C
@@ -350,17 +370,28 @@ def _gat_forward(
             kernel = functools.partial(
                 _gat_kernel_t, R=R, C=C, ET=ET, H=H, HD=HD,
                 slope=float(negative_slope), normalize=normalize,
-                precision=precision)
+                precision=precision, derive=derive)
+            hcat_w = HD if derive else HD + H
+            in_specs = [
+                pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
+                pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
+                pl.BlockSpec((hcat_w, C), lambda t, rb, cb: (0, cb[t])),
+            ]
+            operands = [tile_rb, tile_cb,
+                        srcl[:, None, :], dstl[:, None, :], hcat.T]
+            if derive:
+                in_specs.append(
+                    pl.BlockSpec((HD, H), lambda t, rb, cb: (0, 0)))
+                operands.append(wk)
+            in_specs += [
+                pl.BlockSpec((H, R), lambda t, rb, cb: (0, rb[t] + rb0)),
+                pl.BlockSpec((H, 1), lambda t, rb, cb: (0, 0)),
+            ]
+            operands += [ads.astype(jnp.float32).T, msrc.T]
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(Tc,),
-                in_specs=[
-                    pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
-                    pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
-                    pl.BlockSpec((HD + H, C), lambda t, rb, cb: (0, cb[t])),
-                    pl.BlockSpec((H, R), lambda t, rb, cb: (0, rb[t] + rb0)),
-                    pl.BlockSpec((H, 1), lambda t, rb, cb: (0, 0)),
-                ],
+                in_specs=in_specs,
                 out_specs=pl.BlockSpec(
                     (out_w, R), lambda t, rb, cb: (0, rb[t])),
                 scratch_shapes=[
@@ -373,9 +404,7 @@ def _gat_forward(
                 out_shape=jax.ShapeDtypeStruct((out_w, n_rb * R), jnp.float32),
                 cost_estimate=cost,
                 interpret=interpret,
-            )(tile_rb, tile_cb,
-              srcl[:, None, :], dstl[:, None, :],
-              hcat.T, ads.astype(jnp.float32).T, msrc.T)
+            )(*operands)
 
         kernel = functools.partial(
             _gat_kernel, R=R, C=C, ET=ET, H=H, HD=HD,

@@ -24,7 +24,8 @@ from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops.gat import _gat_forwar
 from gta_graph_tensor_acclelrator_for_general_gnn_tpu.utils.benchmark import (
     time_layer_device)
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+N = int(_pos[0]) if _pos else 65536
 DENS = 404 / (1024 * 1024)            # measured tail background density
 E = int(N * N * DENS)
 H, HD = 4, 128
@@ -41,17 +42,24 @@ w_a = jax.device_put(jax.random.normal(jax.random.key(5), (HD, H),
 a_d = jax.device_put(jax.random.normal(jax.random.key(6), (N, H), jnp.float32))
 
 GEOS = [(512, 2048), (1024, 1024), (2048, 512), (512, 512)]
+if "--round2" in sys.argv:
+    # focused second round: best geometries, ET512 (fixed-cost chooser),
+    # including the transposed+derive repack
+    GEOS = [(512, 2048), (1024, 1024)]
+DATAFLOWS = (("wide", "transposed_derive", "transposed")
+             if "--round2" in sys.argv else ("wide", "transposed"))
 for TR, TC in GEOS:
-    # ET minimising padded slots (reddit_bench best_tile_edges logic)
+    # ET minimising slots + per-tile fixed cost (reddit_bench logic)
     tcn = int(np.ceil(N / TC))
     key = ((hg.receivers[: hg.n_edge] // TR).astype(np.int64) * tcn
            + hg.senders[: hg.n_edge] // TC)
     nnz = np.bincount(key); nnz = nnz[nnz > 0]
     cands = range(256, 1025, 128)
-    ET = min(cands, key=lambda et: (int(np.ceil(nnz / et).sum()) * et, et))
+    ET = min(cands,
+             key=lambda et: (int(np.ceil(nnz / et).sum()) * (et + 80), et))
     tg = tile_graph(hg, block_rows=TR, block_cols=TC, tile_edges=ET)
     util = hg.n_edge / (tg.n_tiles * ET)
-    for df in ("wide", "transposed"):
+    for df in DATAFLOWS:
         def fn(p, g, xx, _df=df, _tg=tg):
             a_s = jnp.dot(xx, w_a, preferred_element_type=jnp.float32)
             msrc = jnp.max(a_s, axis=0, keepdims=True)

@@ -128,6 +128,21 @@ check("spmm_int8_sep/f32",
                                     col_scale=cs_)[: n]
                        + SP.spmm(hyb8.tiles, x)[: n]))(), y_ref, 1e-4)
 
+# transposed ('cr' layout) dense attention kernel vs the wide hybrid
+hyb_cr = hybrid_graph(hg, block_rows=128, block_cols=128, tile_edges=256,
+                      min_nnz=180, unit_weight=True, values_dtype=np.int8,
+                      block_layout="cr")
+if hyb_cr.dense is not None:
+    msrc_ = jnp.max(a_s, axis=0, keepdims=True)
+    hyb_rc = hybrid_graph(hg, block_rows=128, block_cols=128, tile_edges=256,
+                          min_nnz=180, unit_weight=True,
+                          values_dtype=np.int8)
+    check("gat_dense_T/f32",
+          jax.jit(lambda: D.gat_dense_partial(hyb_cr.dense, x, a_s, a_d,
+                                              msrc_))(),
+          jax.jit(lambda: D.gat_dense_partial(hyb_rc.dense, x, a_s, a_d,
+                                              msrc_))(), 1e-4)
+
 # wide derive path: a_src derived in-kernel from w_asrc (width-128 repack)
 w_a = jax.device_put(
     jax.random.normal(jax.random.key(9), (F, H), jnp.float32) * 0.3)

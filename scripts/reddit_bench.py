@@ -234,7 +234,10 @@ if "--sddmm" in sys.argv:
 if "--gat" in sys.argv:
     del hyb, gg
     H, HD = 4, 128
-    thr_g = D.gat_dense_threshold(RB, CB, H, HD // H)
+    # transposed dense kernel (values_layout 'cr'): per-head matmuls
+    # stream D sublanes, so the FLOP-balance threshold drops and the
+    # dense fraction grows
+    thr_g = D.gat_dense_threshold_t(RB, CB, H, HD // H)
     # memory: reuse budget; attention needs rb-major dense order
     thr_g = max(thr_g,
                 int(bn_sorted[max_blocks - 1]) + 1
@@ -258,7 +261,7 @@ if "--gat" in sys.argv:
         t0 = time.time()
         hyb_g = hybrid_graph(
             hg, block_rows=RB, block_cols=CB, tile_edges=ET_g,
-            min_nnz=thr_g, unit_weight=True,
+            min_nnz=thr_g, unit_weight=True, block_layout="cr",
             values_dtype=np.int8 if INT8 else ml_dtypes.bfloat16,
             sparse_block_rows=TRr, sparse_block_cols=TCc)
         nbg = hyb_g.dense.n_blocks if hyb_g.dense else 0

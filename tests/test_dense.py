@@ -385,3 +385,30 @@ def test_gat_chain_single_head_dim(rng):
     ref = D._gat_reference_g(g, h, a_s, a_d, 0.2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_gat_dense_partial_transposed_matches_wide(rng):
+    """The 'cr' (transposed) dense attention kernel must agree exactly with
+    the wide 'rc' kernel — same num/den partials from either layout."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+        hybrid_graph)
+
+    s, r = small_graph(rng, n=500, e=15000, multi_edges=True)
+    hg = gta.build_host_graph(s, r, 500)
+    H, HD = 4, 32
+    kw = dict(block_rows=128, block_cols=128, tile_edges=128, min_nnz=30,
+              unit_weight=True, values_dtype=np.int8)
+    h_rc = hybrid_graph(hg, **kw)
+    h_cr = hybrid_graph(hg, block_layout="cr", **kw)
+    assert h_rc.dense is not None and h_cr.dense is not None
+    assert h_cr.dense.values_layout == "cr"
+    h = jnp.asarray(rng.normal(size=(500, HD)), jnp.float32)
+    a_s = jnp.asarray(rng.normal(size=(500, H)), jnp.float32)
+    a_d = jnp.asarray(rng.normal(size=(500, H)), jnp.float32)
+    msrc = jnp.max(a_s, axis=0, keepdims=True)
+    acc_rc = D.gat_dense_partial(h_rc.dense, h, a_s, a_d, msrc,
+                                 interpret=True)
+    acc_cr = D.gat_dense_partial(h_cr.dense, h, a_s, a_d, msrc,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(acc_cr), np.asarray(acc_rc),
+                               rtol=1e-5, atol=1e-5)
