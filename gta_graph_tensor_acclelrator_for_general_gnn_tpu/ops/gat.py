@@ -332,10 +332,14 @@ def _gat_forward(
         # softmax bound exact at every input scale.  With ``derive`` the
         # values stay out of the gather operand — the kernel re-derives
         # them so pass 1 is one 128-lane (or 128-sublane) chunk, not two
-        # (ROADMAP "width-128 repack"); available in both orientations.
+        # (ROADMAP "width-128 repack").  Derive measures faster in BOTH
+        # orientations (Reddit tail 13.9->9.6 ms, headline chain
+        # 28.6->25.6 us — scripts/gat_tail_ab, headline_df_ab), so it is
+        # the default whenever w_asrc is given; dataflow="transposed"
+        # forces the packed variant.
         a_src = jnp.dot(h_src, w_asrc.astype(h_src.dtype),
                         preferred_element_type=jnp.float32)
-        derive = (not narrow) or dataflow == "transposed_derive"
+        derive = dataflow != "transposed"
 
     R, C, ET, T = tg.block_rows, tg.block_cols, tg.tile_edges, tg.n_tiles
     n_cols = tg.n_col_blocks * C

@@ -256,8 +256,12 @@ if "--gat" in sys.argv:
     # (C + 3R) at fixed block area — C ≈ 4R beats the square
     geos = ([(1024, 1024), (512, 2048), (512, 4096), (256, 2048)]
             if "--geo-sweep" in sys.argv else [(512, 2048)])
+    # tail dataflow (measured best: transposed_derive, scripts/gat_tail_ab)
+    DF = (sys.argv[sys.argv.index("--df") + 1] if "--df" in sys.argv
+          else "transposed_derive")
+    ET_FORCE = _flag("--et", 0)
     for TRr, TCc in geos:
-        ET_g = best_tile_edges(thr_g, TRr, TCc)
+        ET_g = ET_FORCE or best_tile_edges(thr_g, TRr, TCc)
         t0 = time.time()
         hyb_g = hybrid_graph(
             hg, block_rows=RB, block_cols=CB, tile_edges=ET_g,
@@ -275,7 +279,8 @@ if "--gat" in sys.argv:
             a_s = jnp.dot(xx, wv, preferred_element_type=jnp.float32)
             msrc = jnp.max(a_s, axis=0, keepdims=True)
             acc = _gat_forward(tg, xx, None, a_d.astype(jnp.bfloat16),
-                               w_asrc=wv, normalize=False, msrc=msrc)
+                               w_asrc=wv, normalize=False, msrc=msrc,
+                               dataflow=DF)
             if bg is not None:
                 accd = D.gat_dense_partial(bg, xx, a_s, a_d, msrc)
                 acc = acc + accd[: acc.shape[0]]
@@ -293,7 +298,8 @@ if "--gat" in sys.argv:
             a_s = jnp.dot(xx, wv, preferred_element_type=jnp.float32)
             msrc = jnp.max(a_s, axis=0, keepdims=True)
             return _gat_forward(tg, xx, None, a_d.astype(jnp.bfloat16),
-                                w_asrc=wv, normalize=False, msrc=msrc)
+                                w_asrc=wv, normalize=False, msrc=msrc,
+                                dataflow=DF)
 
         tt_ = time_layer_device(gat_tail_fn, None, gg, x, k_small=1,
                                 k_big=5, reps=2)
