@@ -196,7 +196,11 @@ def main(argv=None):
             res = tune_one(graph, args.hidden)
             out.update(dict(best_latency_us=res.latency_s * 1e6,
                             best_schedule=res.best.key(),
-                            n_trials=len(res.trials)))
+                            n_trials=len(res.trials),
+                            pareto=[dict(latency_us=m.latency_s * 1e6,
+                                         traffic_bytes=m.traffic,
+                                         schedule=m.schedule.key())
+                                    for m in res.pareto]))
             if not args.json:
                 print(res.report())
 

@@ -342,6 +342,13 @@ def _gat_forward(
         derive = dataflow != "transposed"
 
     R, C, ET, T = tg.block_rows, tg.block_cols, tg.tile_edges, tg.n_tiles
+    if (narrow and not interpret and R % 128 != 0
+            and tg.n_row_blocks > 1):
+        # the transposed dataflow puts the row axis on the 128-lane dim
+        # (ads [H, R] blocks, out [out_w, R] blocks): Mosaic requires the
+        # last block dim to be a multiple of 128 (or one block == whole axis)
+        raise ValueError(
+            f"transposed GAT dataflow needs block_rows % 128 == 0, got {R}")
     n_cols = tg.n_col_blocks * C
     n_rows = tg.n_row_blocks * R
     if derive:

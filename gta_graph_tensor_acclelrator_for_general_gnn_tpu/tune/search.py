@@ -56,12 +56,33 @@ class TuneResult:
     latency_s: float
     trials: List[Measurement]
 
+    @property
+    def pareto(self) -> List[Measurement]:
+        """Measured (latency, modelled-HBM-traffic) Pareto frontier.
+
+        A deployment picks from this set, not just ``best``: on a
+        bandwidth-shared chip (serving several models, or a TPU pod slice
+        where HBM feeds collectives too) the lowest-latency schedule is not
+        necessarily the lowest-pressure one.  Sorted by latency; every entry
+        strictly trades latency for traffic."""
+        front: List[Measurement] = []
+        for m in sorted(self.trials, key=lambda m: (m.latency_s, m.traffic)):
+            if not any(f.traffic <= m.traffic for f in front):
+                front.append(m)
+        return front
+
     def report(self) -> str:
         lines = [f"{len(self.trials)} schedules measured; best "
                  f"{self.latency_s*1e6:.1f}us"]
         for m in sorted(self.trials, key=lambda m: m.latency_s)[:10]:
             lines.append(f"  {m.latency_s*1e6:9.1f}us  traffic={m.traffic:>12}  "
                          f"{m.schedule.key()}")
+        front = self.pareto
+        if len(front) > 1:
+            lines.append(f"pareto (latency vs HBM traffic), {len(front)} points:")
+            for m in front:
+                lines.append(f"  {m.latency_s*1e6:9.1f}us  "
+                             f"traffic={m.traffic:>12}  {m.schedule.key()}")
         return "\n".join(lines)
 
 

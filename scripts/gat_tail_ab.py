@@ -48,7 +48,25 @@ if "--round2" in sys.argv:
     GEOS = [(512, 2048), (1024, 1024)]
 DATAFLOWS = (("wide", "transposed_derive", "transposed")
              if "--round2" in sys.argv else ("wide", "transposed"))
-for TR, TC in GEOS:
+if "--round3" in sys.argv:
+    # fine sweep around the round-2 winner, best dataflow only: the tail is
+    # ~64% source gather (cost ∝ C per tile) vs tiles ∝ 1/(R*C) coverage
+    GEOS = [(512, 2048), (512, 1536), (512, 1024), (768, 2048),
+            (768, 1536), (1024, 2048), (384, 2048), (512, 2560)]
+    DATAFLOWS = ("transposed_derive",)
+if "--round3b" in sys.argv:
+    # round3 leaders (384x2048 8.0, 512x1024 9.4 vs 512x2048 11.0 baseline)
+    # re-measured against the baseline IN ONE PROCESS: round3's first
+    # measurement was inflated ~15% (512x2048 11.0 first-position vs 9.6 in
+    # round2), so cross-position ranking needs a warmup throwaway and the
+    # baseline present.  TR must be a multiple of 128 (Pallas block dim).
+    GEOS = [(512, 2048), (384, 2048), (512, 1024), (384, 1536), (384, 1024),
+            (256, 2048), (256, 1024), (512, 2048)]
+    DATAFLOWS = ("transposed_derive",)
+if DATAFLOWS == ("transposed_derive",):
+    # throwaway: the first measurement in a process reads ~15% high
+    GEOS = [GEOS[0]] + list(GEOS)
+for gi, (TR, TC) in enumerate(GEOS):
     # ET minimising slots + per-tile fixed cost (reddit_bench logic)
     tcn = int(np.ceil(N / TC))
     key = ((hg.receivers[: hg.n_edge] // TR).astype(np.int64) * tcn
@@ -67,6 +85,8 @@ for TR, TC in GEOS:
                                 w_asrc=w_a, normalize=False, msrc=msrc,
                                 dataflow=_df)
         t = time_layer_device(fn, None, None, x, k_small=1, k_big=7, reps=2)
+        tag = " (warmup, discard)" if (
+            gi == 0 and DATAFLOWS == ("transposed_derive",)) else ""
         print(f"{TR}x{TC}/ET{ET} util={util:.2f} tiles={tg.n_tiles} "
-              f"{df:10s}: {t*1e3:7.2f} ms  {hg.n_edge/t/1e9:.3f} Gedge/s",
-              flush=True)
+              f"{df:10s}: {t*1e3:7.2f} ms  {hg.n_edge/t/1e9:.3f} Gedge/s"
+              f"{tag}", flush=True)

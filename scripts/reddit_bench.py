@@ -252,10 +252,12 @@ if "--gat" in sys.argv:
     a_d = jax.device_put(jax.random.normal(jax.random.key(6), (N, H),
                                            jnp.float32))
 
-    # tail geometry: with pass 1 at one chunk, per-edge MXU passes ∝
-    # (C + 3R) at fixed block area — C ≈ 4R beats the square
+    # tail geometry: 512x1024/ET256 won the fine sweep (gat_tail_ab
+    # --round3b, warmup-corrected: 9.44 ms vs 11.4 for the old 512x2048
+    # default at tail density — smaller C cuts the dominant pass-1 source
+    # gather per tile, ET256 keeps tile count affordable)
     geos = ([(1024, 1024), (512, 2048), (512, 4096), (256, 2048)]
-            if "--geo-sweep" in sys.argv else [(512, 2048)])
+            if "--geo-sweep" in sys.argv else [(512, 1024)])
     # tail dataflow (measured best: transposed_derive, scripts/gat_tail_ab)
     DF = (sys.argv[sys.argv.index("--df") + 1] if "--df" in sys.argv
           else "transposed_derive")

@@ -182,3 +182,18 @@ def test_tuner_derive_palette(rng):
     assert len(t.palette) >= 3
     sched = t.decode(t._seeds()[2])
     assert sched is not None
+
+
+def test_pareto_frontier():
+    """pareto keeps only non-dominated (latency, traffic) points, sorted by
+    latency with strictly decreasing traffic."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.tune.search import (
+        Measurement, TuneResult)
+    mk = lambda lat, tr: Measurement(schedule=None, latency_s=lat, traffic=tr)
+    trials = [mk(1.0, 100), mk(2.0, 50),   # frontier
+              mk(3.0, 60),                 # dominated by (2.0, 50)
+              mk(1.5, 100),                # dominated by (1.0, 100)
+              mk(4.0, 10)]                 # frontier
+    res = TuneResult(best=None, latency_s=1.0, trials=trials)
+    front = [(m.latency_s, m.traffic) for m in res.pareto]
+    assert front == [(1.0, 100), (2.0, 50), (4.0, 10)]
