@@ -33,7 +33,7 @@ from .schedule import Schedule, TileConfig
 
 # bump when kernel implementations change: memoised tuner latencies are
 # keyed on (KERNEL_VERSION, schedule) so stale measurements never resurface
-KERNEL_VERSION = 5
+KERNEL_VERSION = 6  # v6: tuner timing self-calibrates (target_s)
 
 
 @dataclasses.dataclass

@@ -62,6 +62,7 @@ class GeneticTuner:
         iters: int = 30,
         warm_start: Optional[Sequence[S.Schedule]] = None,
         derive_palette: bool = False,
+        target_s: float = 0.2,
     ):
         self.graph = graph
         self.hg = host_graph
@@ -85,6 +86,7 @@ class GeneticTuner:
         self.stable_stop = stable_stop
         self.traffic_prune = traffic_prune
         self.iters = iters
+        self.target_s = target_s
 
         self.edges = graph.edges()
         self.free = [e for e in self.edges
@@ -244,7 +246,7 @@ class GeneticTuner:
             fn = lower_schedule(self.graph, sched, self.hg, self.dtype)
             lat = time_layer_device(fn, params, g_dev, x,
                                     k_small=50, k_big=50 + self.iters,
-                                    reps=2)
+                                    reps=2, target_s=self.target_s)
         except Exception:
             lat = float("inf")
         if np.isfinite(lat):

@@ -210,6 +210,7 @@ def autotune(
     iters: int = 30,
     feat_width: Optional[int] = None,
     verbose: bool = False,
+    target_s: float = 0.2,
 ) -> TuneResult:
     """Measure candidate schedules, return the fastest.
 
@@ -217,6 +218,11 @@ def autotune(
     ``traffic_prune x`` the best modelled traffic (reference prunes at 1.5x
     traffic / 1.1x latency-bound; we are looser because kernel dispatch can
     beat lower-traffic schedules).
+
+    ``target_s``: measurement self-calibration — each candidate's device
+    loop span is sized so the timed window is ~this many seconds (see
+    time_layer_device), making memoised latencies quotable absolutes at
+    every graph scale.  Pass None to revert to the fixed ``iters`` span.
     """
     if tile_palette is None:
         from ..hwconfig import load_hw_config
@@ -247,7 +253,7 @@ def autotune(
                     graph, sched, host_graph, compute_dtype)
                 lat = time_layer_device(fn, params, g_dev, x,
                                         k_small=50, k_big=50 + iters,
-                                        reps=2)
+                                        reps=2, target_s=target_s)
             except Exception as ex:  # Mosaic rejection etc: infinite cost
                 if verbose:
                     print(f"  candidate failed: {type(ex).__name__}")

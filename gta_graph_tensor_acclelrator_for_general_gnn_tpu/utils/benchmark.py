@@ -72,6 +72,7 @@ def time_layer_device(
     k_small: int = 50,
     k_big: int = 1050,
     reps: int = 1,
+    target_s: float = None,
 ) -> float:
     """Honest per-iteration seconds for ``apply(params, g, x) -> y`` where y
     broadcasts back to x's shape/dtype (square layers).
@@ -82,6 +83,15 @@ def time_layer_device(
     (compile, dispatch, tunnel RTT, readback).  This is the only reliable
     timing through the axon tunnel, where per-execution overhead is
     ~0.3-8 s and block_until_ready does not await completion.
+
+    ``target_s``: when set, SELF-CALIBRATE the loop span instead of using
+    ``k_big``: a pilot slope (k=8 vs 24) estimates the per-iteration cost,
+    then the span is chosen so the measured window is ~``target_s`` seconds
+    (clamped to [100, 16000] iterations).  The loop count becomes a DEVICE
+    scalar so one compiled program serves every k — fixed-count measurements
+    (k<=550 slope windows) mis-measure up to 4x in either direction on fast
+    layers while a fixed large count is unaffordable on slow ones; this
+    keeps the window honest at every scale for one compile.
     """
     import jax.numpy as jnp
 
@@ -93,6 +103,29 @@ def time_layer_device(
             return y
         w = min(y.shape[1], x.shape[1])
         return jnp.zeros_like(x).at[:, :w].set(y[: x.shape[0], :w])
+
+    if target_s is not None:
+        def fn(params, g, x, k):
+            def body(i, h):
+                return back_to_x(apply(params, g, h), x)
+            return jax.lax.fori_loop(0, k, body, x)
+        f = jax.jit(fn)
+
+        def run(k):
+            kk = jnp.asarray(k, jnp.int32)
+            t0 = time.perf_counter()
+            float(jnp.sum(f(params, g, x, kk)))
+            return time.perf_counter() - t0
+
+        run(8), run(24)       # compile once + settle the tunnel mode
+        est = max(min((run(24) - run(8)) / 16 for _ in range(2)), 1e-9)
+        span = int(min(max(target_s / est, 100), 16000))
+        best = float("inf")
+        for _ in range(max(reps, 1)):
+            t_small = run(k_small)
+            t_big = run(k_small + span)
+            best = min(best, (t_big - t_small) / span)
+        return max(best, 1e-12)
 
     def repeat(k):
         def fn(params, g, x):

@@ -1,0 +1,127 @@
+import sys; sys.path.insert(0, "/root/repo")
+"""Medium-dataset benchmarks: Pubmed (88.6k edges) and Flickr (900k edges)
+at their published dims (SURVEY §2 C2 dataset table / data.DATASET_STATS),
+same hybrid density-split path as the Reddit bench.
+
+These sit between the Cora fixed-cost regime and the Reddit
+bandwidth regime; numbers published in results/SUMMARY.md.
+
+Usage: python scripts/medium_bench.py [dataset ...]   (default: pubmed flickr)
+"""
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+    block_nnz, hybrid_graph, reorder_nodes)
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import dense as D
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import spmm as spmm_mod
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops.gat import _gat_forward
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.utils.benchmark import (
+    time_layer_device)
+
+F, H, HD = 128, 4, 128
+RB = CB = 256
+names = [a for a in sys.argv[1:] if not a.startswith("--")] or [
+    "pubmed", "flickr"]
+
+warmed = False
+for name in names:
+    ds = gta.load_dataset(name)
+    hg, _ = reorder_nodes(ds.host_graph, "degree")
+    N = hg.n_node
+    print(f"{name}: N={N} E={hg.n_edge}", flush=True)
+
+    bn = block_nnz(hg, RB, CB).reshape(-1)
+    cbn = int(np.ceil(N / CB))
+
+    def best_et(thr_, tr, tc):
+        m = bn[((hg.receivers[: hg.n_edge] // RB).astype(np.int64) * cbn
+                + hg.senders[: hg.n_edge] // CB)] < thr_
+        tcn = int(np.ceil(N / tc))
+        key = ((hg.receivers[: hg.n_edge][m] // tr).astype(np.int64) * tcn
+               + hg.senders[: hg.n_edge][m] // tc)
+        nnz = np.bincount(key); nnz = nnz[nnz > 0]
+        if not len(nnz):
+            return 512
+        return min(range(256, 1025, 128),
+                   key=lambda et: (int(np.ceil(nnz / et).sum()) * (et + 80),
+                                   et))
+
+    x = jax.device_put(jax.random.normal(jax.random.key(0), (N, F),
+                                         jnp.bfloat16))
+
+    # --- SpMM: int8 dense blocks + separable norm, 1024^2/ET tail ---
+    thr = D.spmm_dense_threshold(RB, CB, fudge=0.5)
+    ET = best_et(thr, 1024, 1024)
+    hyb = hybrid_graph(hg, block_rows=RB, block_cols=CB, tile_edges=ET,
+                       min_nnz=thr, supergroup=16, values_dtype=np.int8,
+                       sparse_block_rows=1024, sparse_block_cols=1024)
+    nb = hyb.dense.n_blocks if hyb.dense else 0
+    deg_in = np.bincount(hg.receivers[: hg.n_edge], minlength=N)
+    deg_out = np.bincount(hg.senders[: hg.n_edge], minlength=N)
+    rs = jax.device_put(jnp.asarray(1 / np.sqrt(np.maximum(deg_in, 1)),
+                                    jnp.float32))
+    cs = jax.device_put(jnp.asarray(1 / np.sqrt(np.maximum(deg_out, 1)),
+                                    jnp.float32))
+    print(f"  spmm split thr={thr}: dense {hyb.n_dense_edges} in {nb} "
+          f"blocks, sparse {hyb.n_sparse_edges} in {hyb.tiles.n_tiles} "
+          f"tiles (ET={ET})", flush=True)
+
+    def spmm_fn(p, gg, xx):
+        bg, tg, (r_, c_) = gg
+        y = spmm_mod.spmm(tg, xx)
+        if bg is not None:
+            yd = D.spmm_dense(bg, xx, row_scale=r_, col_scale=c_)
+            y = y + yd[: y.shape[0]]
+        return y[:N]
+
+    gg = (hyb.dense, hyb.tiles, (rs, cs))
+    kb = max(60, min(2100, int(2e9 / max(hg.n_edge, 1))))
+    if not warmed:   # first slope measurement in a process reads high
+        time_layer_device(spmm_fn, None, gg, x, k_small=5, k_big=kb // 4,
+                          reps=2)
+        warmed = True
+    t = time_layer_device(spmm_fn, None, gg, x, k_small=5, k_big=kb, reps=3)
+    print(f"  SPMM hybrid F={F}: {t*1e6:.1f} us  "
+          f"{hg.n_edge/t/1e9:.3f} Gedge/s", flush=True)
+
+    # --- GAT attention: transposed dense 'cr' + 512x1024 derive tail ---
+    thr_g = D.gat_dense_threshold_t(RB, CB, H, HD // H)
+    ET_g = best_et(thr_g, 512, 1024)
+    hyb_g = hybrid_graph(hg, block_rows=RB, block_cols=CB, tile_edges=ET_g,
+                         min_nnz=thr_g, unit_weight=True, block_layout="cr",
+                         values_dtype=np.int8,
+                         sparse_block_rows=512, sparse_block_cols=1024)
+    nbg = hyb_g.dense.n_blocks if hyb_g.dense else 0
+    print(f"  gat split thr={thr_g}: dense {hyb_g.n_dense_edges} in {nbg} "
+          f"blocks, sparse {hyb_g.n_sparse_edges} in "
+          f"{hyb_g.tiles.n_tiles} tiles (ET={ET_g})", flush=True)
+    w_a = jax.device_put(jax.random.normal(jax.random.key(5), (HD, H),
+                                           jnp.bfloat16) * 0.1)
+    a_d = jax.device_put(jax.random.normal(jax.random.key(6), (N, H),
+                                           jnp.float32))
+
+    def gat_fn(p, gg, xx):
+        bg, tg, wv = gg
+        a_s = jnp.dot(xx, wv, preferred_element_type=jnp.float32)
+        msrc = jnp.max(a_s, axis=0, keepdims=True)
+        acc = _gat_forward(tg, xx, None, a_d.astype(jnp.bfloat16),
+                           w_asrc=wv, normalize=False, msrc=msrc,
+                           dataflow="transposed_derive")
+        if bg is not None:
+            accd = D.gat_dense_partial(bg, xx, a_s, a_d, msrc)
+            acc = acc + accd[: acc.shape[0]]
+        num, den = acc[:, :HD], acc[:, HD:]
+        return num / jnp.repeat(jnp.maximum(den, 1e-20), HD // H, axis=1)
+
+    gg = (hyb_g.dense, hyb_g.tiles, w_a)
+    t = time_layer_device(gat_fn, None, gg, x, k_small=5, k_big=kb, reps=3)
+    print(f"  GAT hybrid H{H} HD{HD}: {t*1e6:.1f} us  "
+          f"{hg.n_edge/t/1e9:.3f} Gedge/s", flush=True)
