@@ -225,7 +225,17 @@ def lower_schedule(
 
     outputs = list(graph.outputs)
 
-    def apply(params: Dict[str, jax.Array], g: GraphTensor, x: jax.Array):
+    # the per-plan graph data (tile/dense arrays) can reach GBs on large or
+    # batched graphs: callers that jit the returned ``apply`` directly embed
+    # them as HLO constants (fine at small scale, fatal past ~100 MB — the
+    # remote compiler rejects the program).  ``apply.captures`` +
+    # ``apply.inner`` expose them so harnesses (time_layer_device) thread
+    # them through as jit ARGUMENTS instead.
+    captures = jax.device_put((tuple(p[4] for p in plans), fg))
+
+    def inner(params: Dict[str, jax.Array], g: GraphTensor, x: jax.Array,
+              captures):
+        tgs, fg = captures
         vals: Dict[int, jax.Array] = {}
 
         def ref(i: int) -> jax.Array:
@@ -239,7 +249,7 @@ def lower_schedule(
             # kernel inputs follow the compute dtype (bf16 = single-pass MXU)
             return v.astype(compute_dtype) if compute_dtype is not None else v
 
-        for kind, block, tc, plan, tg in plans:
+        for (kind, block, tc, plan, _), tg in zip(plans, tgs):
             if kind == "spmm":
                 y = spmm_mod.spmm(tg, kin(ref(plan.in_op)), interpret=interpret)
                 vals[plan.out_op] = y
@@ -329,4 +339,9 @@ def lower_schedule(
             return vals[outputs[0]]
         return {o: vals[o] for o in outputs}
 
+    def apply(params: Dict[str, jax.Array], g: GraphTensor, x: jax.Array):
+        return inner(params, g, x, captures)
+
+    apply.inner = inner
+    apply.captures = captures
     return apply

@@ -410,6 +410,7 @@ class DenseBlockGraph:
         return int(self.blk_rb.shape[0])
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class HybridGraph:
     """Density-split graph: dense adjacency blocks (MXU-direct) + the sparse
@@ -419,8 +420,8 @@ class HybridGraph:
 
     dense: Optional[DenseBlockGraph]
     tiles: TiledGraph
-    n_dense_edges: int
-    n_sparse_edges: int
+    n_dense_edges: int = dataclasses.field(metadata=dict(static=True))
+    n_sparse_edges: int = dataclasses.field(metadata=dict(static=True))
 
 
 def block_nnz(g, block_rows: int, block_cols: int) -> np.ndarray:

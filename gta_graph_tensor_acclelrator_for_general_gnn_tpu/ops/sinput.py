@@ -42,14 +42,15 @@ def density(x: np.ndarray) -> float:
     return float(np.count_nonzero(x)) / max(x.size, 1)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class FeatureGraph:
     """Bipartite incidence tiling of a sparse feature matrix X [N, F_in]."""
     fwd: HybridGraph          # rows = nodes, cols = features
     bwd: HybridGraph          # rows = features, cols = nodes (for the VJP)
-    n_node: int
-    n_feat: int
-    nnz: int
+    n_node: int = dataclasses.field(metadata=dict(static=True))
+    n_feat: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
 
 
 def feature_graph(

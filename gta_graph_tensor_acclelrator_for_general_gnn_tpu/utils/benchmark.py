@@ -95,6 +95,18 @@ def time_layer_device(
     """
     import jax.numpy as jnp
 
+    # lowered programs expose their graph-data captures (tile/dense arrays,
+    # GBs on large graphs) so they ride as jit ARGUMENTS here instead of
+    # being inlined as HLO constants (which the remote compiler rejects
+    # past ~100 MB) — fold them into g, which is already an argument
+    cap = getattr(apply, "captures", None)
+    if cap is not None:
+        inner = apply.inner
+        g = (g, cap)
+
+        def apply(params, gc, xx, _inner=inner):
+            return _inner(params, gc[0], xx, gc[1])
+
     def back_to_x(y, x):
         """Feed y back as the next x (pad/slice widths for non-square layers;
         the fixup is negligible next to the layer itself)."""
