@@ -14,6 +14,7 @@ from . import ir_io
 from .graph import (
     GraphTensor, HostGraph, TiledGraph,
     build_graph, build_host_graph, tile_graph, nnz_histogram, reorder_nodes,
+    cluster_labels,
 )
 from .models.builders import build_op_graph, NETWORKS
 from .models.zoo import build_model, Model

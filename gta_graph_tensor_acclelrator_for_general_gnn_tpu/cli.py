@@ -37,6 +37,12 @@ def main(argv=None):
     p.add_argument("--heads", type=int, default=4)
     p.add_argument("--reorder", action="store_true",
                    help="use the algebraically reordered (trans) op graph")
+    p.add_argument("--node-reorder", default="none",
+                   choices=["none", "degree", "cluster"],
+                   help="relabel nodes to densify adjacency blocks before "
+                        "execution (cluster = label-propagation communities "
+                        "— the label-free preprocessing real graphs need "
+                        "for the hybrid density-split path)")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--bf16", action="store_true", default=True)
@@ -77,8 +83,18 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.bf16 else None
     ds = load_dataset(args.dataset, seed=args.seed)
+    if args.node_reorder != "none":
+        import dataclasses as _dc
+
+        from .graph import reorder_nodes
+        hg2, perm = reorder_nodes(ds.host_graph, args.node_reorder)
+        ds = _dc.replace(ds, host_graph=hg2, x=ds.x[perm], y=ds.y[perm],
+                         train_mask=ds.train_mask[perm],
+                         val_mask=ds.val_mask[perm],
+                         test_mask=ds.test_mask[perm], _device_graph=None)
     out = {"dataset": args.dataset, "network": args.network,
-           "synthetic_data": ds.synthetic}
+           "synthetic_data": ds.synthetic,
+           "node_reorder": args.node_reorder}
 
     def _parse_sched(spec):
         from .compiler import schedule as S

@@ -32,7 +32,8 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    srcs = [os.path.join(_DIR, f) for f in ("tiler.cpp", "sampler.cpp")]
+    srcs = [os.path.join(_DIR, f)
+            for f in ("tiler.cpp", "sampler.cpp", "cluster.cpp")]
     if (not os.path.exists(_SO)
             or any(os.path.getmtime(_SO) < os.path.getmtime(s)
                    for s in srcs)):
@@ -54,6 +55,9 @@ def _load():
         i32p, ctypes.c_int64, ctypes.c_int32, i64p, i64p]
     lib.gta_degrees.argtypes = [i32p, i32p, ctypes.c_int64, f64p, f64p]
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.gta_label_prop.argtypes = [
+        i64p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64, i32p]
+    lib.gta_label_prop.restype = ctypes.c_int32
     lib.gta_sample_epoch.argtypes = [
         i64p, i32p, ctypes.c_int64,                     # row_ptr, senders, n
         i32p, ctypes.c_int32, ctypes.c_int32,           # seeds, batch, S
@@ -162,6 +166,22 @@ def degrees_native(senders, receivers, n_node, _checked=True):
     in_deg = np.zeros(n_node, np.float64)
     lib.gta_degrees(senders, receivers, len(senders), out_deg, in_deg)
     return out_deg, in_deg
+
+
+def label_prop_native(row_ptr, nbrs, n_node, max_iter=20, seed=0):
+    """Async label-propagation over a symmetrized CSR (see cluster.cpp).
+    Returns int32 labels (representative node ids, uncompacted) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    row_ptr = np.ascontiguousarray(row_ptr, np.int64)
+    nbrs = np.ascontiguousarray(nbrs, np.int32)
+    _validate_ids(n_node, nbrs)
+    assert len(row_ptr) == n_node + 1 and row_ptr[-1] == len(nbrs)
+    labels = np.empty(n_node, np.int32)
+    lib.gta_label_prop(row_ptr, nbrs, n_node, int(max_iter),
+                       seed & (2**64 - 1), labels)
+    return labels
 
 
 def sample_epoch_native(row_ptr, senders, seeds, fanouts, batch,

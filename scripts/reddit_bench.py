@@ -40,10 +40,13 @@ for _a in sys.argv[1:]:
 E = int(_pos[0]) if _pos else 114_615_892
 DO_STREAM = "--stream" in sys.argv
 UNIFORM = "--uniform" in sys.argv   # adversarial no-locality variant
+CLUSTER = "--cluster" in sys.argv   # label-FREE reorder (LPA discovers the
+                                    # communities; the real-graph pipeline)
 F = 128
 
 t0 = time.time()
-_cache = f"/tmp/reddit_cache_{E}_{'u' if UNIFORM else 'c'}.npz"
+_cache = (f"/tmp/reddit_cache_{E}_"
+          f"{'u' if UNIFORM else ('l' if CLUSTER else 'c')}.npz")
 if os.path.exists(_cache) and "--no-cache" not in sys.argv:
     z = np.load(_cache)
     from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import HostGraph
@@ -64,7 +67,16 @@ else:
     print(f"build {time.time()-t0:.0f}s E={hg.n_edge} "
           f"({'uniform' if UNIFORM else 'community'})", flush=True)
     t0 = time.time()
-    if labels is None:
+    if CLUSTER:
+        # label-free path: LPA discovers the communities from the edges
+        from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+            cluster_labels)
+        found = cluster_labels(hg)
+        print(f"LPA clustering {time.time()-t0:.0f}s "
+              f"k={int(found.max())+1}", flush=True)
+        t0 = time.time()
+        hg, perm = reorder_nodes(hg, "hubs+labels", labels=found)
+    elif labels is None:
         hg, perm = reorder_nodes(hg, "degree")
     else:
         hg, perm = reorder_nodes(hg, "hubs+labels", labels=labels)

@@ -103,3 +103,70 @@ def test_native_epoch_sampler_deterministic(rng):
                                    16, sam.cap_nodes, e_pad, 5)
     for key in a:
         np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+
+
+def _planted(n, e, k, seed):
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.data.datasets import (
+        synthetic_coo)
+
+    s, r, com = synthetic_coo(n, e, seed=seed, communities=k, p_in=0.7)
+    return gta.build_host_graph(s, r, n), com
+
+
+def _partition_match(found, truth, k):
+    """Every found label maps to exactly one planted community and the
+    mapping is a bijection (perfect recovery up to relabelling)."""
+    if found.max() + 1 != k:
+        return False
+    for l in range(k):
+        if np.count_nonzero(np.bincount(truth[found == l], minlength=k)) != 1:
+            return False
+    return True
+
+
+def test_label_prop_recovers_planted_communities():
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+        cluster_labels)
+
+    hg, com = _planted(2048, 80_000, 8, seed=11)
+    lab = cluster_labels(hg)
+    assert _partition_match(lab, com, 8)
+
+
+def test_label_prop_numpy_fallback_recovers():
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+        _label_prop_numpy)
+
+    hg, com = _planted(1024, 30_000, 8, seed=5)
+    s = hg.senders[: hg.n_edge].astype(np.int64)
+    r = hg.receivers[: hg.n_edge].astype(np.int64)
+    keep = s != r
+    u = np.concatenate([s[keep], r[keep]])
+    v = np.concatenate([r[keep], s[keep]])
+    order = np.argsort(u, kind="stable")
+    rp = np.concatenate([[0], np.cumsum(np.bincount(u, minlength=1024))])
+    lab = _label_prop_numpy(rp.astype(np.int64), v[order].astype(np.int32),
+                            1024, 20)
+    _, lab = np.unique(lab, return_inverse=True)
+    assert _partition_match(lab, com, 8)
+
+
+def test_cluster_reorder_matches_ground_truth_density():
+    """The label-free 'cluster' reorder must earn (almost) the dense
+    fraction that ground-truth labels earn — the real-graph story."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+        hybrid_graph, reorder_nodes)
+
+    hg, com = _planted(4096, 300_000, 4, seed=7)
+
+    def dense_frac(method, **kw):
+        g2, perm = reorder_nodes(hg, method, **kw)
+        assert sorted(perm.tolist()) == list(range(hg.n_node))
+        h = hybrid_graph(g2, block_rows=256, block_cols=256,
+                         tile_edges=512, min_nnz=3277)
+        return h.n_dense_edges / max(h.n_dense_edges + h.n_sparse_edges, 1)
+
+    truth = dense_frac("hubs+labels", labels=com)
+    found = dense_frac("cluster")
+    assert truth > 0.3, truth          # planted structure is discoverable
+    assert found >= 0.9 * truth, (found, truth)

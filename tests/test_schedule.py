@@ -196,3 +196,26 @@ def test_gat_layer_megakernel_gradients(rng):
         np.testing.assert_allclose(np.asarray(g_fused[k]),
                                    np.asarray(g_ref[k]),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_lower_schedule_captures_as_jit_arguments(rng):
+    """apply.captures / apply.inner: threading the graph data through jit
+    as ARGUMENTS (the large-graph / serving path — closure constants are
+    rejected by the compiler past ~100 MB) must match the direct call."""
+    hg, g = _graphs(rng)
+    og = gta.build_op_graph("GCN", 24, 16)
+    params = init_params(og, jax.random.key(0))
+    x = jnp.asarray(rng.normal(size=(hg.n_node, 24)).astype(np.float32))
+
+    sched = S.default_schedule(og)
+    tc = S.TileConfig(block_rows=32, block_cols=32, tile_edges=128)
+    sched = S.Schedule(blocks=sched.blocks,
+                       tiles=tuple(tc for _ in sched.blocks))
+    fn = lower_schedule(og, sched, hg, interpret=True)
+    direct = fn(params, g, x)
+
+    # captures ride the pytree boundary: jit(inner) with captures as an arg
+    inner = jax.jit(fn.inner, static_argnames=())
+    via_args = inner(params, g, x, fn.captures)
+    np.testing.assert_allclose(np.asarray(via_args), np.asarray(direct),
+                               rtol=1e-6, atol=1e-6)
