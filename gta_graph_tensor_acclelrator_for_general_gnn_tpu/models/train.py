@@ -46,11 +46,17 @@ def make_train_step(
     tx: optax.GradientTransformation,
     *,
     remat: bool = False,
+    pmean_axis: Optional[str] = None,
 ):
     """Build ``step(state, g, x, y, mask) -> (state, loss)``.
 
     ``remat=True`` wraps the forward in jax.checkpoint, trading FLOPs for HBM
     on deep stacks / large graphs.
+
+    ``pmean_axis`` makes the step data-parallel: gradients (and the reported
+    loss) are averaged over that mesh axis before the optimizer update, so
+    every shard applies the identical update (synchronous DP; the step must
+    then run inside ``shard_map``/``pjit`` over that axis).
     """
     fwd = jax.checkpoint(apply) if remat else apply
 
@@ -60,6 +66,9 @@ def make_train_step(
 
     def step(state: TrainState, g: GraphTensor, x, y, mask):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, g, x, y, mask)
+        if pmean_axis is not None:
+            grads = jax.lax.pmean(grads, pmean_axis)
+            loss = jax.lax.pmean(loss, pmean_axis)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
@@ -317,6 +326,8 @@ def train_sampled_scan(
     network: str = "GraphSAGE",
     steps_per_epoch: Optional[int] = None,
     measure_device_epoch: bool = False,
+    mesh=None,
+    dp_axis: str = "data",
 ) -> Tuple[TrainState, FitResult, dict]:
     """Sampled training with ONE device dispatch per epoch.
 
@@ -334,6 +345,15 @@ def train_sampled_scan(
     ``sample_s`` / ``h2d_dispatch_s`` per-epoch host-side costs and (with
     ``measure_device_epoch``) ``device_epoch_s``, the fori-loop slope time
     of the pure device epoch — the number a non-tunnel deployment would see.
+
+    ``mesh`` enables synchronous data parallelism over its ``dp_axis``:
+    each global step consumes D = mesh.shape[dp_axis] sampled batches (one
+    per shard), gradients are pmean'd before the (replicated) optimizer
+    update — effective batch D * batch_size, S // D optimizer steps per
+    epoch.  The stacked epoch arrays are sharded [S//D, D, ...] along the
+    data axis, so the host sampler feeds all shards from one epoch buffer.
+    Composes with the graph-sharded full-batch path (parallel/dist.py) as
+    the second parallelism dimension.
     """
     import numpy as np
     from ..data.sampling import NeighborSampler
@@ -345,7 +365,9 @@ def train_sampled_scan(
     params = model.init(jax.random.key(seed))
     tx = optax.adamw(lr, weight_decay=5e-4)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
-    base_step = make_train_step(apply, tx)
+    n_dp = int(mesh.shape[dp_axis]) if mesh is not None else 1
+    base_step = make_train_step(
+        apply, tx, pmean_axis=dp_axis if mesh is not None else None)
 
     sampler = NeighborSampler(ds.host_graph, fanouts, batch_size, seed=seed)
     train_nodes = np.flatnonzero(ds.train_mask)
@@ -392,6 +414,25 @@ def train_sampled_scan(
         ), gs[0].graph.e_pad, len(gs)
 
     first, e_pad, n_steps = stack_epoch()
+    if mesh is not None:
+        if n_steps < n_dp:
+            raise ValueError(
+                f"data parallelism needs >= {n_dp} batches/epoch, "
+                f"got {n_steps} (shrink batch_size or the mesh)")
+        n_steps = (n_steps // n_dp) * n_dp
+
+    def _put(stacked):
+        """Ship one epoch's stacked batch arrays; in DP mode sharded
+        [S//D, D, ...] over the data axis so scan step i feeds shard d its
+        batch i*D+d."""
+        if mesh is None:
+            return jax.device_put(stacked)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(mesh, P(None, dp_axis))
+        return {k: jax.device_put(
+                    v[: n_steps].reshape((n_steps // n_dp, n_dp)
+                                         + v.shape[1:]), sh)
+                for k, v in stacked.items()}
 
     def epoch_fn(state, stacked, xf, yf):
         # xf/yf are jit ARGUMENTS: closing over device arrays embeds them as
@@ -406,15 +447,34 @@ def train_sampled_scan(
             yb = jnp.where(valid, yf[rows], 0)
             st, loss = base_step(st, g, xb, yb, b["seed"])
             return st, loss
-        state, losses = jax.lax.scan(body, state, stacked)
-        return state, losses[-1]
+        if mesh is None:
+            state, losses = jax.lax.scan(body, state, stacked)
+            return state, losses[-1]
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def local_epoch(st, sd, xf_, yf_):
+            def dp_body(s, b):
+                # local slice of the D axis is width 1: drop it
+                return body(s, jax.tree.map(lambda a: a[0], b))
+            st2, losses = jax.lax.scan(dp_body, st, sd)
+            return st2, losses[-1]
+
+        # grads are pmean'd inside base_step, so state stays replicated;
+        # check_rep can't prove that through optax — assert it ourselves
+        return shard_map(
+            local_epoch, mesh=mesh,
+            in_specs=(P(), P(None, dp_axis), P(), P()),
+            out_specs=(P(), P()), check_rep=False,
+        )(state, stacked, xf, yf)
 
     run_epoch = jax.jit(epoch_fn, donate_argnums=0)
 
     # warmup epoch (compile) — counts as training, not as timing
     sample_s = []
     h2d_s = []
-    state, loss = run_epoch(state, jax.device_put(first), xfull, yfull)
+    state, loss = run_epoch(state, _put(first), xfull, yfull)
     jax.block_until_ready(loss)
 
     t_all = time.perf_counter()
@@ -423,7 +483,7 @@ def train_sampled_scan(
         stacked, _, _ = stack_epoch()
         sample_s.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        state, loss = run_epoch(state, jax.device_put(stacked), xfull, yfull)
+        state, loss = run_epoch(state, _put(stacked), xfull, yfull)
         h2d_s.append(time.perf_counter() - t0)
     _ = float(loss)          # single readback awaits the full device queue
     total = time.perf_counter() - t_all
@@ -437,7 +497,7 @@ def train_sampled_scan(
     if measure_device_epoch:
         # slope between k=1 and k=3 chained epochs in ONE dispatch each:
         # pure device time, every constant overhead cancelled
-        stacked_dev = jax.device_put(first)
+        stacked_dev = _put(first)
 
         def k_epochs(k):
             def fn(st, sd, xf, yf):

@@ -211,6 +211,7 @@ def autotune(
     feat_width: Optional[int] = None,
     verbose: bool = False,
     target_s: float = 0.2,
+    seed_schedules: Sequence[S.Schedule] = (),
 ) -> TuneResult:
     """Measure candidate schedules, return the fastest.
 
@@ -218,6 +219,10 @@ def autotune(
     ``traffic_prune x`` the best modelled traffic (reference prunes at 1.5x
     traffic / 1.1x latency-bound; we are looser because kernel dispatch can
     beat lower-traffic schedules).
+
+    ``seed_schedules`` are measured unconditionally (never traffic-pruned)
+    — use to carry a schedule tuned at another operating point into this
+    tune (e.g. the B=1 winner into a batched serving-shape tune).
 
     ``target_s``: measurement self-calibration — each candidate's device
     loop span is sized so the timed window is ~this many seconds (see
@@ -235,13 +240,16 @@ def autotune(
     fw = feat_width or graph.in_width
     memo = Memo(memo_path)
     cands = _candidate_schedules(graph, max_partitions, tile_palette)
+    cands = [c for c in cands if c not in seed_schedules]
+    n_seed = len(list(seed_schedules))
+    cands = list(seed_schedules) + cands
     traffics = [S.traffic_bytes(graph, c.blocks, stats) for c in cands]
     t_min = min(traffics)
 
     trials: List[Measurement] = []
     for i, (sched, traffic) in enumerate(zip(cands, traffics)):
-        if i > 0 and traffic > traffic_prune * t_min:
-            continue  # the first candidate (all-XLA baseline) never prunes
+        if i > n_seed and traffic > traffic_prune * t_min:
+            continue  # seeds + the all-XLA baseline never prune
         if any(tc.path == S.PATH_ONEHOT and not S.tile_is_feasible(tc, fw)
                for tc in sched.tiles):
             continue

@@ -38,8 +38,23 @@ params = jax.device_put(init_params(og, jax.random.key(0)))
 x = jax.device_put(jax.random.normal(jax.random.key(1),
                                      (bhg.n_node, 128), jnp.float32))
 g = bhg.to_device()
+
+# seed with the B=1 winner: partitioned schedules carry ~4x the mega-fused
+# block's modelled traffic and get pruned before measurement, but kernel
+# dispatch beats the traffic model at this shape (serving_bench transfer
+# result) — the seed makes the comparison happen inside ONE tune
+seeds = []
+try:
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler import (
+        schedule as S)
+    spec = json.load(open("results/best_gat_cora128.json"))
+    seeds.append(S.Schedule(
+        blocks=tuple(tuple(b) for b in spec["blocks"]),
+        tiles=tuple(S.TileConfig(*t) for t in spec["tiles"])))
+except FileNotFoundError:
+    pass
 res = autotune(og, bhg, params, g, x, compute_dtype=jnp.bfloat16,
-               iters=512, verbose=True,
+               iters=512, verbose=True, seed_schedules=seeds,
                memo_path=f"results/memo_gat_serve{B}.csv")
 print(res.report(), flush=True)
 best = res.best
