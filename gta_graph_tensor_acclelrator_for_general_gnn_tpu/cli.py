@@ -65,6 +65,10 @@ def main(argv=None):
                    help="tune over a palette derived from the VMEM-maximal "
                         "tile for this graph's widest op (the reference's "
                         "buffer-maximal tile-scale sweep)")
+    p.add_argument("--batch", type=int, default=1,
+                   help="bench: compose this many independent copies of "
+                        "the dataset graph block-diagonally (the serving "
+                        "shape) and report batched edges/s")
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true", help="machine-readable output")
@@ -221,30 +225,46 @@ def main(argv=None):
                 print(res.report())
 
     elif args.command == "bench":
-        from .graph import tile_graph
+        import numpy as np
+
+        from .graph import build_host_graph, tile_graph
         from .ops import sddmm as sddmm_mod
         from .ops import spmm as spmm_mod
-        tg = tile_graph(ds.host_graph)
+        bhg = ds.host_graph
+        if args.batch > 1:
+            # block-diagonal serving composition: node ids offset per copy,
+            # ONE kernel sweep serves all B graphs (scripts/serving_bench)
+            s = bhg.senders[: bhg.n_edge]
+            r = bhg.receivers[: bhg.n_edge]
+            off = np.arange(args.batch, dtype=np.int64)[:, None] * bhg.n_node
+            bhg = build_host_graph(
+                (s[None, :] + off).reshape(-1).astype(np.int64),
+                (r[None, :] + off).reshape(-1).astype(np.int64),
+                args.batch * bhg.n_node, symmetric_norm=True)
+            out["batch"] = args.batch
+        tg = tile_graph(bhg)
+        # CPU backends only run Pallas in interpret mode (CI smoke path)
+        interp = jax.default_backend() == "cpu"
         x = jax.device_put(jax.random.normal(
-            jax.random.key(1), (ds.host_graph.n_node, args.hidden),
+            jax.random.key(1), (bhg.n_node, args.hidden),
             jnp.bfloat16 if args.bf16 else jnp.float32))
         lat = time_layer_device(
-            lambda p, t, v: spmm_mod.spmm(t, v), None, tg, x,
-            k_small=8, k_big=8 + args.iters)
+            lambda p, t, v: spmm_mod.spmm(t, v, interpret=interp),
+            None, tg, x, k_small=8, k_big=8 + args.iters)
         out.update(dict(spmm_latency_us=lat * 1e6,
-                        spmm_edges_per_s=ds.host_graph.n_edge / lat))
+                        spmm_edges_per_s=bhg.n_edge / lat))
 
         # SDDMM (per-edge pair dots — the attention-logit hot op; the
         # north-star metric is SpMM+SDDMM edges/s)
         def sddmm_fn(p, t, v):
-            e = sddmm_mod.sddmm(t, v, v, heads=1)
+            e = sddmm_mod.sddmm(t, v, v, heads=1, interpret=interp)
             # scalar keep-alive folded back at negligible cost
             return v + e.sum().astype(v.dtype) * 1e-9
 
         lat2 = time_layer_device(sddmm_fn, None, tg, x,
                                  k_small=8, k_big=8 + args.iters)
         out.update(dict(sddmm_latency_us=lat2 * 1e6,
-                        sddmm_edges_per_s=ds.host_graph.n_edge / lat2))
+                        sddmm_edges_per_s=bhg.n_edge / lat2))
 
     print(json.dumps(out))
     return 0

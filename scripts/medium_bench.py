@@ -30,13 +30,31 @@ F, H, HD = 128, 4, 128
 RB = CB = 256
 names = [a for a in sys.argv[1:] if not a.startswith("--")] or [
     "pubmed", "flickr"]
+# --community: same dims but with planted community structure (Reddit-like
+# ~233-node communities) and the LABEL-FREE cluster reorder — the regime
+# real medium graphs live in, vs the default uniform power-law worst case
+COMMUNITY = "--community" in sys.argv
 
 warmed = False
 for name in names:
-    ds = gta.load_dataset(name)
-    hg, _ = reorder_nodes(ds.host_graph, "degree")
+    if COMMUNITY:
+        from gta_graph_tensor_acclelrator_for_general_gnn_tpu.data.datasets import (
+            DATASET_STATS, synthetic_coo)
+        N0, E0 = DATASET_STATS[name][:2]
+        s, r, _ = synthetic_coo(N0, E0, seed=1,
+                                communities=max(N0 // 233, 8), p_in=0.7)
+        hg0 = gta.build_host_graph(s, r, N0, add_self_loops=True,
+                                   symmetric_norm=True)
+        t0 = time.time()
+        hg, _ = reorder_nodes(hg0, "cluster")
+        print(f"{name}-community: LPA+reorder {time.time()-t0:.1f}s",
+              flush=True)
+    else:
+        ds = gta.load_dataset(name)
+        hg, _ = reorder_nodes(ds.host_graph, "degree")
     N = hg.n_node
-    print(f"{name}: N={N} E={hg.n_edge}", flush=True)
+    print(f"{name}{'-community' if COMMUNITY else ''}: N={N} E={hg.n_edge}",
+          flush=True)
 
     bn = block_nnz(hg, RB, CB).reshape(-1)
     cbn = int(np.ceil(N / CB))

@@ -46,3 +46,14 @@ def test_cli_node_reorder_cluster(capsys):
     # training is permutation-invariant: the relabelled run must match the
     # unpermuted baseline (0.6625 at these hyperparameters), not degrade
     assert out["train_acc"] > 0.6, out
+
+
+def test_cli_bench_batched(capsys):
+    """bench --batch B: block-diagonal serving composition reports B*E
+    edges through one kernel sweep."""
+    rc = main(["bench", "--dataset", "tiny", "--hidden", "16",
+               "--iters", "4", "--batch", "3", "--json"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["batch"] == 3
+    assert out["spmm_edges_per_s"] > 0 and out["sddmm_edges_per_s"] > 0
