@@ -157,6 +157,17 @@ check("gat_derive/bf16",
                                     w_asrc=w_a.astype(jnp.bfloat16)))(),
       gat_ref_w, 3e-2)
 
+# transposed_derive at WIDE HD (the Reddit GAT tail default): feat rides
+# the sublane axis, edge axis on the 128 lanes, a_src derived in-kernel
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops.gat import (
+    _gat_forward)
+check("gat_transposed_derive/bf16",
+      jax.jit(lambda: _gat_forward(
+          tgu, x.astype(jnp.bfloat16), None, a_d.astype(jnp.bfloat16),
+          w_asrc=w_a.astype(jnp.bfloat16),
+          dataflow="transposed_derive"))(),
+      gat_ref_w, 3e-2)
+
 # sparse-input MM
 from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import sinput
 xs = (rng.random((n, 200)) < 0.03).astype(np.float32) * \
