@@ -225,22 +225,16 @@ def main(argv=None):
                 print(res.report())
 
     elif args.command == "bench":
-        import numpy as np
-
-        from .graph import build_host_graph, tile_graph
+        from .graph import tile_graph
         from .ops import sddmm as sddmm_mod
         from .ops import spmm as spmm_mod
         bhg = ds.host_graph
         if args.batch > 1:
-            # block-diagonal serving composition: node ids offset per copy,
-            # ONE kernel sweep serves all B graphs (scripts/serving_bench)
-            s = bhg.senders[: bhg.n_edge]
-            r = bhg.receivers[: bhg.n_edge]
-            off = np.arange(args.batch, dtype=np.int64)[:, None] * bhg.n_node
-            bhg = build_host_graph(
-                (s[None, :] + off).reshape(-1).astype(np.int64),
-                (r[None, :] + off).reshape(-1).astype(np.int64),
-                args.batch * bhg.n_node, symmetric_norm=True)
+            # block-diagonal serving composition: ONE kernel sweep serves
+            # all B copies; per-graph edge weights (the dataset's own
+            # symmetric norm) are preserved by batch_graphs
+            from .data.batching import batch_graphs
+            bhg, _ = batch_graphs([bhg] * args.batch)
             out["batch"] = args.batch
         tg = tile_graph(bhg)
         # CPU backends only run Pallas in interpret mode (CI smoke path)

@@ -508,6 +508,54 @@ def hybrid_graph(
     e_slot = slot_of[key]
     in_dense = e_slot >= 0
 
+    rest_extra_drop = None      # edge ids merged away (weighted path only)
+    w_rest = w
+    if integral_vals and in_dense.any():
+        # multi-edge saturation guard: an int8 cell holds at most 127 — for
+        # any (receiver, sender) pair with multiplicity above the dtype max
+        # (synthetic generators emit multi-edges; zipf head x small
+        # community exceeds 127 at Reddit scale), keep `cap` copies in the
+        # dense count and EVICT the excess copies to the edge tail, which
+        # carries exact per-edge weights.  Exact for every downstream
+        # semantic (counts, separable scales, attention multiplicity).
+        #
+        # Weighted graphs (unit_weight=False — the SpMM path) treat edge
+        # weights LINEARLY, so the excess copies of a pair additionally
+        # MERGE into one residual edge carrying their summed weight —
+        # a 5,800-multiplicity hot pair costs one tail slot, not 5,673.
+        # Attention graphs (unit_weight=True) keep real copies: the kernels
+        # ignore weights, each copy is one softmax term.
+        cap = int(np.iinfo(values_dtype).max)
+        keys = r[in_dense].astype(np.int64) * (g.n_node + 1) + s[in_dense]
+        korder = np.argsort(keys, kind="stable")
+        ks = keys[korder]
+        new_grp = np.concatenate([[True], ks[1:] != ks[:-1]])
+        grp_start = np.flatnonzero(new_grp)
+        sizes = np.diff(np.concatenate([grp_start, [len(ks)]]))
+        if sizes.max(initial=0) > cap:
+            occ = np.arange(len(ks)) - np.repeat(grp_start, sizes)
+            idx_dense = np.flatnonzero(in_dense)
+            evict_local = korder[occ >= cap]
+            in_dense[idx_dense[evict_local]] = False
+            e_slot = np.where(in_dense, e_slot, -1)
+            if not unit_weight:
+                over = np.flatnonzero(sizes > cap)
+                lens = sizes[over] - cap
+                starts = grp_start[over] + cap
+                pos = (np.repeat(starts, lens)
+                       + np.arange(int(lens.sum()))
+                       - np.repeat(np.cumsum(lens) - lens, lens))
+                eids = idx_dense[korder[pos]]          # all excess copies
+                gidx = np.repeat(np.arange(len(over)), lens)
+                wsum = np.bincount(gidx, weights=w[eids].astype(np.float64))
+                resid = idx_dense[korder[starts]]      # one residual / pair
+                w_rest = w.copy()
+                w_rest[resid] = wsum.astype(np.float32)
+                drop = np.zeros(g.n_edge, bool)
+                drop[eids] = True
+                drop[resid] = False
+                rest_extra_drop = drop
+
     assert block_layout in ("rc", "cr"), block_layout
     blk_shape = ((block_rows, block_cols) if block_layout == "rc"
                  else (block_cols, block_rows))
@@ -552,29 +600,33 @@ def hybrid_graph(
         values_layout=block_layout,
     )
 
+    rest_keep = ~in_dense
+    if rest_extra_drop is not None:
+        rest_keep &= ~rest_extra_drop     # merged multi-edge copies
+    n_rest = int(rest_keep.sum())
     rest = HostGraph(
         senders=np.concatenate(
-            [s[~in_dense], np.full(g.e_pad - int((~in_dense).sum()),
-                                   g.n_node, np.int32)]),
+            [s[rest_keep], np.full(g.e_pad - n_rest, g.n_node, np.int32)]),
         receivers=np.concatenate(
-            [r[~in_dense], np.full(g.e_pad - int((~in_dense).sum()),
-                                   g.n_node, np.int32)]),
+            [r[rest_keep], np.full(g.e_pad - n_rest, g.n_node, np.int32)]),
         edge_mask=np.concatenate(
-            [np.ones(int((~in_dense).sum()), bool),
-             np.zeros(g.e_pad - int((~in_dense).sum()), bool)]),
+            [np.ones(n_rest, bool), np.zeros(g.e_pad - n_rest, bool)]),
         edge_weight=np.concatenate(
-            [w[~in_dense], np.zeros(g.e_pad - int((~in_dense).sum()),
-                                    np.float32)]),
+            [w_rest[rest_keep],
+             np.zeros(g.e_pad - n_rest, np.float32)]),
         n_node=g.n_node,
-        n_edge=int((~in_dense).sum()),
+        n_edge=n_rest,
     )
     # rest.edge_weight already carries the requested weights (1s when
     # unit_weight), so tile_graph must NOT re-unit them
     tiles = tile_graph(rest, block_rows=sbr, block_cols=sbc,
                        tile_edges=tile_edges, unit_weight=False)
+    # n_sparse_edges is the LOGICAL count the tail represents: merged
+    # multi-edge copies still contribute (summed weight), so dense+sparse
+    # always partitions the input edge set
     return HybridGraph(dense=dense, tiles=tiles,
                        n_dense_edges=int(in_dense.sum()),
-                       n_sparse_edges=rest.n_edge)
+                       n_sparse_edges=g.n_edge - int(in_dense.sum()))
 
 
 def _label_prop_numpy(row_ptr: np.ndarray, nbrs: np.ndarray, n: int,

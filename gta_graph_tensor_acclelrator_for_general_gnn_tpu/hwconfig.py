@@ -20,6 +20,7 @@ Everything falls back to measured-good v5e defaults when no file is given.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -95,10 +96,17 @@ class HwConfig:
 
 def load_hw_config(path: Optional[str] = None) -> HwConfig:
     """Read the config file (JSON; YAML when pyyaml is available).  With no
-    path and no ``GTA_HW_CONFIG`` env var, returns defaults."""
+    path and no ``GTA_HW_CONFIG`` env var, returns defaults.  Parsed
+    configs are cached per path — feasibility checks call this per tile
+    per candidate schedule (thousands of times per tune)."""
     path = path or os.environ.get("GTA_HW_CONFIG")
     if not path:
         return HwConfig()
+    return _load_hw_config_cached(path)
+
+
+@functools.lru_cache(maxsize=16)
+def _load_hw_config_cached(path: str) -> HwConfig:
     with open(path) as f:
         text = f.read()
     try:

@@ -255,14 +255,17 @@ def train_sampled(
             try:
                 for item in it:
                     q.put(item)
-            finally:
                 q.put(END)
+            except BaseException as ex:  # surface in the consumer, never
+                q.put(ex)                # silently end the epoch early
 
         threading.Thread(target=produce, daemon=True).start()
         while True:
             item = q.get()
             if item is END:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     n_steps = 0
@@ -371,6 +374,11 @@ def train_sampled_scan(
 
     sampler = NeighborSampler(ds.host_graph, fanouts, batch_size, seed=seed)
     train_nodes = np.flatnonzero(ds.train_mask)
+    if len(train_nodes) < batch_size:
+        raise ValueError(
+            f"batch_size={batch_size} exceeds the train split "
+            f"({len(train_nodes)} nodes) — no full batch can be sampled; "
+            f"shrink batch_size")
     cap_n = sampler.cap_nodes
 
     xfull = jax.device_put(jnp.asarray(ds.x))

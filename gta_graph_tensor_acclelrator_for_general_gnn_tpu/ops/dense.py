@@ -534,9 +534,16 @@ def spmm_hybrid(hyb, g, x, *, weighted: bool = True,
     return f(x)
 
 
-def _gat_reference_g(g, h, a_src, a_dst, slope):
+def _gat_reference_g(g, h, a_src, a_dst, slope, weighted: bool = True):
     """Full-graph XLA segment formulation of GAT attention (backward twin —
-    numerically identical to the kernels' shift-bound scheme)."""
+    numerically identical to the kernels' shift-bound scheme).
+
+    ``weighted=False`` drops the ``edge_weight`` factor from the softmax
+    terms — the semantics of every attention KERNEL here (attention
+    replaces edge weights; the hybrid/tiled attention graphs are built
+    unit-weight).  A backward twin for those kernels MUST pass False, or a
+    sym-norm graph silently differentiates a different function than the
+    forward computes."""
     n = g.n_node
     H = a_src.shape[1]
     HD = h.shape[1]
@@ -548,7 +555,8 @@ def _gat_reference_g(g, h, a_src, a_dst, slope):
     asr = jnp.concatenate([a_src.astype(jnp.float32), pad1], 0)
     ads = jnp.concatenate([a_dst.astype(jnp.float32), pad1], 0)
     hsx = jnp.concatenate([h.astype(jnp.float32), padh], 0)
-    w = g.edge_weight[:, None]
+    w = (g.edge_weight[:, None] if weighted
+         else g.edge_mask.astype(jnp.float32)[:, None])
     a_s = jnp.take(asr, src, axis=0)
     a_d = jnp.take(ads, dst, axis=0)
     e = jax.nn.leaky_relu(a_s + a_d, slope)
@@ -595,8 +603,13 @@ def gat_hybrid(hyb, g, h_src, a_src, a_dst, *, negative_slope: float = 0.2,
         return f(h, s, d), (h, s, d)
 
     def bwd(res, gbar):
+        # weighted=False: the forward kernels run strictly unit-weight
+        # (hybrid attention graphs are built unit_weight=True), so the
+        # backward twin must differentiate the unweighted softmax even
+        # when the full graph g carries sym-norm edge weights
         _, vjp = jax.vjp(
-            lambda h, s, d: _gat_reference_g(g, h, s, d, negative_slope),
+            lambda h, s, d: _gat_reference_g(g, h, s, d, negative_slope,
+                                             weighted=False),
             *res)
         return vjp(gbar.astype(jnp.float32))
 

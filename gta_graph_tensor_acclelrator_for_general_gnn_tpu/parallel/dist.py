@@ -314,6 +314,14 @@ def shard_tiles(part_host, *, block_rows: int = 256,
 
     T = max(tg.n_tiles for tg in per)
 
+    # row_first_host is per-shard STATIC metadata (a tuple of tile indices)
+    # that differs between shards whenever their stripe tile counts differ —
+    # stacking would fail on mismatched pytree treedefs, and after padding
+    # it would be stale anyway (row_first[-1] != n_tiles).  None routes the
+    # kernels to the order-agnostic single-call path, which is correct for
+    # any tile layout (spmm.py:198, gat.py:457).
+    per = [_dc.replace(tg, row_first_host=None) for tg in per]
+
     def pad_tiles(tg: TiledGraph) -> TiledGraph:
         t0 = tg.n_tiles
         if t0 == T:

@@ -140,9 +140,20 @@ class GeneticTuner:
         for i, b in enumerate(sched.blocks):
             for o in b:
                 block_of[o] = i
+        # positional transfer: map this graph's ops onto the foreign
+        # schedule's ops by RANK in the sorted id lists (identical graphs
+        # -> identity; a foreign graph with different op ids still seeds
+        # real fusion bits instead of degrading to all-zero)
+        f_ids = sorted(block_of)
+        rank_of = {oid: i for i, oid in enumerate(
+            sorted(op.op_id for op in self.graph.ops))}
+
+        def fblock(o):
+            i = rank_of[o]
+            return block_of[f_ids[i]] if i < len(f_ids) else None
+
         bits = tuple(
-            1 if (u in block_of and v in block_of
-                  and block_of[u] == block_of[v]) else 0
+            1 if (fblock(u) is not None and fblock(u) == fblock(v)) else 0
             for u, v in self.free)
         use_pattern = bool(
             self.chain is not None

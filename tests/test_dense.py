@@ -412,3 +412,50 @@ def test_gat_dense_partial_transposed_matches_wide(rng):
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(acc_cr), np.asarray(acc_rc),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_hybrid_int8_multiedge_overflow_exact(rng):
+    """Pair multiplicity above the int8 max must not wrap: the excess
+    copies are evicted to the edge tail, keeping the hybrid result exact
+    (the synthetic Reddit generator emits such multi-edges at scale)."""
+    s, r = small_graph(rng, n=64, e=800, multi_edges=True)
+    s = np.concatenate([s, np.full(200, 3, np.int32)])
+    r = np.concatenate([r, np.full(200, 5, np.int32)])
+    hg = build_host_graph(s, r, 64, edge_pad_multiple=128)
+    hyb = hybrid_graph(hg, block_rows=32, block_cols=32, tile_edges=64,
+                       min_nnz=20, values_dtype=np.int8)
+    assert hyb.n_dense_edges + hyb.n_sparse_edges == hg.n_edge
+    vals = np.asarray(hyb.dense.values)
+    assert vals.max() == 127 and vals.min() >= 0
+    g = hg.to_device()
+    x = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+    y = D.spmm_hybrid(hyb, g, x, interpret=True)[:64]
+    e = P.scatter_to_edges(x, g, "C") * g.edge_weight[:, None]
+    y_ref = P.gather_to_nodes(e, g, ir.ADD)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_gat_hybrid_grads_ignore_edge_weights(rng):
+    """Forward kernels run unit-weight; the custom-VJP backward must
+    differentiate the same (unweighted) function even on a sym-norm graph
+    (regression: it used to differentiate the WEIGHTED softmax)."""
+    hg, g = _graphs(rng, symmetric_norm=True)
+    hyb = hybrid_graph(hg, block_rows=32, block_cols=32, tile_edges=64,
+                       min_nnz=40, unit_weight=True)
+    h = jnp.asarray(rng.normal(size=(hg.n_node, 16)).astype(np.float32))
+    a_s = jnp.asarray(rng.normal(size=(hg.n_node, 4)).astype(np.float32))
+    a_d = jnp.asarray(rng.normal(size=(hg.n_node, 4)).astype(np.float32))
+    # forward equals the UNWEIGHTED oracle despite g's sym-norm weights
+    out = D.gat_hybrid(hyb, g, h, a_s, a_d, interpret=True)
+    ref = D._gat_reference_g(g, h, a_s, a_d, 0.2, weighted=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # gradients match the same unweighted formulation
+    f = lambda v: jnp.sum(D.gat_hybrid(hyb, g, v, a_s, a_d,
+                                       interpret=True) ** 2)
+    fr = lambda v: jnp.sum(
+        D._gat_reference_g(g, v, a_s, a_d, 0.2, weighted=False) ** 2)
+    np.testing.assert_allclose(np.asarray(jax.grad(f)(h)),
+                               np.asarray(jax.grad(fr)(h)),
+                               rtol=1e-3, atol=1e-3)

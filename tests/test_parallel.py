@@ -205,3 +205,34 @@ def test_dist_kernel_route_matches_xla(rng):
     for k in g2:
         np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_shard_tiles_heterogeneous_stripe_counts(rng):
+    """Shards whose row stripes hold different tile counts must stack
+    (regression: per-shard row_first_host static tuples mismatched) and the
+    kernel route must stay exact on such a partition."""
+    import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.lower import (
+        init_params, lower)
+    n = 96
+    s = rng.integers(0, n, 900).astype(np.int32)
+    r = (rng.zipf(1.5, 900) % n).astype(np.int32)   # heavy skew
+    keep = s != r
+    hg = gta.build_host_graph(s[keep], r[keep], n, symmetric_norm=True,
+                              edge_pad_multiple=128)
+    mesh = _mesh()
+    part = parallel.partition_graph(hg, mesh.size)
+    tiles = parallel.shard_tiles(part, block_rows=16, block_cols=16,
+                                 tile_edges=32)          # forces imbalance
+    og = gta.build_op_graph("GCN", 8, 8)
+    params = init_params(og, jax.random.key(0))
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    ref = lower(og)(params, hg.to_device(), jnp.asarray(x))
+    pd = parallel.shard_part(part, mesh)
+    td = parallel.shard_part(tiles, mesh)
+    xp = jax.device_put(jnp.asarray(parallel.pad_nodes(x, part)),
+                        NamedSharding(mesh, P("graph", None)))
+    fwd = jax.jit(parallel.make_dist_apply([og], mesh, use_kernels=True,
+                                           tiles=td))
+    np.testing.assert_allclose(np.asarray(fwd(params, pd, xp))[:n],
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
