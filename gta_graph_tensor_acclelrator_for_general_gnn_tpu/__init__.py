@@ -12,9 +12,9 @@ multi-chip and multi-host scaling (which the reference does not have at all).
 from . import ir
 from . import ir_io
 from .graph import (
-    GraphTensor, HostGraph, TiledGraph,
-    build_graph, build_host_graph, tile_graph, nnz_histogram, reorder_nodes,
-    cluster_labels,
+    GraphTensor, HostGraph, MultiTiledGraph, TiledGraph,
+    build_graph, build_host_graph, tile_graph, tile_graph_classes,
+    nnz_histogram, reorder_nodes, cluster_labels,
 )
 from .models.builders import build_op_graph, NETWORKS
 from .models.zoo import build_model, Model

@@ -69,6 +69,14 @@ def main(argv=None):
                    help="bench: compose this many independent copies of "
                         "the dataset graph block-diagonally (the serving "
                         "shape) and report batched edges/s")
+    p.add_argument("--tile-classes", default=None,
+                   help="bench: per-run tile capacity classes for the "
+                        "sparse kernels — comma list (e.g. 64,128,512) or "
+                        "'auto' for the measured-good default; one class "
+                        "per heterogeneous run size (graph.MultiTiledGraph)")
+    p.add_argument("--sparse-block", type=int, default=None,
+                   help="bench: row/col block size for the edge-tile "
+                        "kernels (default 256)")
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true", help="machine-readable output")
@@ -225,7 +233,7 @@ def main(argv=None):
                 print(res.report())
 
     elif args.command == "bench":
-        from .graph import tile_graph
+        from .graph import tile_graph, tile_graph_classes
         from .ops import sddmm as sddmm_mod
         from .ops import spmm as spmm_mod
         bhg = ds.host_graph
@@ -236,7 +244,18 @@ def main(argv=None):
             from .data.batching import batch_graphs
             bhg, _ = batch_graphs([bhg] * args.batch)
             out["batch"] = args.batch
-        tg = tile_graph(bhg)
+        sb = args.sparse_block or 256
+        if args.tile_classes:
+            classes = ((64, 128, 256, 512, 1024)
+                       if args.tile_classes == "auto" else
+                       tuple(int(c) for c in args.tile_classes.split(",")))
+            tg = tile_graph_classes(bhg, block_rows=sb, block_cols=sb,
+                                    tile_classes=classes)
+            out["tile_classes"] = list(classes)
+        else:
+            tg = tile_graph(bhg, block_rows=sb, block_cols=sb)
+        if args.sparse_block:
+            out["sparse_block"] = sb
         # CPU backends only run Pallas in interpret mode (CI smoke path)
         interp = jax.default_backend() == "cpu"
         x = jax.device_put(jax.random.normal(
@@ -253,7 +272,10 @@ def main(argv=None):
         def sddmm_fn(p, t, v):
             e = sddmm_mod.sddmm(t, v, v, heads=1, interpret=interp)
             # scalar keep-alive folded back at negligible cost
-            return v + e.sum().astype(v.dtype) * 1e-9
+            # (multi-class tilings return a per-class tuple)
+            tot = (sum(part.sum() for part in e) if isinstance(e, tuple)
+                   else e.sum())
+            return v + tot.astype(v.dtype) * 1e-9
 
         lat2 = time_layer_device(sddmm_fn, None, tg, x,
                                  k_small=8, k_big=8 + args.iters)

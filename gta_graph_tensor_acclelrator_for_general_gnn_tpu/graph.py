@@ -27,7 +27,7 @@ a dump row that is sliced away.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -365,6 +365,121 @@ def tile_graph(
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class MultiTiledGraph:
+    """Edge tiling with per-run CAPACITY CLASSES.
+
+    A single ``tile_edges`` wastes most slots when (rb, cb) run sizes are
+    heterogeneous (a 5-edge adjacency block padded to 512 slots is 1%
+    utilised — power-law graphs without community structure live there:
+    flickr's tail measured 0.22 utilisation).  Here every run is packed
+    with the capacity minimising its modelled kernel time
+    ``ceil(len/ET) * (ET*(R+C)/2048 + fixed_slots)`` and runs of the same
+    class share one TiledGraph; per-class kernel outputs add exactly.
+
+    The reference's analogue is per-block tile sizes in its GA genome
+    (vTCAD/code/genetic_algorithm.py:452-466); this takes the idea to
+    per-adjacency-run granularity with a closed-form assignment instead of
+    a search dimension.
+
+    Modelled tail-slot reduction at 1024x1024 geometry: pubmed 2.3x,
+    flickr 3.0x, Reddit-community ~1.0x (its tail runs are concentrated
+    near one size, so one class already fits).
+    """
+
+    parts: Tuple[TiledGraph, ...]
+
+    @property
+    def n_node(self) -> int:
+        return self.parts[0].n_node
+
+    @property
+    def n_tiles(self) -> int:
+        return sum(p.n_tiles for p in self.parts)
+
+    @property
+    def total_slots(self) -> int:
+        return sum(p.n_tiles * p.tile_edges for p in self.parts)
+
+
+def tile_graph_classes(
+    g,
+    *,
+    block_rows: int = 1024,
+    block_cols: int = 1024,
+    tile_classes: Sequence[int] = (64, 128, 256, 512, 1024),
+    unit_weight: bool = False,
+    fixed_slots: int = 80,
+) -> MultiTiledGraph:
+    """Multi-capacity tiling (see :class:`MultiTiledGraph`).
+
+    ``fixed_slots`` is the per-tile fixed kernel cost in edge-slot units
+    (~240 ns grid-step overhead / 3.2 ns per slot at R+C=2048, measured on
+    v5e); it is what stops the assignment from always picking the smallest
+    class.  Classes that win no run produce no TiledGraph.
+    """
+    g = _as_host(g)
+    ne = g.n_edge
+    s = g.senders[:ne]
+    r = g.receivers[:ne]
+    w = (np.ones(ne, np.float32) if unit_weight
+         else g.edge_weight[:ne])
+    tile_classes = sorted(set(int(c) for c in tile_classes))
+    ncb = max(_round_up(g.n_node, block_cols) // block_cols, 1)
+
+    key = (r // block_rows).astype(np.int64) * ncb + (s // block_cols)
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    starts = (np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+              if ne else np.zeros(0, np.int64))
+    run_len = np.diff(np.concatenate([starts, [ne]]))
+    scale = (block_rows + block_cols) / 2048.0
+    cost = np.stack([np.ceil(run_len / et) * (et * scale + fixed_slots)
+                     for et in tile_classes], axis=0)
+    choice = cost.argmin(axis=0) if ne else np.zeros(0, np.int64)
+    edge_class = np.repeat(choice, run_len)        # aligned with `order`
+
+    parts = []
+    for ci, et in enumerate(tile_classes):
+        eidx = order[edge_class == ci]             # parent edge ids
+        k = len(eidx)
+        if k == 0:
+            continue
+        sub_ep = max(_round_up(k, 128), 128)
+        sub = HostGraph(
+            senders=np.concatenate(
+                [s[eidx], np.full(sub_ep - k, g.n_node, np.int32)]),
+            receivers=np.concatenate(
+                [r[eidx], np.full(sub_ep - k, g.n_node, np.int32)]),
+            edge_mask=np.concatenate(
+                [np.ones(k, bool), np.zeros(sub_ep - k, bool)]),
+            edge_weight=np.concatenate(
+                [w[eidx], np.zeros(sub_ep - k, np.float32)]),
+            n_node=g.n_node,
+            n_edge=k,
+        )
+        tg = tile_graph(sub, block_rows=block_rows, block_cols=block_cols,
+                        tile_edges=et, unit_weight=False)
+        # remap the subgraph-local edge ids back to the parent edge space
+        # (per-edge values like attention alphas index the PARENT arrays);
+        # jnp.take, not numpy: tg.edge_id is a device array and a readback
+        # would poison the process (see HostGraph docstring)
+        remap = np.concatenate(
+            [eidx.astype(np.int32),
+             np.full(sub_ep - k, max(g.e_pad - 1, 0), np.int32)])
+        tg = dataclasses.replace(
+            tg, edge_id=jnp.take(jnp.asarray(remap), tg.edge_id, axis=0))
+        parts.append(tg)
+    if not parts:
+        # edge-less graph: keep one empty single-class tiling so kernels
+        # still visit (zero) every output block
+        parts = [tile_graph(g, block_rows=block_rows, block_cols=block_cols,
+                            tile_edges=tile_classes[-1],
+                            unit_weight=unit_weight)]
+    return MultiTiledGraph(parts=tuple(parts))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class DenseBlockGraph:
     """Dense adjacency blocks for the MXU-direct aggregation path.
 
@@ -451,6 +566,7 @@ def hybrid_graph(
     sparse_block_rows: Optional[int] = None,
     sparse_block_cols: Optional[int] = None,
     block_layout: str = "rc",
+    tile_classes: Optional[Sequence[int]] = None,
 ) -> HybridGraph:
     """Split the adjacency by per-block density: blocks with
     ``nnz >= min_nnz`` become dense [R, C] value matrices, the rest stays
@@ -489,8 +605,14 @@ def hybrid_graph(
     dense_ids = np.flatnonzero(dense_mask2d.reshape(-1))      # rb-major order
 
     if len(dense_ids) == 0:
-        tiles = tile_graph(g, block_rows=sbr, block_cols=sbc,
-                           tile_edges=tile_edges, unit_weight=unit_weight)
+        if tile_classes:
+            tiles = tile_graph_classes(
+                g, block_rows=sbr, block_cols=sbc,
+                tile_classes=tile_classes, unit_weight=unit_weight)
+        else:
+            tiles = tile_graph(g, block_rows=sbr, block_cols=sbc,
+                               tile_edges=tile_edges,
+                               unit_weight=unit_weight)
         return HybridGraph(dense=None, tiles=tiles,
                            n_dense_edges=0, n_sparse_edges=g.n_edge)
 
@@ -619,8 +741,13 @@ def hybrid_graph(
     )
     # rest.edge_weight already carries the requested weights (1s when
     # unit_weight), so tile_graph must NOT re-unit them
-    tiles = tile_graph(rest, block_rows=sbr, block_cols=sbc,
-                       tile_edges=tile_edges, unit_weight=False)
+    if tile_classes:
+        tiles = tile_graph_classes(rest, block_rows=sbr, block_cols=sbc,
+                                   tile_classes=tile_classes,
+                                   unit_weight=False)
+    else:
+        tiles = tile_graph(rest, block_rows=sbr, block_cols=sbc,
+                           tile_edges=tile_edges, unit_weight=False)
     # n_sparse_edges is the LOGICAL count the tail represents: merged
     # multi-edge copies still contribute (summed weight), so dense+sparse
     # always partitions the input edge set

@@ -459,7 +459,7 @@ def train_sampled_scan(
             state, losses = jax.lax.scan(body, state, stacked)
             return state, losses[-1]
 
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         def local_epoch(st, sd, xf_, yf_):
@@ -474,7 +474,7 @@ def train_sampled_scan(
         return shard_map(
             local_epoch, mesh=mesh,
             in_specs=(P(), P(None, dp_axis), P(), P()),
-            out_specs=(P(), P()), check_rep=False,
+            out_specs=(P(), P()), check_vma=False,
         )(state, stacked, xf, yf)
 
     run_epoch = jax.jit(epoch_fn, donate_argnums=0)

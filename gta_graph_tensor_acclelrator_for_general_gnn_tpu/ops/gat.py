@@ -307,6 +307,25 @@ def _gat_forward(
     max_tiles_per_call: int = None,
     dataflow: str = None,
 ) -> jax.Array:
+    from ..graph import MultiTiledGraph
+    if isinstance(tg, MultiTiledGraph):
+        # per-run capacity classes: the (num, den) accumulators are plain
+        # sums over edges, so per-class partials add exactly — PROVIDED all
+        # classes share one softmax shift (msrc) and normalization happens
+        # once outside (normalize=False), like the dense/tile hybrid split
+        assert not normalize and msrc is not None, (
+            "MultiTiledGraph GAT needs normalize=False and an explicit "
+            "msrc so per-class partial softmax accumulators compose")
+        acc = None
+        for part in tg.parts:
+            a = _gat_forward(
+                part, h_src, a_src, a_dst, w_asrc=w_asrc,
+                negative_slope=negative_slope, interpret=interpret,
+                precision=precision, normalize=False, msrc=msrc,
+                max_tiles_per_call=max_tiles_per_call, dataflow=dataflow)
+            acc = a if acc is None else acc + a
+        return acc
+
     from .spmm import MAX_TILES_PER_CALL, _stripe_chunks
     if max_tiles_per_call is None:
         max_tiles_per_call = MAX_TILES_PER_CALL

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..graph import TiledGraph
+from ..graph import MultiTiledGraph, TiledGraph
 
 
 def _head_block(heads: int, per_head: int, feat_block: int) -> int:
@@ -50,7 +50,16 @@ def sddmm(
     """Per-edge per-head dots in tile layout: returns [heads, T, ET] float32.
 
     Use :func:`tiles_to_edges` to map back to GraphTensor edge order.
+
+    A :class:`graph.MultiTiledGraph` runs one kernel per capacity class and
+    returns a TUPLE of per-class tile values (shapes differ per class);
+    ``tiles_to_edges`` accepts the tuple and sums the scatters.
     """
+    if isinstance(tg, MultiTiledGraph):
+        return tuple(
+            sddmm(p, x_src, x_dst, heads=heads, feat_block=feat_block,
+                  interpret=interpret, precision=precision)
+            for p in tg.parts)
     if precision is None:
         # one-hot operands are bf16-exact; see spmm.py for the policy
         precision = (jax.lax.Precision.HIGHEST if x_src.dtype == jnp.float32
@@ -127,7 +136,16 @@ def tiles_to_edges(tg: TiledGraph, vals: jax.Array, e_pad: int) -> jax.Array:
     Each real edge occupies exactly one tile slot.  Padding slots alias the
     last edge id, so the scatter must ADD (their kernel values are exact
     zeros — the one-hot rows miss) rather than SET, which would clobber the
-    last edge with an arbitrary winner among the duplicate writes."""
+    last edge with an arbitrary winner among the duplicate writes.
+
+    MultiTiledGraph: ``vals`` is the per-class tuple from :func:`sddmm`;
+    each class owns a disjoint edge subset, so the scatters sum exactly."""
+    if isinstance(tg, MultiTiledGraph):
+        out = None
+        for p, v in zip(tg.parts, vals):
+            o = tiles_to_edges(p, v, e_pad)
+            out = o if out is None else out + o
+        return out
     H = vals.shape[0]
     flat = vals.reshape(H, -1).T                     # [T*ET, H]
     idx = tg.edge_id.reshape(-1)
@@ -136,7 +154,11 @@ def tiles_to_edges(tg: TiledGraph, vals: jax.Array, e_pad: int) -> jax.Array:
 
 
 def edges_to_tiles(tg: TiledGraph, vals: jax.Array) -> jax.Array:
-    """Gather per-edge values [e_pad, ...] into tile layout [T, ET, ...]."""
+    """Gather per-edge values [e_pad, ...] into tile layout [T, ET, ...].
+
+    MultiTiledGraph: returns the per-class tuple."""
+    if isinstance(tg, MultiTiledGraph):
+        return tuple(edges_to_tiles(p, vals) for p in tg.parts)
     return jnp.take(vals, tg.edge_id, axis=0)
 
 

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..graph import TiledGraph
+from ..graph import MultiTiledGraph, TiledGraph
 
 
 def _round_up(x: int, m: int) -> int:
@@ -112,6 +112,7 @@ def spmm(
     interpret: bool = False,
     precision: Optional[jax.lax.Precision] = None,
     max_tiles_per_call: int = MAX_TILES_PER_CALL,
+    _xp: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Block-sparse SpMM: returns ``y`` [n_node, F] float32.
 
@@ -127,13 +128,32 @@ def spmm(
     Tile sets beyond ``max_tiles_per_call`` are executed as several pallas
     calls over disjoint row-stripe ranges (SMEM holds the per-call scalar
     prefetch arrays) and concatenated.
+
+    A :class:`graph.MultiTiledGraph` (per-run capacity classes) runs one
+    kernel per class; the partial sums add exactly (plain weighted sums).
     """
+    if isinstance(tg, MultiTiledGraph):
+        # build the padded x panel ONCE (classes share geometry); per-class
+        # rebuilds measurably eat the packing win on medium graphs
+        p0 = tg.parts[0]
+        f = x.shape[1]
+        fb = min(feat_block, _round_up(f, 128))
+        xp = jnp.zeros((p0.n_col_blocks * p0.block_cols, _round_up(f, fb)),
+                       x.dtype).at[: x.shape[0], :f].set(x)
+        y = None
+        for part in tg.parts:
+            yp = spmm(part, x, edge_vals, feat_block=feat_block,
+                      interpret=interpret, precision=precision,
+                      max_tiles_per_call=max_tiles_per_call, _xp=xp)
+            y = yp if y is None else y + yp
+        return y
     n_cols = tg.n_col_blocks * tg.block_cols
     f = x.shape[1]
     fb = min(feat_block, _round_up(f, 128))
     f_pad = _round_up(f, fb)
 
-    xp = jnp.zeros((n_cols, f_pad), x.dtype).at[: x.shape[0], :f].set(x)
+    xp = (_xp if _xp is not None
+          else jnp.zeros((n_cols, f_pad), x.dtype).at[: x.shape[0], :f].set(x))
 
     w = tg.weight
     if edge_vals is not None:

@@ -34,6 +34,9 @@ names = [a for a in sys.argv[1:] if not a.startswith("--")] or [
 # ~233-node communities) and the LABEL-FREE cluster reorder — the regime
 # real medium graphs live in, vs the default uniform power-law worst case
 COMMUNITY = "--community" in sys.argv
+# --classes: per-run capacity classes for the sparse tail
+# (graph.tile_graph_classes) instead of one tile_edges
+CLASSES = (64, 128, 256, 512, 1024) if "--classes" in sys.argv else None
 
 warmed = False
 for name in names:
@@ -80,7 +83,8 @@ for name in names:
     ET = best_et(thr, 1024, 1024)
     hyb = hybrid_graph(hg, block_rows=RB, block_cols=CB, tile_edges=ET,
                        min_nnz=thr, supergroup=16, values_dtype=np.int8,
-                       sparse_block_rows=1024, sparse_block_cols=1024)
+                       sparse_block_rows=1024, sparse_block_cols=1024,
+                       tile_classes=CLASSES)
     nb = hyb.dense.n_blocks if hyb.dense else 0
     deg_in = np.bincount(hg.receivers[: hg.n_edge], minlength=N)
     deg_out = np.bincount(hg.senders[: hg.n_edge], minlength=N)
@@ -116,7 +120,11 @@ for name in names:
     hyb_g = hybrid_graph(hg, block_rows=RB, block_cols=CB, tile_edges=ET_g,
                          min_nnz=thr_g, unit_weight=True, block_layout="cr",
                          values_dtype=np.int8,
-                         sparse_block_rows=512, sparse_block_cols=1024)
+                         sparse_block_rows=512, sparse_block_cols=1024,
+                         # transposed dataflow: edge axis rides the 128-lane
+                         # dim, so capacities must be %128
+                         tile_classes=(tuple(c for c in CLASSES if c % 128 == 0)
+                                       if CLASSES else None))
     nbg = hyb_g.dense.n_blocks if hyb_g.dense else 0
     print(f"  gat split thr={thr_g}: dense {hyb_g.n_dense_edges} in {nbg} "
           f"blocks, sparse {hyb_g.n_sparse_edges} in "

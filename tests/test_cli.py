@@ -57,3 +57,15 @@ def test_cli_bench_batched(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["batch"] == 3
     assert out["spmm_edges_per_s"] > 0 and out["sddmm_edges_per_s"] > 0
+
+
+def test_cli_bench_tile_classes(capsys):
+    """bench --tile-classes routes both kernels through MultiTiledGraph."""
+    rc = main(["bench", "--dataset", "tiny", "--hidden", "16",
+               "--iters", "4", "--tile-classes", "32,64",
+               "--sparse-block", "64", "--json"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["tile_classes"] == [32, 64]
+    assert out["sparse_block"] == 64
+    assert out["spmm_edges_per_s"] > 0 and out["sddmm_edges_per_s"] > 0

@@ -459,3 +459,44 @@ def test_gat_hybrid_grads_ignore_edge_weights(rng):
     np.testing.assert_allclose(np.asarray(jax.grad(f)(h)),
                                np.asarray(jax.grad(fr)(h)),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_spmm_hybrid_with_tile_classes(rng):
+    """hybrid_graph(tile_classes=...) routes the tail through multi-class
+    tiles; forward and gradients stay exact."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+        MultiTiledGraph)
+    hg, g = _graphs(rng, n=96, e=1200, symmetric_norm=True)
+    hyb = hybrid_graph(hg, block_rows=32, block_cols=32, tile_edges=64,
+                       min_nnz=30, tile_classes=(32, 64, 128))
+    assert isinstance(hyb.tiles, MultiTiledGraph)
+    x = jnp.asarray(rng.normal(size=(hg.n_node, 16)).astype(np.float32))
+    y = D.spmm_hybrid(hyb, g, x, interpret=True)[: hg.n_node]
+    e = P.scatter_to_edges(x, g, "C") * g.edge_weight[:, None]
+    y_ref = P.gather_to_nodes(e, g, ir.ADD)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+    f = lambda v: jnp.sum(D.spmm_hybrid(hyb, g, v, interpret=True) ** 2)
+    fr = lambda v: jnp.sum(D._spmm_ref_g(g, v) ** 2)
+    np.testing.assert_allclose(np.asarray(jax.grad(f)(x)),
+                               np.asarray(jax.grad(fr)(x)),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_gat_hybrid_with_tile_classes(rng):
+    """GAT hybrid with a multi-class tail: per-class partial (num, den)
+    softmax accumulators must compose exactly under the shared msrc shift."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+        MultiTiledGraph)
+    hg, g = _graphs(rng, n=96, e=1200, symmetric_norm=True)
+    hyb = hybrid_graph(hg, block_rows=32, block_cols=32, tile_edges=64,
+                       min_nnz=40, unit_weight=True,
+                       tile_classes=(32, 64, 128))
+    assert isinstance(hyb.tiles, MultiTiledGraph)
+    h = jnp.asarray(rng.normal(size=(hg.n_node, 16)).astype(np.float32))
+    a_s = jnp.asarray(rng.normal(size=(hg.n_node, 4)).astype(np.float32))
+    a_d = jnp.asarray(rng.normal(size=(hg.n_node, 4)).astype(np.float32))
+    out = D.gat_hybrid(hyb, g, h, a_s, a_d, interpret=True)
+    ref = D._gat_reference_g(g, h, a_s, a_d, 0.2, weighted=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -129,3 +129,78 @@ def test_sddmm_dense_blocks_matches_oracle(rng):
         np.testing.assert_allclose(eb[b][rr, cc], ref, rtol=1e-4, atol=1e-4)
         checked += len(rr)
     assert checked > 100
+
+
+def test_tile_graph_classes_partition(rng):
+    """Multi-class tiling covers every edge exactly once across classes and
+    assigns big runs to big capacities."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu import (
+        tile_graph_classes)
+    s, r = small_graph(rng, n=300, e=3000, multi_edges=True)
+    # plant one heavy run: 400 edges into a single (rb, cb) block
+    s = np.concatenate([s, rng.integers(0, 64, 400).astype(np.int32)])
+    r = np.concatenate([r, rng.integers(0, 64, 400).astype(np.int32)])
+    keep = s != r
+    g = build_graph(s[keep], r[keep], 300, symmetric_norm=True,
+                    edge_pad_multiple=128)
+    mtg = tile_graph_classes(g, block_rows=64, block_cols=64,
+                             tile_classes=(32, 128, 512))
+    assert len(mtg.parts) >= 2          # heavy run and sparse runs split
+    seen = []
+    for p in mtg.parts:
+        eids = np.asarray(p.edge_id).reshape(-1)
+        w = np.asarray(p.weight).reshape(-1)
+        seen.append(eids[w != 0])       # padding has weight 0
+    seen = np.concatenate(seen)
+    assert len(seen) == g.n_edge
+    assert len(np.unique(seen)) == g.n_edge
+
+
+def test_spmm_multi_class_matches_single(rng):
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu import (
+        tile_graph_classes)
+    g, tg = _graph(rng)
+    mtg = tile_graph_classes(g, block_rows=64, block_cols=64,
+                             tile_classes=(32, 64, 128))
+    x = jnp.asarray(rng.normal(size=(g.n_node, 96)).astype(np.float32))
+    y_multi = spmm(mtg, x, interpret=True)
+    y_single = spmm(tg, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_multi), np.asarray(y_single),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_multi_class_edge_vals_remap(rng):
+    """Per-edge values must land on the right edges through the per-class
+    edge-id remap (regression guard for the subgraph renumbering)."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu import (
+        tile_graph_classes)
+    g, _ = _graph(rng)
+    mtg = tile_graph_classes(g, block_rows=64, block_cols=64,
+                             tile_classes=(32, 128))
+    x = jnp.asarray(rng.normal(size=(g.n_node, 64)).astype(np.float32))
+    ev = jnp.asarray(rng.normal(size=(g.e_pad,)).astype(np.float32))
+    y = spmm(mtg, x, edge_vals=ev, interpret=True)
+    e = P.scatter_to_edges(x, g, "C") * (g.edge_weight * ev)[:, None]
+    y_ref = P.gather_to_nodes(e, g, ir.ADD)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sddmm_multi_class_matches_oracle(rng):
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu import (
+        tile_graph_classes)
+    g, _ = _graph(rng)
+    mtg = tile_graph_classes(g, block_rows=64, block_cols=64,
+                             tile_classes=(32, 128))
+    f, heads = 64, 4
+    xs = jnp.asarray(rng.normal(size=(g.n_node, f)).astype(np.float32))
+    xd = jnp.asarray(rng.normal(size=(g.n_node, f)).astype(np.float32))
+    out = sddmm(mtg, xs, xd, heads=heads, interpret=True)
+    assert isinstance(out, tuple) and len(out) == len(mtg.parts)
+    e = tiles_to_edges(mtg, out, g.e_pad)
+    s_e = P.scatter_to_edges(xs, g, "C")
+    d_e = P.scatter_to_edges(xd, g, "R")
+    prod = (s_e * d_e).reshape(g.e_pad, heads, f // heads).sum(-1)
+    prod = jnp.where(g.edge_mask[:, None], prod, 0.0)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(prod),
+                               rtol=1e-4, atol=1e-4)
