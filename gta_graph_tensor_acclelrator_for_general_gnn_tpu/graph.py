@@ -401,6 +401,62 @@ class MultiTiledGraph:
         return sum(p.n_tiles * p.tile_edges for p in self.parts)
 
 
+def tile_time_model_ns(run_nnz: np.ndarray, tile_edges: int,
+                       block_rows: int, block_cols: int,
+                       *, feat_width: int = 128, x_bytes: int = 2,
+                       grid_const_ns: float = 314.0,
+                       slot_ns: float = 2.77) -> float:
+    """Modelled one-hot kernel time for packing the given (rb, cb) run-size
+    distribution at one tile capacity (v5e fit, scripts/class_sweep.py +
+    tail_geometry.py):
+
+        time = runs * panel  +  tiles * (grid_const + max(0, compute-panel))
+        panel = C * F * x_bytes / 819 GB/s      (x col-panel DMA, paid once
+                                                 per run: consecutive tiles
+                                                 of a run skip the DMA)
+        compute = ET * slot_ns * (R+C)/2048     (two one-hot matmuls)
+
+    i.e. per tile the pipeline overlaps the panel DMA with compute and pays
+    ``grid_const`` (~314 ns: scalar-stream DMAs, index maps, semaphores) on
+    top.  Calibrated at F=128; taking it linear in F is good enough for
+    capacity CHOICE (both terms scale with F)."""
+    panel = block_cols * feat_width * x_bytes / 819.0
+    compute = tile_edges * slot_ns * (block_rows + block_cols) / 2048.0
+    compute *= feat_width / 128.0
+    tiles = np.ceil(run_nnz / tile_edges)
+    per_tile = grid_const_ns + max(0.0, compute - panel)
+    n_tiles = float(tiles.sum())
+    if n_tiles > 65536:
+        # beyond one pallas call (SMEM scalar-prefetch cap) every tile costs
+        # ~200 ns extra (measured: Reddit-tail 512x512/128 and 1024x256/128
+        # both read +~200 ns/tile over the small-call fit)
+        per_tile += 200.0
+    return float(len(run_nnz) * panel + n_tiles * per_tile)
+
+
+def best_tile_capacity(run_nnz: np.ndarray, block_rows: int, block_cols: int,
+                       *, candidates: Sequence[int] = tuple(
+                           range(128, 1025, 128)),
+                       feat_width: int = 128, x_bytes: int = 2) -> int:
+    """Tile capacity minimising :func:`tile_time_model_ns` for a run-size
+    distribution (measured win on v5e: flickr tail ET 256 -> 128 = -25%)."""
+    return min(candidates,
+               key=lambda et: (tile_time_model_ns(
+                   run_nnz, et, block_rows, block_cols,
+                   feat_width=feat_width, x_bytes=x_bytes), et))
+
+
+def run_nnz_hist(g, block_rows: int, block_cols: int) -> np.ndarray:
+    """nnz per nonzero (rb, cb) adjacency block — the run-size distribution
+    the capacity model consumes (reference's nnz histograms, C12)."""
+    g = _as_host(g)
+    ncb = max(_round_up(g.n_node, block_cols) // block_cols, 1)
+    key = ((g.receivers[: g.n_edge] // block_rows).astype(np.int64) * ncb
+           + g.senders[: g.n_edge] // block_cols)
+    cnt = np.bincount(key)
+    return cnt[cnt > 0]
+
+
 def tile_graph_classes(
     g,
     *,

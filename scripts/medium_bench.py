@@ -71,19 +71,46 @@ for name in names:
         nnz = np.bincount(key); nnz = nnz[nnz > 0]
         if not len(nnz):
             return 512
-        return min(range(256, 1025, 128),
-                   key=lambda et: (int(np.ceil(nnz / et).sum()) * (et + 80),
-                                   et))
+        # measured v5e cost model (per-run panel DMA + ~314ns grid const);
+        # flickr tail ET 256 -> 128 measured -25%
+        from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+            best_tile_capacity)
+        return best_tile_capacity(nnz, tr, tc)
 
     x = jax.device_put(jax.random.normal(jax.random.key(0), (N, F),
                                          jnp.bfloat16))
 
-    # --- SpMM: int8 dense blocks + separable norm, 1024^2/ET tail ---
+    # --- SpMM: int8 dense blocks + model-chosen tail geometry ---
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+        tile_time_model_ns)
     thr = D.spmm_dense_threshold(RB, CB, fudge=0.5)
-    ET = best_et(thr, 1024, 1024)
+
+    def tail_nnz(thr_, tr, tc):
+        m = bn[((hg.receivers[: hg.n_edge] // RB).astype(np.int64) * cbn
+                + hg.senders[: hg.n_edge] // CB)] < thr_
+        tcn = int(np.ceil(N / tc))
+        key = ((hg.receivers[: hg.n_edge][m] // tr).astype(np.int64) * tcn
+               + hg.senders[: hg.n_edge][m] // tc)
+        nnz = np.bincount(key)
+        return nnz[nnz > 0]
+
+    best = None
+    for (tr, tc) in ((1024, 1024), (2048, 1024), (1024, 512), (2048, 512)):
+        nnz = tail_nnz(thr, tr, tc)
+        if not len(nnz):
+            tr, tc, et = 1024, 1024, 512
+            best = (0, tr, tc, et)
+            break
+        et = best_et(thr, tr, tc)
+        t = tile_time_model_ns(nnz, et, tr, tc)
+        if best is None or t < best[0]:
+            best = (t, tr, tc, et)
+    _, SR, SC, ET = best
+    print(f"  spmm tail geometry {SR}x{SC}/ET{ET} "
+          f"(model {best[0]/1e6:.2f} ms)", flush=True)
     hyb = hybrid_graph(hg, block_rows=RB, block_cols=CB, tile_edges=ET,
                        min_nnz=thr, supergroup=16, values_dtype=np.int8,
-                       sparse_block_rows=1024, sparse_block_cols=1024,
+                       sparse_block_rows=SR, sparse_block_cols=SC,
                        tile_classes=CLASSES)
     nb = hyb.dense.n_blocks if hyb.dense else 0
     deg_in = np.bincount(hg.receivers[: hg.n_edge], minlength=N)

@@ -204,3 +204,20 @@ def test_sddmm_multi_class_matches_oracle(rng):
     prod = jnp.where(g.edge_mask[:, None], prod, 0.0)
     np.testing.assert_allclose(np.asarray(e), np.asarray(prod),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_best_tile_capacity_model():
+    """The measured cost model must prefer small capacities for scattered
+    small runs, large ones for concentrated runs, and penalise tile counts
+    beyond one pallas call (the >65536-tile chunk regime)."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+        best_tile_capacity, tile_time_model_ns)
+    small_runs = np.full(5000, 70)          # flickr-tail-like
+    big_runs = np.full(50000, 404)          # reddit-tail-like
+    assert best_tile_capacity(small_runs, 1024, 1024) == 128
+    assert best_tile_capacity(big_runs, 1024, 1024) >= 384
+    # chunk penalty: same distribution, scaled past 65536 tiles, shifts the
+    # per-tile cost up (monotone in tile count)
+    t_small = tile_time_model_ns(np.full(1000, 100), 128, 1024, 1024)
+    t_big = tile_time_model_ns(np.full(100000, 100), 128, 1024, 1024)
+    assert t_big > 100 * t_small
