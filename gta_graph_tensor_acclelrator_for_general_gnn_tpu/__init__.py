@@ -17,6 +17,7 @@ from .graph import (
     nnz_histogram, reorder_nodes, cluster_labels,
 )
 from .models.builders import build_op_graph, NETWORKS
+from .ops.dense import auto_hybrid
 from .models.zoo import build_model, Model
 from .compiler.lower import lower, init_params
 from .compiler.schedule import Schedule, TileConfig, default_schedule

@@ -693,16 +693,15 @@ def hybrid_graph(
         # any (receiver, sender) pair with multiplicity above the dtype max
         # (synthetic generators emit multi-edges; zipf head x small
         # community exceeds 127 at Reddit scale), keep `cap` copies in the
-        # dense count and EVICT the excess copies to the edge tail, which
-        # carries exact per-edge weights.  Exact for every downstream
-        # semantic (counts, separable scales, attention multiplicity).
+        # dense count and EVICT the excess copies to the edge tail.
         #
-        # Weighted graphs (unit_weight=False — the SpMM path) treat edge
-        # weights LINEARLY, so the excess copies of a pair additionally
-        # MERGE into one residual edge carrying their summed weight —
-        # a 5,800-multiplicity hot pair costs one tail slot, not 5,673.
-        # Attention graphs (unit_weight=True) keep real copies: the kernels
-        # ignore weights, each copy is one softmax term.
+        # Both semantics are LINEAR in per-pair multiplicity — SpMM in the
+        # summed edge weight, attention in the softmax-term count (the GAT
+        # kernels scale every exp term by the tile weight) — so the excess
+        # copies MERGE into one residual tail edge carrying their summed
+        # weight / count: a 5,800-multiplicity hot pair costs one tail
+        # slot, not 5,673 (measured: exact-GAT Reddit would otherwise grow
+        # the tail 24.4M -> 33.4M edges, +25% attention time).
         cap = int(np.iinfo(values_dtype).max)
         keys = r[in_dense].astype(np.int64) * (g.n_node + 1) + s[in_dense]
         korder = np.argsort(keys, kind="stable")
@@ -716,23 +715,22 @@ def hybrid_graph(
             evict_local = korder[occ >= cap]
             in_dense[idx_dense[evict_local]] = False
             e_slot = np.where(in_dense, e_slot, -1)
-            if not unit_weight:
-                over = np.flatnonzero(sizes > cap)
-                lens = sizes[over] - cap
-                starts = grp_start[over] + cap
-                pos = (np.repeat(starts, lens)
-                       + np.arange(int(lens.sum()))
-                       - np.repeat(np.cumsum(lens) - lens, lens))
-                eids = idx_dense[korder[pos]]          # all excess copies
-                gidx = np.repeat(np.arange(len(over)), lens)
-                wsum = np.bincount(gidx, weights=w[eids].astype(np.float64))
-                resid = idx_dense[korder[starts]]      # one residual / pair
-                w_rest = w.copy()
-                w_rest[resid] = wsum.astype(np.float32)
-                drop = np.zeros(g.n_edge, bool)
-                drop[eids] = True
-                drop[resid] = False
-                rest_extra_drop = drop
+            over = np.flatnonzero(sizes > cap)
+            lens = sizes[over] - cap
+            starts = grp_start[over] + cap
+            pos = (np.repeat(starts, lens)
+                   + np.arange(int(lens.sum()))
+                   - np.repeat(np.cumsum(lens) - lens, lens))
+            eids = idx_dense[korder[pos]]          # all excess copies
+            gidx = np.repeat(np.arange(len(over)), lens)
+            wsum = np.bincount(gidx, weights=w[eids].astype(np.float64))
+            resid = idx_dense[korder[starts]]      # one residual / pair
+            w_rest = w.copy()
+            w_rest[resid] = wsum.astype(np.float32)
+            drop = np.zeros(g.n_edge, bool)
+            drop[eids] = True
+            drop[resid] = False
+            rest_extra_drop = drop
 
     assert block_layout in ("rc", "cr"), block_layout
     blk_shape = ((block_rows, block_cols) if block_layout == "rc"

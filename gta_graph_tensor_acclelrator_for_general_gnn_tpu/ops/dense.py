@@ -615,3 +615,91 @@ def gat_hybrid(hyb, g, h_src, a_src, a_dst, *, negative_slope: float = 0.2,
 
     f.defvjp(fwd, bwd)
     return f(h_src, a_src, a_dst)
+
+
+# ---------------------------------------------------------------------------
+# auto_hybrid: measured-model-driven density split (the bench recipe as a
+# library call)
+# ---------------------------------------------------------------------------
+
+
+def auto_hybrid(
+    hg,
+    *,
+    kind: str = "spmm",
+    feat_width: int = 128,
+    heads: int = 4,
+    head_dim: int = 32,
+    values_dtype=None,
+    dense_budget: int = 5 << 30,
+    dense_block: int = 256,
+    supergroup: int = 16,
+    tail_geometries=None,
+    tile_classes=None,
+):
+    """Build a :class:`graph.HybridGraph` with every knob chosen by the
+    measured v5e cost models — the recipe scripts/{reddit,medium}_bench
+    converged on, packaged for library users:
+
+    - dense threshold: FLOP/bandwidth balance per kind (``spmm`` int8 count
+      blocks at fudge 0.5, ``gat`` transposed 'cr' blocks), raised until the
+      dense value store fits ``dense_budget`` bytes;
+    - tail geometry + tile capacity: argmin of graph.tile_time_model_ns
+      (per-run x-panel DMA + grid const + chunk penalty) over
+      ``tail_geometries``.
+
+    ``kind='gat'`` builds unit-weight attention tiles (block_layout 'cr');
+    pair with ops.dense.gat_hybrid / gat_dense_partial.  ``kind='spmm'``
+    pairs with spmm_hybrid (+ row/col degree scales for the int8 path).
+    """
+    import numpy as np
+    from ..graph import (best_tile_capacity, block_nnz, hybrid_graph,
+                         tile_time_model_ns)
+    assert kind in ("spmm", "gat"), kind
+    if values_dtype is None:
+        values_dtype = np.int8
+    vb = np.dtype(values_dtype).itemsize
+    rb = cb = dense_block
+    bn = block_nnz(hg, rb, cb).reshape(-1)
+    bn_sorted = np.sort(bn)[::-1]
+    max_blocks = max(dense_budget // (rb * cb * vb), 1)
+    if kind == "spmm":
+        thr = spmm_dense_threshold(rb, cb, fudge=0.5 if vb == 1 else 1.0)
+    else:
+        thr = gat_dense_threshold_t(rb, cb, heads, head_dim)
+    if len(bn_sorted) > max_blocks:
+        thr = max(thr, int(bn_sorted[max_blocks - 1]) + 1)
+
+    if tail_geometries is None:
+        tail_geometries = (((1024, 1024), (2048, 1024), (1024, 512),
+                            (2048, 512)) if kind == "spmm" else
+                           # transposed GAT needs rows % 128
+                           ((512, 1024), (1024, 1024), (2048, 1024)))
+    ncb = int(np.ceil(hg.n_node / cb))
+    key256 = ((hg.receivers[: hg.n_edge] // rb).astype(np.int64) * ncb
+              + hg.senders[: hg.n_edge] // cb)
+    m = bn[key256] < thr
+    st = hg.senders[: hg.n_edge][m]
+    rt = hg.receivers[: hg.n_edge][m]
+    best = None
+    for tr, tc in tail_geometries:
+        tcn = int(np.ceil(hg.n_node / tc))
+        k2 = (rt // tr).astype(np.int64) * tcn + (st // tc)
+        nnz = np.bincount(k2)
+        nnz = nnz[nnz > 0]
+        if not len(nnz):
+            best = (0.0, tail_geometries[0][0], tail_geometries[0][1], 512)
+            break
+        et = best_tile_capacity(nnz, tr, tc, feat_width=feat_width)
+        t = tile_time_model_ns(nnz, et, tr, tc, feat_width=feat_width)
+        if best is None or t < best[0]:
+            best = (t, tr, tc, et)
+    _, sr, sc, et = best
+    return hybrid_graph(
+        hg, block_rows=rb, block_cols=cb, tile_edges=et, min_nnz=thr,
+        unit_weight=(kind == "gat"),
+        block_layout=("cr" if kind == "gat" else "rc"),
+        supergroup=(supergroup if kind == "spmm" else 0),
+        values_dtype=values_dtype,
+        sparse_block_rows=sr, sparse_block_cols=sc,
+        tile_classes=tile_classes)

@@ -68,13 +68,19 @@ def _round_up(x: int, m: int) -> int:
 
 def _gat_kernel(
     rb_ref, cb_ref,
-    src_ref, dst_ref,
+    src_ref, dst_ref, wgt_ref,
     *refs,
     R: int, C: int, ET: int, H: int, HD: int, slope: float,
     normalize: bool, precision, derive: bool = False,
 ):
     """One edge tile of the softmax-aggregate (3-wide-pass structure, see
     module docstring).
+
+    The tile weight stream is the per-edge softmax-term MULTIPLICITY
+    (1 for plain edges, 0 on padding): every exp term is scaled by it.
+    Attention is linear in edge multiplicity, so hybrid_graph's int8
+    saturation guard merges >127-fold duplicate pairs into one tail slot
+    carrying the excess count — exact, without 5000-copy tail blowups.
 
     Numerical scheme: softmax is shift-invariant per destination row, so
     instead of tracking the running row max (flash-attention style, which
@@ -140,6 +146,8 @@ def _gat_kernel(
     # lane dim crashes Mosaic (bisected on v5e); broadcast_in_dim is fine
     dmat = jax.lax.broadcast_in_dim(dst, (ET, H), (0,))
     p = jnp.where(dmat < R, jnp.exp(jnp.minimum(e - bound, 60.0)), 0.0)
+    wmat = jax.lax.broadcast_in_dim(wgt_ref[0, 0, :], (ET, H), (0,))
+    p = p * wmat                                   # term multiplicity
 
     # head -> feature expansion: B[h, f] = 1 iff f // (HD//H) == h.
     # head_dim == 1 (e.g. the reference's layer3 config) makes B the
@@ -181,7 +189,7 @@ def _gat_kernel(
 
 def _gat_kernel_t(
     rb_ref, cb_ref,
-    src_ref, dst_ref,
+    src_ref, dst_ref, wgt_ref,
     *refs,
     R: int, C: int, ET: int, H: int, HD: int, slope: float,
     normalize: bool, precision, derive: bool = False,
@@ -254,6 +262,8 @@ def _gat_kernel_t(
     bound = leaky(msrc_ref[:, 0][:, None] + a_d)              # [H, ET]
     dmat = jax.lax.broadcast_in_dim(dst, (H, ET), (1,))
     p = jnp.where(dmat < R, jnp.exp(jnp.minimum(e - bound, 60.0)), 0.0)
+    wmat = jax.lax.broadcast_in_dim(wgt_ref[0, 0, :], (H, ET), (1,))
+    p = p * wmat                                   # term multiplicity
 
     if HD == H:
         p_full = p
@@ -388,7 +398,7 @@ def _gat_forward(
 
     out_w = HD + H if not normalize else HD
 
-    def call(tile_rb, tile_cb, srcl, dstl, rb0, n_rb):
+    def call(tile_rb, tile_cb, srcl, dstl, wgt, rb0, n_rb):
         Tc = int(tile_rb.shape[0])
         cost = pl.CostEstimate(
             flops=2 * Tc * ET * (C + 2 * R) * max(H + HD, 128),
@@ -405,10 +415,12 @@ def _gat_forward(
             in_specs = [
                 pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
                 pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
+                pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
                 pl.BlockSpec((hcat_w, C), lambda t, rb, cb: (0, cb[t])),
             ]
             operands = [tile_rb, tile_cb,
-                        srcl[:, None, :], dstl[:, None, :], hcat.T]
+                        srcl[:, None, :], dstl[:, None, :],
+                        wgt[:, None, :], hcat.T]
             if derive:
                 in_specs.append(
                     pl.BlockSpec((HD, H), lambda t, rb, cb: (0, 0)))
@@ -444,10 +456,12 @@ def _gat_forward(
         in_specs = [
             pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
             pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
+            pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
             pl.BlockSpec((C, hcat_w), lambda t, rb, cb: (cb[t], 0)),
         ]
         operands = [tile_rb, tile_cb,
-                    srcl[:, None, :], dstl[:, None, :], hcat]
+                    srcl[:, None, :], dstl[:, None, :],
+                    wgt[:, None, :], hcat]
         if derive:
             in_specs.append(pl.BlockSpec((HD, H), lambda t, rb, cb: (0, 0)))
             operands.append(wk)
@@ -475,7 +489,7 @@ def _gat_forward(
 
     if T <= max_tiles_per_call or tg.row_first_host is None:
         out = call(tg.tile_rb, tg.tile_cb, tg.src_local, tg.dst_local,
-                   0, tg.n_row_blocks)
+                   tg.weight, 0, tg.n_row_blocks)
     else:
         # SMEM holds only ~100k scalar-prefetch tile entries per call
         # (see spmm.MAX_TILES_PER_CALL): split at row-stripe boundaries
@@ -484,7 +498,8 @@ def _gat_forward(
                 tg.row_first_host, T, max_tiles_per_call):
             parts.append(call(
                 tg.tile_rb[t0:t1] - rb0, tg.tile_cb[t0:t1],
-                tg.src_local[t0:t1], tg.dst_local[t0:t1], rb0, rb1 - rb0))
+                tg.src_local[t0:t1], tg.dst_local[t0:t1],
+                tg.weight[t0:t1], rb0, rb1 - rb0))
         out = jnp.concatenate(parts, axis=1 if narrow else 0)
     if narrow:
         return out.T[: tg.n_node]

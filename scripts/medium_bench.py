@@ -141,13 +141,26 @@ for name in names:
     print(f"  SPMM hybrid F={F}: {t*1e6:.1f} us  "
           f"{hg.n_edge/t/1e9:.3f} Gedge/s", flush=True)
 
-    # --- GAT attention: transposed dense 'cr' + 512x1024 derive tail ---
+    # --- GAT attention: transposed dense 'cr' + model-chosen derive tail
+    # (same ranking model as SpMM: flickr tail measured 512x1024/ET256
+    # 19.9ms vs 2048x1024/ET128 10.9ms — scripts/gat_tail_sweep2) ---
     thr_g = D.gat_dense_threshold_t(RB, CB, H, HD // H)
-    ET_g = best_et(thr_g, 512, 1024)
+    best_g = None
+    for (tr, tc) in ((512, 1024), (1024, 1024), (2048, 1024)):
+        nnz = tail_nnz(thr_g, tr, tc)
+        if not len(nnz):
+            best_g = (0, 512, 1024, 256)
+            break
+        et = best_et(thr_g, tr, tc)
+        t = tile_time_model_ns(nnz, et, tr, tc)
+        if best_g is None or t < best_g[0]:
+            best_g = (t, tr, tc, et)
+    _, GR, GC, ET_g = best_g
+    print(f"  gat tail geometry {GR}x{GC}/ET{ET_g}", flush=True)
     hyb_g = hybrid_graph(hg, block_rows=RB, block_cols=CB, tile_edges=ET_g,
                          min_nnz=thr_g, unit_weight=True, block_layout="cr",
                          values_dtype=np.int8,
-                         sparse_block_rows=512, sparse_block_cols=1024,
+                         sparse_block_rows=GR, sparse_block_cols=GC,
                          # transposed dataflow: edge axis rides the 128-lane
                          # dim, so capacities must be %128
                          tile_classes=(tuple(c for c in CLASSES if c % 128 == 0)

@@ -111,10 +111,6 @@ max_blocks = DENSE_BUDGET // (RB * CB * VB)
 thr = max(D.spmm_dense_threshold(RB, CB, fudge=0.5 if INT8 else 1.0),
           int(bn_sorted[max_blocks - 1]) + 1 if len(bn_sorted) > max_blocks
           else 0)
-# adaptive tail tile capacity: pick ET minimising total tile SLOTS
-# (sum ceil(nnz_b/ET) * ET over tail blocks — per-tile kernel cost is
-# linear in ET, so slots ~ time; the old mean*1.2 heuristic overshot by a
-# capacity class at some densities, costing ~20%)
 cbn256 = int(np.ceil(N / CB))
 
 
@@ -125,27 +121,21 @@ def tail_edge_ids(thr_):
     return bn[key] < thr_
 
 
-# per-tile fixed cost in edge-slot units: calibrated from the measured
-# ET256 (101k tiles, 106 ms) vs ET512 (51k tiles, 94.8 ms) pair at equal
-# slot counts — ~77 slots/tile (~240 ns grid-step overhead at 3.2 ns/slot)
-TILE_FIXED_SLOTS = 80
-
-
 def best_tile_edges(thr_, tr, tc):
-    """argmin_ET [sum(ceil(nnz/ET))*ET + fixed*n_tiles] over tail blocks."""
+    """Tail tile capacity minimising the measured v5e cost model
+    (graph.tile_time_model_ns: per-run panel DMA + ~314ns grid const +
+    chunk penalty past 65536 tiles)."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+        best_tile_capacity)
     m = tail_edge_ids(thr_)
     tcn = int(np.ceil(N / tc))
     key = ((hg.receivers[: hg.n_edge][m] // tr).astype(np.int64) * tcn
            + hg.senders[: hg.n_edge][m] // tc)
     nnz = np.bincount(key)
     nnz = nnz[nnz > 0]
-    cands = range(256, 1025, 128)
-
-    def cost(et):
-        tiles = np.ceil(nnz / et).sum()
-        return int(tiles) * (et + TILE_FIXED_SLOTS)
-
-    return min(cands, key=lambda et: (cost(et), et))
+    if not len(nnz):
+        return 512
+    return best_tile_capacity(nnz, tr, tc)
 
 
 tail_e = int(bn[bn < thr].sum())
@@ -264,11 +254,10 @@ if "--gat" in sys.argv:
     a_d = jax.device_put(jax.random.normal(jax.random.key(6), (N, H),
                                            jnp.float32))
 
-    # tail geometry: 512x1024/ET256 won the fine sweep (gat_tail_ab
-    # --round3b, warmup-corrected: 9.44 ms vs 11.4 for the old 512x2048
-    # default at tail density — smaller C cuts the dominant pass-1 source
-    # gather per tile, ET256 keeps tile count affordable)
-    geos = ([(1024, 1024), (512, 2048), (512, 4096), (256, 2048)]
+    # tail geometry: 512x1024/ET256 won the round-2 fine sweep; the round-3
+    # panel-DMA/grid-const refit (graph.tile_time_model_ns) moved flickr's
+    # GAT tail to 2048x1024/ET128 (-45%), so the sweep now probes tall
+    geos = ([(512, 1024), (1024, 1024), (2048, 1024)]
             if "--geo-sweep" in sys.argv else [(512, 1024)])
     # tail dataflow (measured best: transposed_derive, scripts/gat_tail_ab)
     DF = (sys.argv[sys.argv.index("--df") + 1] if "--df" in sys.argv

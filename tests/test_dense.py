@@ -500,3 +500,55 @@ def test_gat_hybrid_with_tile_classes(rng):
     ref = D._gat_reference_g(g, h, a_s, a_d, 0.2, weighted=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_auto_hybrid_spmm_and_gat(rng):
+    """auto_hybrid picks thresholds/geometry from the measured model and
+    the result executes exactly for both kinds."""
+    hg, g = _graphs(rng, n=96, e=1500, symmetric_norm=True)
+    hyb = D.auto_hybrid(hg, kind="spmm", dense_block=32,
+                        tail_geometries=((64, 64), (96, 64)))
+    x = jnp.asarray(rng.normal(size=(hg.n_node, 16)).astype(np.float32))
+    deg_in = np.bincount(hg.receivers[: hg.n_edge], minlength=96)
+    deg_out = np.bincount(hg.senders[: hg.n_edge], minlength=96)
+    # int8 count blocks need the separable norm factors at execution
+    rs = jnp.asarray(1 / np.sqrt(np.maximum(deg_in, 1)), jnp.float32)
+    cs = jnp.asarray(1 / np.sqrt(np.maximum(deg_out, 1)), jnp.float32)
+    y = spmm_tiles = None
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import (
+        spmm as spmm_mod)
+    y = spmm_mod.spmm(hyb.tiles, x, interpret=True)
+    if hyb.dense is not None:
+        y = y + D.spmm_dense(hyb.dense, x, row_scale=rs, col_scale=cs,
+                             interpret=True)[: y.shape[0]]
+    e = P.scatter_to_edges(x, g, "C") * g.edge_weight[:, None]
+    y_ref = P.gather_to_nodes(e, g, ir.ADD)
+    np.testing.assert_allclose(np.asarray(y[:96]), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+    # gat kind builds unit-weight 'cr' tiles
+    hyb_g = D.auto_hybrid(hg, kind="gat", dense_block=32, heads=4,
+                          head_dim=4,
+                          tail_geometries=((64, 64),))
+    assert hyb_g.n_dense_edges + hyb_g.n_sparse_edges == hg.n_edge
+
+
+def test_gat_hybrid_multiedge_overflow_exact(rng):
+    """Attention with pair multiplicity above the int8 cap: the excess
+    copies merge into one tail slot carrying the COUNT, and the kernels
+    scale each exp term by it — exact vs the per-copy oracle."""
+    s, r = small_graph(rng, n=64, e=700, multi_edges=True)
+    s = np.concatenate([s, np.full(180, 7, np.int32)])   # 180 copies of 7->9
+    r = np.concatenate([r, np.full(180, 9, np.int32)])
+    hg = build_host_graph(s, r, 64, edge_pad_multiple=128,
+                          symmetric_norm=True)
+    g = hg.to_device()
+    hyb = hybrid_graph(hg, block_rows=32, block_cols=32, tile_edges=64,
+                       min_nnz=20, unit_weight=True, values_dtype=np.int8)
+    # the guard must have merged: fewer physical tail slots than copies
+    h = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+    a_s = jnp.asarray(rng.normal(size=(64, 4)).astype(np.float32))
+    a_d = jnp.asarray(rng.normal(size=(64, 4)).astype(np.float32))
+    out = D.gat_hybrid(hyb, g, h, a_s, a_d, interpret=True)
+    ref = D._gat_reference_g(g, h, a_s, a_d, 0.2, weighted=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
