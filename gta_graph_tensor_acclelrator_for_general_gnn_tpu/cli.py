@@ -244,18 +244,43 @@ def main(argv=None):
             from .data.batching import batch_graphs
             bhg, _ = batch_graphs([bhg] * args.batch)
             out["batch"] = args.batch
-        sb = args.sparse_block or 256
         if args.tile_classes:
-            classes = ((64, 128, 256, 512, 1024)
+            sb = args.sparse_block or 256
+            classes = ((128, 256, 512, 1024)
                        if args.tile_classes == "auto" else
                        tuple(int(c) for c in args.tile_classes.split(",")))
             tg = tile_graph_classes(bhg, block_rows=sb, block_cols=sb,
                                     tile_classes=classes)
             out["tile_classes"] = list(classes)
-        else:
-            tg = tile_graph(bhg, block_rows=sb, block_cols=sb)
-        if args.sparse_block:
             out["sparse_block"] = sb
+        elif args.sparse_block:
+            sb = args.sparse_block
+            tg = tile_graph(bhg, block_rows=sb, block_cols=sb)
+            out["sparse_block"] = sb
+        else:
+            # default: geometry + capacity from the measured v5e cost model
+            # (graph.tile_time_model_ns); Cora B=64 serving measured
+            # 11.75 -> 4.16 ms vs the old fixed 256^2/512
+            from .graph import (best_tile_capacity, run_nnz_hist,
+                                tile_time_model_ns)
+            best = None
+            for tr, tc in ((256, 256), (512, 512), (1024, 512),
+                           (1024, 1024)):
+                nnz = run_nnz_hist(bhg, tr, tc)
+                if not len(nnz):
+                    best = (0.0, 256, 256, 512)
+                    break
+                et = best_tile_capacity(nnz, tr, tc,
+                                        feat_width=args.hidden)
+                t = tile_time_model_ns(nnz, et, tr, tc,
+                                       feat_width=args.hidden)
+                if best is None or t < best[0]:
+                    best = (t, tr, tc, et)
+            _, tr, tc, et = best
+            tg = tile_graph(bhg, block_rows=tr, block_cols=tc,
+                            tile_edges=et)
+            out["sparse_block"] = [tr, tc]
+            out["tile_edges"] = et
         # CPU backends only run Pallas in interpret mode (CI smoke path)
         interp = jax.default_backend() == "cpu"
         x = jax.device_put(jax.random.normal(
