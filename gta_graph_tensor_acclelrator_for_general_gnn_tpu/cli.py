@@ -78,6 +78,11 @@ def main(argv=None):
                    help="bench: row/col block size for the edge-tile "
                         "kernels (default 256)")
     p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--target-s", type=float, default=0.25,
+                   help="self-calibrate each device timing window to ~this "
+                        "many seconds (quotable absolutes at every graph "
+                        "scale; 0 = fixed --iters span, the short-loop "
+                        "regime that mis-measures small graphs up to 4x)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true", help="machine-readable output")
     args = p.parse_args(argv)
@@ -159,7 +164,8 @@ def main(argv=None):
         if sched:
             out["schedule"] = [s.key() for s in sched]
         lat = time_layer_device(fwd, params, ds.graph, x,
-                                k_small=8, k_big=8 + args.iters)
+                                k_small=8, k_big=8 + args.iters,
+                                target_s=args.target_s or None)
         out.update(dict(latency_us=lat * 1e6,
                         edges_per_s=ds.host_graph.n_edge * args.layers / lat))
 
@@ -288,7 +294,8 @@ def main(argv=None):
             jnp.bfloat16 if args.bf16 else jnp.float32))
         lat = time_layer_device(
             lambda p, t, v: spmm_mod.spmm(t, v, interpret=interp),
-            None, tg, x, k_small=8, k_big=8 + args.iters)
+            None, tg, x, k_small=8, k_big=8 + args.iters,
+            target_s=args.target_s or None)
         out.update(dict(spmm_latency_us=lat * 1e6,
                         spmm_edges_per_s=bhg.n_edge / lat))
 
@@ -303,7 +310,8 @@ def main(argv=None):
             return v + tot.astype(v.dtype) * 1e-9
 
         lat2 = time_layer_device(sddmm_fn, None, tg, x,
-                                 k_small=8, k_big=8 + args.iters)
+                                 k_small=8, k_big=8 + args.iters,
+                                 target_s=args.target_s or None)
         out.update(dict(sddmm_latency_us=lat2 * 1e6,
                         sddmm_edges_per_s=bhg.n_edge / lat2))
 

@@ -609,7 +609,9 @@ def _sf_apply(v, sf: str, slope: float):
     if sf == "relu":
         return jnp.maximum(v, 0.0)
     if sf == "elu":
-        return jnp.where(v > 0, v, jnp.expm1(v))
+        # exp(v)-1 rather than expm1: Mosaic has no expm1 lowering, and the
+        # branch only evaluates at v<=0 where exp(v)-1 is well-conditioned
+        return jnp.where(v > 0, v, jnp.exp(jnp.minimum(v, 0.0)) - 1.0)
     if sf == "leaky_relu":
         return jnp.where(v >= 0, v, slope * v)
     raise ValueError(f"mega-kernel: unsupported sf {sf!r}")

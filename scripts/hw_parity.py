@@ -168,6 +168,25 @@ check("gat_transposed_derive/bf16",
           dataflow="transposed_derive"))(),
       gat_ref_w, 3e-2)
 
+# whole-layer mega-kernel with an in-kernel ELU activation: Mosaic has no
+# expm1 lowering, so _sf_apply's elu must stick to exp/where primitives
+# (caught live: zoo_bench GAT kernel-schedule crashed on hardware while
+# every interpret-mode test passed)
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops.gat import (
+    _gat_layer_reference, gat_layer)
+HD = 32
+w_l = jax.device_put(
+    jax.random.normal(jax.random.key(10), (F, HD), jnp.float32) * 0.3)
+was_l = jax.device_put(
+    jax.random.normal(jax.random.key(11), (HD, H), jnp.float32) * 0.3)
+wad_l = jax.device_put(
+    jax.random.normal(jax.random.key(12), (HD, H), jnp.float32) * 0.3)
+check("gat_layer_elu/f32",
+      jax.jit(lambda: gat_layer(tgu, x, w_l, was_l, wad_l,
+                                final_sf="elu"))(),
+      jax.jit(lambda: _gat_layer_reference(tgu, x, w_l, was_l, wad_l,
+                                           0.2, "elu"))(), 1e-4)
+
 # sparse-input MM
 from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import sinput
 xs = (rng.random((n, 200)) < 0.03).astype(np.float32) * \

@@ -52,7 +52,7 @@ def test_cli_bench_batched(capsys):
     """bench --batch B: block-diagonal serving composition reports B*E
     edges through one kernel sweep."""
     rc = main(["bench", "--dataset", "tiny", "--hidden", "16",
-               "--iters", "4", "--batch", "3", "--json"])
+               "--iters", "4", "--target-s", "0", "--batch", "3", "--json"])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["batch"] == 3
@@ -62,7 +62,7 @@ def test_cli_bench_batched(capsys):
 def test_cli_bench_tile_classes(capsys):
     """bench --tile-classes routes both kernels through MultiTiledGraph."""
     rc = main(["bench", "--dataset", "tiny", "--hidden", "16",
-               "--iters", "4", "--tile-classes", "32,64",
+               "--iters", "4", "--target-s", "0", "--tile-classes", "32,64",
                "--sparse-block", "64", "--json"])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
