@@ -41,6 +41,8 @@ class _SpmmPlan:
     in_op: int              # external producer (or X_INPUT) feeding the scatter
     out_op: int             # the gather op id (block output)
     weighted: bool          # True if the apply_edge MUL edge_weight is inside
+    mean: bool = False      # gather MEAN: segment-sum kernel + 1/in-degree
+                            # post-scale (SAGE-mean aggregation)
 
 
 @dataclasses.dataclass
@@ -110,11 +112,12 @@ def match_spmm(graph: ir.OpGraph, block: Sequence[int]) -> Optional[_SpmmPlan]:
         return None
     if sc.order != "C" or sc.compute != ir.NONE:
         return None
-    if ga.compute != ir.ADD or ga.order != "R":
+    if ga.compute not in (ir.ADD, ir.MEAN) or ga.order != "R":
         return None
     if len(sc.inputs) != 1:
         return None
-    return _SpmmPlan(in_op=sc.inputs[0], out_op=ga.op_id, weighted=weighted)
+    return _SpmmPlan(in_op=sc.inputs[0], out_op=ga.op_id, weighted=weighted,
+                     mean=ga.compute == ir.MEAN)
 
 
 def lower_schedule(
@@ -231,12 +234,30 @@ def lower_schedule(
     # remote compiler rejects the program).  ``apply.captures`` +
     # ``apply.inner`` expose them so harnesses (time_layer_device) thread
     # them through as jit ARGUMENTS instead.
-    captures = jax.device_put((tuple(p[4] for p in plans), fg))
+    # gather MEAN blocks: the kernels compute the segment SUM; mean is a
+    # 1/in-degree post-scale (matches primitives.gather_to_nodes MEAN, which
+    # divides by the real incident-edge count)
+    inv_deg = None
+    if any(p[0] in ("spmm", "spmm_hybrid", "spmm_stream")
+           and getattr(p[3], "mean", False) for p in plans):
+        import numpy as _np
+        deg = _np.bincount(_np.asarray(host_graph.receivers),
+                           minlength=host_graph.n_node + 1)[
+                               : host_graph.n_node]
+        inv_deg = jnp.asarray(
+            1.0 / _np.maximum(deg, 1), jnp.float32)[:, None]
+
+    captures = jax.device_put((tuple(p[4] for p in plans), fg, inv_deg))
 
     def inner(params: Dict[str, jax.Array], g: GraphTensor, x: jax.Array,
               captures):
-        tgs, fg = captures
+        tgs, fg, inv_deg = captures
         vals: Dict[int, jax.Array] = {}
+
+        def seg_out(plan, y: jax.Array) -> jax.Array:
+            if getattr(plan, "mean", False):
+                return y * inv_deg.astype(y.dtype)
+            return y
 
         def ref(i: int) -> jax.Array:
             if i == ir.X_INPUT:
@@ -252,12 +273,12 @@ def lower_schedule(
         for (kind, block, tc, plan, _), tg in zip(plans, tgs):
             if kind == "spmm":
                 y = spmm_mod.spmm(tg, kin(ref(plan.in_op)), interpret=interpret)
-                vals[plan.out_op] = y
+                vals[plan.out_op] = seg_out(plan, y)
                 # intermediates inside the block stay unmaterialised
             elif kind == "spmm_hybrid":
-                vals[plan.out_op] = dense_mod.spmm_hybrid(
+                vals[plan.out_op] = seg_out(plan, dense_mod.spmm_hybrid(
                     tg, g, kin(ref(plan.in_op)), weighted=plan.weighted,
-                    interpret=interpret)
+                    interpret=interpret))
             elif kind == "sddmm":
                 from ..ops import sddmm as sddmm_mod
                 vals[plan.out_op] = sddmm_mod.sddmm_edges(
@@ -274,13 +295,13 @@ def lower_schedule(
             elif kind == "spmm_stream":
                 from ..ops import chunked
                 if plan.weighted:
-                    vals[plan.out_op] = chunked.spmm_chunked(
-                        g, kin(ref(plan.in_op)), chunk=tc.tile_edges * 2048)
+                    vals[plan.out_op] = seg_out(plan, chunked.spmm_chunked(
+                        g, kin(ref(plan.in_op)), chunk=tc.tile_edges * 2048))
                 else:
                     gw = dataclasses.replace(
                         g, edge_weight=g.edge_mask.astype(jnp.float32))
-                    vals[plan.out_op] = chunked.spmm_chunked(
-                        gw, kin(ref(plan.in_op)), chunk=tc.tile_edges * 2048)
+                    vals[plan.out_op] = seg_out(plan, chunked.spmm_chunked(
+                        gw, kin(ref(plan.in_op)), chunk=tc.tile_edges * 2048))
             elif kind == "gat_stream":
                 from ..ops import chunked
                 vals[plan.out_op] = chunked.gat_chunked(

@@ -167,6 +167,53 @@ def singleton_partition(graph: ir.OpGraph) -> Tuple[Tuple[int, ...], ...]:
     return tuple((o,) for o in graph.topo_order())
 
 
+def aggregation_partition(
+        graph: ir.OpGraph) -> Optional[Tuple[Tuple[int, ...], ...]]:
+    """Partition isolating every SpMM-matchable aggregation chain
+    (scatter(C) [-> apply_edge MUL edge_weight] -> gather(ADD|MEAN)) as its
+    own block, everything else singleton.
+
+    The enumerator cannot reach this shape for wider graphs (2^E blows past
+    the partition limit before any partition isolates the chain), yet
+    SAGE/GIN-style families need exactly this block for the kernel
+    dispatch — the reference interpreter fuses the same scatter+gather
+    pair via its pattern table (vTCAD/code/hardware_info.yaml:11-69)."""
+    from .fusion import match_spmm
+    consumers: dict = {op.op_id: set() for op in graph.ops}
+    for op in graph.ops:
+        for i in op.inputs:
+            if i in consumers:
+                consumers[i].add(op.op_id)
+    blocks: List[List[int]] = []
+    used: set = set()
+    for ga in graph.ops:
+        if ga.kind != ir.GATHER or len(ga.inputs) != 1 or ga.inputs[0] < 0:
+            continue
+        mid = graph.by_id[ga.inputs[0]]
+        chain = None
+        if mid.kind == ir.SCATTER:
+            chain = [mid.op_id, ga.op_id]
+        elif mid.kind == ir.APPLY_EDGE and ir.EDGE_WEIGHT in mid.inputs:
+            sc = next((i for i in mid.inputs if i >= 0), None)
+            if sc is not None and graph.by_id[sc].kind == ir.SCATTER:
+                chain = [sc, mid.op_id, ga.op_id]
+        if chain is None or used & set(chain):
+            continue
+        # internal values must not escape the block (lowering only
+        # materialises the gather output)
+        if any(consumers[o] - set(chain) for o in chain[:-1]):
+            continue
+        if match_spmm(graph, chain) is None:
+            continue
+        blocks.append(sorted(chain))
+        used.update(chain)
+    if not blocks:
+        return None
+    rest = [[o] for o in graph.topo_order() if o not in used]
+    part = _order_blocks(graph, blocks + rest)
+    return tuple(tuple(b) for b in part)
+
+
 def max_fusion_partition(graph: ir.OpGraph) -> Tuple[Tuple[int, ...], ...]:
     """Greedy max fusion: fuse every non-breakpoint edge whose fusion keeps
     the partition legal (the reference's 'fuse all' GA seed,

@@ -103,6 +103,33 @@ def _stripe_chunks(row_first: tuple, n_tiles: int, cap: int):
     return chunks
 
 
+def _spmm_reference(tg, x, edge_vals=None):
+    """XLA COO formulation over the SAME tile arrays — numerically identical
+    weighted sum (tile weight is exactly 0 on padding, so pad-slot index
+    collisions contribute nothing).  Used as the custom-VJP recompute: the
+    backward of y = A x is A^T ybar, which XLA expresses as the transposed
+    gather/segment-add of this formulation."""
+    if isinstance(tg, MultiTiledGraph):
+        y = None
+        for part in tg.parts:
+            yp = _spmm_reference(part, x, edge_vals)
+            y = yp if y is None else y + yp
+        return y
+    src = (tg.tile_cb[:, None] * tg.block_cols + tg.src_local).reshape(-1)
+    dst = (tg.tile_rb[:, None] * tg.block_rows + tg.dst_local).reshape(-1)
+    w = tg.weight
+    if edge_vals is not None:
+        w = w * jnp.take(edge_vals, tg.edge_id, axis=0)
+    w = w.reshape(-1).astype(jnp.float32)
+    n_cols = tg.n_col_blocks * tg.block_cols
+    xp = jnp.zeros((n_cols, x.shape[1]), x.dtype).at[: x.shape[0]].set(x)
+    vals = (jnp.take(xp, src, axis=0, mode="clip").astype(jnp.float32)
+            * w[:, None])
+    y = jnp.zeros((tg.n_row_blocks * tg.block_rows, x.shape[1]),
+                  jnp.float32).at[dst].add(vals, mode="drop")
+    return y[: tg.n_node]
+
+
 def spmm(
     tg: TiledGraph,
     x: jax.Array,
@@ -114,7 +141,55 @@ def spmm(
     max_tiles_per_call: int = MAX_TILES_PER_CALL,
     _xp: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Block-sparse SpMM: returns ``y`` [n_node, F] float32.
+    """Block-sparse SpMM: ``y`` [n_node, F] f32, differentiable in ``x`` and
+    ``edge_vals``.  Forward = the Pallas one-hot kernel (:func:`_spmm_raw`);
+    backward = autodiff of the exact XLA COO formulation (the kernel computes
+    a plain weighted sum, so the VJP is exact — same pattern as the GAT
+    kernels' custom VJPs)."""
+    kw = dict(feat_block=feat_block, interpret=interpret, precision=precision,
+              max_tiles_per_call=max_tiles_per_call, _xp=_xp)
+    if edge_vals is None:
+        @jax.custom_vjp
+        def f(v):
+            return _spmm_raw(tg, v, None, **kw)
+
+        def fwd(v):
+            return f(v), (v,)
+
+        def bwd(res, gy):
+            _, vjp = jax.vjp(lambda vv: _spmm_reference(tg, vv), *res)
+            return vjp(gy)
+
+        f.defvjp(fwd, bwd)
+        return f(x)
+
+    @jax.custom_vjp
+    def f2(v, ev):
+        return _spmm_raw(tg, v, ev, **kw)
+
+    def fwd2(v, ev):
+        return f2(v, ev), (v, ev)
+
+    def bwd2(res, gy):
+        _, vjp = jax.vjp(lambda vv, ee: _spmm_reference(tg, vv, ee), *res)
+        return vjp(gy)
+
+    f2.defvjp(fwd2, bwd2)
+    return f2(x, edge_vals)
+
+
+def _spmm_raw(
+    tg: TiledGraph,
+    x: jax.Array,
+    edge_vals: Optional[jax.Array] = None,
+    *,
+    feat_block: int = 512,
+    interpret: bool = False,
+    precision: Optional[jax.lax.Precision] = None,
+    max_tiles_per_call: int = MAX_TILES_PER_CALL,
+    _xp: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Block-sparse SpMM forward: returns ``y`` [n_node, F] float32.
 
     Args:
       tg: the tiled graph (host-side preprocessing, graph.tile_graph).
@@ -142,9 +217,9 @@ def spmm(
                        x.dtype).at[: x.shape[0], :f].set(x)
         y = None
         for part in tg.parts:
-            yp = spmm(part, x, edge_vals, feat_block=feat_block,
-                      interpret=interpret, precision=precision,
-                      max_tiles_per_call=max_tiles_per_call, _xp=xp)
+            yp = _spmm_raw(part, x, edge_vals, feat_block=feat_block,
+                           interpret=interpret, precision=precision,
+                           max_tiles_per_call=max_tiles_per_call, _xp=xp)
             y = yp if y is None else y + yp
         return y
     n_cols = tg.n_col_blocks * tg.block_cols

@@ -155,6 +155,9 @@ def _candidate_schedules(
     pp = S.pattern_partition(graph)
     if pp is not None and pp not in parts:
         parts.append(pp)
+    ap = S.aggregation_partition(graph)
+    if ap is not None and ap not in parts:
+        parts.append(ap)
     mf = S.max_fusion_partition(graph)
     if mf not in parts:
         parts.append(mf)

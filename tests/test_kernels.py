@@ -221,3 +221,28 @@ def test_best_tile_capacity_model():
     t_small = tile_time_model_ns(np.full(1000, 100), 128, 1024, 1024)
     t_big = tile_time_model_ns(np.full(100000, 100), 128, 1024, 1024)
     assert t_big > 100 * t_small
+
+
+def test_spmm_gradients_match_xla(rng):
+    """spmm carries a custom VJP (exact XLA COO recompute): grads wrt x and
+    edge_vals match the plain segment formulation."""
+    import jax
+    g, tg = _graph(rng)
+    x = jnp.asarray(rng.normal(size=(g.n_node, 12)).astype(np.float32))
+    ev = jnp.asarray(rng.normal(size=(g.e_pad,)).astype(np.float32))
+
+    def ref(v, e):
+        s = P.scatter_to_edges(v, g, "C")
+        w = (g.edge_weight * e)[:, None]
+        return P.gather_to_nodes(s * w, g, ir.ADD)
+
+    def kern(v, e):
+        return spmm(tg, v, edge_vals=e, interpret=True)
+
+    loss = lambda f: (lambda v, e: jnp.sum(f(v, e) ** 2))
+    gk = jax.grad(loss(kern), argnums=(0, 1))(x, ev)
+    gr = jax.grad(loss(ref), argnums=(0, 1))(x, ev)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gr[1]),
+                               rtol=2e-4, atol=2e-4)

@@ -219,3 +219,58 @@ def test_lower_schedule_captures_as_jit_arguments(rng):
     via_args = inner(params, g, x, fn.captures)
     np.testing.assert_allclose(np.asarray(via_args), np.asarray(direct),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("network", ["GraphSAGE", "GIN", "GCN"])
+def test_aggregation_partition_isolates_spmm_chain(rng, network):
+    """aggregation_partition: every family's neighbourhood aggregation gets
+    its own SpMM-matchable block (the enumerator can't reach this shape for
+    the wider graphs — 2^E blows the partition limit first), and the
+    kernel-dispatched schedule matches the XLA oracle.  GraphSAGE exercises
+    the gather-MEAN form (segment-sum kernel + 1/in-degree post-scale)."""
+    hg, g = _graphs(rng)
+    og = gta.build_op_graph(network, 24, 16)
+    part = S.aggregation_partition(og)
+    assert part is not None
+    spmm_blocks = [b for b in part if match_spmm(og, b) is not None]
+    assert len(spmm_blocks) == 1
+    if network == "GraphSAGE":
+        assert match_spmm(og, spmm_blocks[0]).mean
+
+    params = init_params(og, jax.random.key(0))
+    x = jnp.asarray(rng.normal(size=(hg.n_node, 24)).astype(np.float32))
+    ref = lower(og)(params, g, x)
+    tc = S.TileConfig(block_rows=32, block_cols=32, tile_edges=128)
+    tiles = tuple(
+        tc if match_spmm(og, b) is not None else S.TileConfig(path=S.PATH_XLA)
+        for b in part)
+    fn = lower_schedule(og, S.Schedule(blocks=part, tiles=tiles), hg,
+                        interpret=True)
+    np.testing.assert_allclose(np.asarray(fn(params, g, x)), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_mean_spmm_kernel_gradients(rng):
+    """Gradients flow through the mean-aggregation kernel path (SAGE
+    training on a tuned schedule) and match the XLA lowering's grads."""
+    hg, g = _graphs(rng, n=40, e=160)
+    og = gta.build_op_graph("GraphSAGE", 12, 8)
+    part = S.aggregation_partition(og)
+    tc = S.TileConfig(block_rows=32, block_cols=32, tile_edges=128)
+    tiles = tuple(
+        tc if match_spmm(og, b) is not None else S.TileConfig(path=S.PATH_XLA)
+        for b in part)
+    fn = lower_schedule(og, S.Schedule(blocks=part, tiles=tiles), hg,
+                        interpret=True)
+    ref = lower(og)
+    params = init_params(og, jax.random.key(0))
+    x = jnp.asarray(rng.normal(size=(hg.n_node, 12)).astype(np.float32))
+
+    def loss(f):
+        return lambda p, v: jnp.sum(f(p, g, v) ** 2)
+
+    gk = jax.grad(loss(fn), argnums=(0, 1))(params, x)
+    gr = jax.grad(loss(ref), argnums=(0, 1))(params, x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4), gk, gr)
