@@ -120,6 +120,40 @@ def match_spmm(graph: ir.OpGraph, block: Sequence[int]) -> Optional[_SpmmPlan]:
                      mean=ga.compute == ir.MEAN)
 
 
+def classify_block(graph: ir.OpGraph, block, tc: TileConfig):
+    """Which execution path a (block, TileConfig) pair lowers to:
+    ``(kind, plan)`` with kind in {spmm, spmm_hybrid, spmm_stream, gat,
+    gat_hybrid, gat_stream, gat_layer, sddmm, xla}.  Single source of truth
+    shared by :func:`lower_schedule` and the latency model
+    (compiler/latency.py) — the model must price what actually runs."""
+    from ..ops import gat as gat_mod
+    spmm_plan = match_spmm(graph, block) if tc.kernel else None
+    layer_plan = (gat_mod.match_gat_layer(graph, block)
+                  if tc.kernel and spmm_plan is None else None)
+    gat_plan = (gat_mod.match_gat_block(graph, block)
+                if tc.kernel and spmm_plan is None and layer_plan is None
+                else None)
+    sddmm_plan = (match_sddmm(graph, block)
+                  if tc.kernel and spmm_plan is None
+                  and layer_plan is None and gat_plan is None else None)
+    if tc.path == S.PATH_STREAM and (spmm_plan or gat_plan):
+        return ("spmm_stream" if spmm_plan else "gat_stream",
+                spmm_plan or gat_plan)
+    if tc.path == S.PATH_HYBRID and spmm_plan is not None:
+        return "spmm_hybrid", spmm_plan
+    if tc.path == S.PATH_HYBRID and gat_plan is not None:
+        return "gat_hybrid", gat_plan
+    if spmm_plan is not None:
+        return "spmm", spmm_plan
+    if layer_plan is not None and tc.path == S.PATH_ONEHOT:
+        return "gat_layer", layer_plan
+    if gat_plan is not None:
+        return "gat", gat_plan
+    if sddmm_plan is not None:
+        return "sddmm", sddmm_plan
+    return "xla", None
+
+
 def lower_schedule(
     graph: ir.OpGraph,
     schedule: Schedule,
@@ -127,6 +161,7 @@ def lower_schedule(
     compute_dtype=None,
     interpret: bool = False,
     x_host=None,
+    build_transpose: bool = False,
 ) -> Callable[[Dict[str, jax.Array], GraphTensor, jax.Array], jax.Array]:
     """Lower ``graph`` under ``schedule`` to ``apply(params, g, x)``.
 
@@ -140,6 +175,11 @@ def lower_schedule(
     vTCAD/code/simulator.py:460-461).  The nonzeros are baked, so only pass
     x_host when apply will always be called with these features (training /
     fixed-feature serving).
+
+    ``build_transpose``: also tile the TRANSPOSED graph for every SpMM
+    block so x-grads run the same kernels (dx = Aᵀ ȳ — the tiled
+    backward).  Doubles graph preprocessing + device tile memory; enable
+    for training at scales where the XLA [E, F] recompute would not fit.
     """
     from ..ops import gat as gat_mod
     from ..ops import dense as dense_mod
@@ -147,12 +187,19 @@ def lower_schedule(
 
     tiled: Dict[tuple, TiledGraph] = {}
     hybrids: Dict[tuple, object] = {}
+    host_graph_t = None
+    if build_transpose:
+        from ..graph import transpose_host_graph
+        host_graph_t, _ = transpose_host_graph(host_graph)
 
-    def get_tiled(tc: TileConfig, unit_weight: bool) -> TiledGraph:
-        key = (tc.block_rows, tc.block_cols, tc.tile_edges, unit_weight)
+    def get_tiled(tc: TileConfig, unit_weight: bool,
+                  hg: Optional[HostGraph] = None) -> TiledGraph:
+        hg = hg if hg is not None else host_graph
+        key = (id(hg), tc.block_rows, tc.block_cols, tc.tile_edges,
+               unit_weight)
         if key not in tiled:
             tiled[key] = tile_graph(
-                host_graph,
+                hg,
                 block_rows=tc.block_rows,
                 block_cols=tc.block_cols,
                 tile_edges=tc.tile_edges,
@@ -160,12 +207,14 @@ def lower_schedule(
             )
         return tiled[key]
 
-    def get_hybrid(tc: TileConfig, unit_weight: bool, min_nnz: int):
-        key = (tc.block_rows, tc.block_cols, tc.tile_edges, unit_weight,
-               min_nnz)
+    def get_hybrid(tc: TileConfig, unit_weight: bool, min_nnz: int,
+                   hg: Optional[HostGraph] = None):
+        hg = hg if hg is not None else host_graph
+        key = (id(hg), tc.block_rows, tc.block_cols, tc.tile_edges,
+               unit_weight, min_nnz)
         if key not in hybrids:
             hybrids[key] = hybrid_graph(
-                host_graph,
+                hg,
                 block_rows=tc.block_rows,
                 block_cols=tc.block_cols,
                 tile_edges=tc.tile_edges,
@@ -185,46 +234,36 @@ def lower_schedule(
                         for op in graph.ops)):
             fg = sinput_mod.feature_graph(xh)
 
-    # --- match blocks at build time --------------------------------------
+    # --- match blocks at build time (dispatch: classify_block) -----------
+    # plan tuples: (kind, block, tc, plan, graph_data, transposed_data)
     plans: List[tuple] = []
     for block, tc in zip(schedule.blocks, schedule.tiles):
-        spmm_plan = match_spmm(graph, block) if tc.kernel else None
-        layer_plan = (gat_mod.match_gat_layer(graph, block)
-                      if tc.kernel and spmm_plan is None else None)
-        gat_plan = (gat_mod.match_gat_block(graph, block)
-                    if tc.kernel and spmm_plan is None and layer_plan is None
-                    else None)
-        sddmm_plan = (match_sddmm(graph, block)
-                      if tc.kernel and spmm_plan is None
-                      and layer_plan is None and gat_plan is None else None)
-        if tc.path == S.PATH_STREAM and (spmm_plan or gat_plan):
-            kind = "spmm_stream" if spmm_plan else "gat_stream"
-            plans.append((kind, block, tc, spmm_plan or gat_plan, None))
-        elif tc.path == S.PATH_HYBRID and spmm_plan is not None:
+        kind, plan = classify_block(graph, block, tc)
+        if kind in ("spmm_stream", "gat_stream"):
+            plans.append((kind, block, tc, plan, None, None))
+        elif kind == "spmm_hybrid":
             thr = dense_mod.spmm_dense_threshold(tc.block_rows, tc.block_cols)
-            plans.append(("spmm_hybrid", block, tc, spmm_plan,
-                          get_hybrid(tc, not spmm_plan.weighted, thr)))
-        elif tc.path == S.PATH_HYBRID and gat_plan is not None:
-            hd = graph.width_of(gat_plan.h_op)
+            uw = not plan.weighted
+            plans.append((kind, block, tc, plan, get_hybrid(tc, uw, thr),
+                          get_hybrid(tc, uw, thr, host_graph_t)
+                          if host_graph_t is not None else None))
+        elif kind == "gat_hybrid":
+            hd = graph.width_of(plan.h_op)
             thr = dense_mod.gat_dense_threshold(
-                tc.block_rows, tc.block_cols, gat_plan.heads,
-                hd // gat_plan.heads)
-            plans.append(("gat_hybrid", block, tc, gat_plan,
-                          get_hybrid(tc, True, thr)))
-        elif spmm_plan is not None:
-            plans.append(("spmm", block, tc, spmm_plan,
-                          get_tiled(tc, unit_weight=not spmm_plan.weighted)))
-        elif layer_plan is not None and tc.path == S.PATH_ONEHOT:
-            plans.append(("gat_layer", block, tc, layer_plan,
-                          get_tiled(tc, unit_weight=True)))
-        elif gat_plan is not None:
-            plans.append(("gat", block, tc, gat_plan,
-                          get_tiled(tc, unit_weight=True)))
-        elif sddmm_plan is not None:
-            plans.append(("sddmm", block, tc, sddmm_plan,
-                          get_tiled(tc, unit_weight=True)))
+                tc.block_rows, tc.block_cols, plan.heads,
+                hd // plan.heads)
+            plans.append((kind, block, tc, plan, get_hybrid(tc, True, thr),
+                          None))
+        elif kind == "spmm":
+            uw = not plan.weighted
+            plans.append((kind, block, tc, plan, get_tiled(tc, uw),
+                          get_tiled(tc, uw, host_graph_t)
+                          if host_graph_t is not None else None))
+        elif kind in ("gat_layer", "gat", "sddmm"):
+            plans.append((kind, block, tc, plan,
+                          get_tiled(tc, unit_weight=True), None))
         else:
-            plans.append(("xla", block, tc, None, None))
+            plans.append(("xla", block, tc, None, None, None))
 
     outputs = list(graph.outputs)
 
@@ -247,11 +286,12 @@ def lower_schedule(
         inv_deg = jnp.asarray(
             1.0 / _np.maximum(deg, 1), jnp.float32)[:, None]
 
-    captures = jax.device_put((tuple(p[4] for p in plans), fg, inv_deg))
+    captures = jax.device_put((tuple(p[4] for p in plans),
+                               tuple(p[5] for p in plans), fg, inv_deg))
 
     def inner(params: Dict[str, jax.Array], g: GraphTensor, x: jax.Array,
               captures):
-        tgs, fg, inv_deg = captures
+        tgs, tgs_t, fg, inv_deg = captures
         vals: Dict[int, jax.Array] = {}
 
         def seg_out(plan, y: jax.Array) -> jax.Array:
@@ -270,15 +310,17 @@ def lower_schedule(
             # kernel inputs follow the compute dtype (bf16 = single-pass MXU)
             return v.astype(compute_dtype) if compute_dtype is not None else v
 
-        for (kind, block, tc, plan, _), tg in zip(plans, tgs):
+        for (kind, block, tc, plan, _, _), tg, tg_t in zip(plans, tgs,
+                                                           tgs_t):
             if kind == "spmm":
-                y = spmm_mod.spmm(tg, kin(ref(plan.in_op)), interpret=interpret)
+                y = spmm_mod.spmm(tg, kin(ref(plan.in_op)),
+                                  tg_t=tg_t, interpret=interpret)
                 vals[plan.out_op] = seg_out(plan, y)
                 # intermediates inside the block stay unmaterialised
             elif kind == "spmm_hybrid":
                 vals[plan.out_op] = seg_out(plan, dense_mod.spmm_hybrid(
                     tg, g, kin(ref(plan.in_op)), weighted=plan.weighted,
-                    interpret=interpret))
+                    interpret=interpret, hyb_t=tg_t))
             elif kind == "sddmm":
                 from ..ops import sddmm as sddmm_mod
                 vals[plan.out_op] = sddmm_mod.sddmm_edges(

@@ -77,6 +77,19 @@ class Schedule:
         ts = ";".join("x".join(map(str, t.key())) for t in self.tiles)
         return f"{bs}|{ts}"
 
+    @classmethod
+    def from_key(cls, key: str) -> "Schedule":
+        """Inverse of :meth:`key` (memo CSV entries -> Schedule)."""
+        bs, ts = key.split("|")
+        blocks = tuple(tuple(int(o) for o in b.split(","))
+                       for b in bs.split(";"))
+        tiles = []
+        for t in ts.split(";"):
+            # maxsplit: the path name may itself contain 'x' ("xla")
+            br, bc, te, path = t.split("x", 3)
+            tiles.append(TileConfig(int(br), int(bc), int(te), path))
+        return cls(blocks=blocks, tiles=tuple(tiles))
+
 
 # ---------------------------------------------------------------------------
 # partition enumeration (the reference's fusion bitstrings)
@@ -200,8 +213,11 @@ def aggregation_partition(
         if chain is None or used & set(chain):
             continue
         # internal values must not escape the block (lowering only
-        # materialises the gather output)
+        # materialises the gather output) — neither to other consumers nor
+        # as graph outputs
         if any(consumers[o] - set(chain) for o in chain[:-1]):
+            continue
+        if set(chain[:-1]) & set(graph.outputs):
             continue
         if match_spmm(graph, chain) is None:
             continue
@@ -336,6 +352,10 @@ def pattern_partition(graph: ir.OpGraph) -> Optional[Tuple[Tuple[int, ...], ...]
     from ..ops.gat import find_gat_chain
     plan = find_gat_chain(graph)
     if plan is None:
+        return None
+    # internal chain values must not be graph outputs (the fused kernel
+    # materialises only plan.out_op)
+    if (set(plan.ops) - {plan.out_op}) & set(graph.outputs):
         return None
     rest = [o for o in graph.topo_order() if o not in plan.ops]
     blocks = [[o] for o in rest] + [sorted(plan.ops)]

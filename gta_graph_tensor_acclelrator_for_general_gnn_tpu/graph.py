@@ -457,6 +457,203 @@ def run_nnz_hist(g, block_rows: int, block_cols: int) -> np.ndarray:
     return cnt[cnt > 0]
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GroupedTiledGraph:
+    """Stripe-group chunked edge tiling — the round-3 sparse-tail format.
+
+    The one-hot SpMM kernel's per-edge cost is ``2*(R+C)*F / utilisation``
+    FLOPs: smaller blocks are strictly cheaper per edge until tiles fall
+    below the MXU's 128-row quantum.  What blocked small blocks before was
+    (a) the ~314 ns/grid-step pipeline constant and (b) per-tile x-panel
+    DMAs (each tile re-reads its [C, F] column panel).  This format fixes
+    both structurally:
+
+    * Row blocks are grouped into *stripe groups* of ``group`` consecutive
+      row blocks; the kernel keeps the whole ``group*R``-row output stripe
+      resident in VMEM.
+    * A *chunk* is one grid step: ``group`` sub-tiles sharing a single
+      (stripe-group, col-block) pair — sub-tile ``j`` holds edges of row
+      block ``grp*group + j``.  One x-panel DMA serves all ``group``
+      sub-tiles, and the grid constant is paid once per chunk.
+    * Blocks with more than ``tile_edges`` edges spill level-k>=1 overflow
+      chunks for the same (grp, cb); at tail densities (~100 nnz per 512^2
+      block) that is ~2% of chunks.
+
+    Net effect vs the per-tile 1024^2/ET512 format: one-hot width R+C
+    halves (2048 -> 1024) at equal slot utilisation, grid constant and
+    x-traffic amortise ``group``-fold.  Measured on the Reddit tail: see
+    results/SUMMARY.md round 3.
+
+    Attributes (NC = number of chunks, G = group, ET = tile_edges):
+      chunk_grp: int32[NC]  stripe-group index (output block index map)
+      chunk_cb:  int32[NC]  col-block index (x panel index map)
+      src_local: int32[NC, G, ET]  sender - cb*C   (pad: block_cols)
+      dst_local: int32[NC, G, ET]  receiver - rb*R (pad: block_rows)
+      edge_id:   int32[NC, G, ET]  parent edge index (pad: masked slot)
+      weight:    f32[NC, G, ET]    per-edge weight (0 on padding)
+      grp_first_chunk_host: first chunk of each stripe group (chunks are
+        grp-major) so huge chunk sets can split into multiple pallas calls
+        at group boundaries without a device readback.
+    """
+
+    chunk_grp: jax.Array
+    chunk_cb: jax.Array
+    src_local: jax.Array
+    dst_local: jax.Array
+    edge_id: jax.Array
+    weight: jax.Array
+    block_rows: int = dataclasses.field(metadata=dict(static=True))
+    block_cols: int = dataclasses.field(metadata=dict(static=True))
+    tile_edges: int = dataclasses.field(metadata=dict(static=True))
+    group: int = dataclasses.field(metadata=dict(static=True))
+    n_node: int = dataclasses.field(metadata=dict(static=True))
+    n_groups: int = dataclasses.field(metadata=dict(static=True))
+    n_col_blocks: int = dataclasses.field(metadata=dict(static=True))
+    grp_first_chunk_host: Optional[Tuple[int, ...]] = dataclasses.field(
+        default=None, metadata=dict(static=True))
+    # every REAL-edge weight exactly 1.0 (host-checked): the kernel drops
+    # the weight stream + multiply entirely (padding safety comes from the
+    # one-hot sentinels, not the weights)
+    weight_all_unit: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+
+    @property
+    def n_chunks(self) -> int:
+        return int(self.chunk_grp.shape[0])
+
+    @property
+    def n_tiles(self) -> int:
+        return self.n_chunks * self.group
+
+    @property
+    def total_slots(self) -> int:
+        return self.n_tiles * self.tile_edges
+
+
+def tile_graph_grouped(
+    g,
+    *,
+    block_rows: int = 512,
+    block_cols: int = 512,
+    tile_edges: int = 128,
+    group: int = 8,
+    unit_weight: bool = False,
+) -> GroupedTiledGraph:
+    """Host-side tiler for :class:`GroupedTiledGraph`.
+
+    Edges are keyed by (stripe-group, col-block, row-block); each (rb, cb)
+    run is cut into level-k tiles of ``tile_edges``; level-k tiles of all
+    row blocks in one (grp, cb) assemble into chunk (grp, cb, k) at
+    sub-tile slot ``j = rb % group``.  Chunks sort by (grp, cb, level) so
+    the output stripe stays resident per group and consecutive levels
+    reuse the x panel.
+    """
+    g = _as_host(g)
+    ne = g.n_edge
+    s = g.senders[:ne]
+    r = g.receivers[:ne]
+    w = (np.ones(ne, np.float32) if unit_weight else g.edge_weight[:ne])
+    n = g.n_node
+    nrb = max(_round_up(n, block_rows) // block_rows, 1)
+    ncb = max(_round_up(n, block_cols) // block_cols, 1)
+    n_groups = max(-(-nrb // group), 1)
+    ET, G = tile_edges, group
+
+    rb = (r // block_rows).astype(np.int64)
+    cb = (s // block_cols).astype(np.int64)
+    grp = rb // G
+    rbl = rb % G
+    # sort edges by (grp, cb, rbl): runs = (rb, cb) blocks, grouped by
+    # (grp, cb) with ascending rbl
+    key = (grp * ncb + cb) * G + rbl
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+
+    if ne:
+        starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+        run_len = np.diff(np.concatenate([starts, [ne]]))
+        run_key = ks[starts]
+        run_grpcb = run_key // G                     # combined grp*ncb+cb
+        run_rbl = (run_key % G).astype(np.int64)
+        run_levels = -(-run_len // ET)               # tiles per run
+        # chunk count per (grp, cb) = max levels over its runs
+        gc_start = np.flatnonzero(np.concatenate(
+            [[True], run_grpcb[1:] != run_grpcb[:-1]]))
+        gc_id_of_run = np.searchsorted(gc_start, np.arange(len(run_key)),
+                                       side="right") - 1
+        n_gc = len(gc_start)
+        gc_levels = np.maximum.reduceat(run_levels, gc_start)
+        chunk_base = np.concatenate([[0], np.cumsum(gc_levels)[:-1]])
+        NC_data = int(gc_levels.sum())
+        # per-chunk metadata
+        gc_key = run_grpcb[gc_start]
+        chunk_grp = np.repeat((gc_key // ncb).astype(np.int32), gc_levels)
+        chunk_cb = np.repeat((gc_key % ncb).astype(np.int32), gc_levels)
+        # edge placement
+        run_of_edge = np.searchsorted(starts, np.arange(ne),
+                                      side="right") - 1
+        offset = np.arange(ne) - starts[run_of_edge]
+        level = offset // ET
+        slot = (offset % ET).astype(np.int64)
+        chunk_of_edge = chunk_base[gc_id_of_run[run_of_edge]] + level
+        j_of_edge = run_rbl[run_of_edge]
+    else:
+        NC_data = 0
+        chunk_grp = chunk_cb = np.zeros(0, np.int32)
+        chunk_of_edge = j_of_edge = slot = np.zeros(0, np.int64)
+
+    # every stripe group must own >= 1 chunk (output zero/write visit)
+    missing = np.setdiff1d(np.arange(n_groups, dtype=np.int32),
+                           np.unique(chunk_grp))
+    NC = NC_data + len(missing)
+    src_l = np.full((NC, G, ET), block_cols, np.int32)
+    dst_l = np.full((NC, G, ET), block_rows, np.int32)
+    eid = np.full((NC, G, ET), max(g.e_pad - 1, 0), np.int32)
+    wv = np.zeros((NC, G, ET), np.float32)
+    if ne:
+        se, re_, we = s[order], r[order], w[order]
+        eids = np.arange(ne, dtype=np.int32)[order]
+        src_l[chunk_of_edge, j_of_edge, slot] = (
+            se - chunk_cb[chunk_of_edge].astype(np.int64) * block_cols
+        ).astype(np.int32)
+        dst_l[chunk_of_edge, j_of_edge, slot] = (re_ % block_rows).astype(
+            np.int32)
+        eid[chunk_of_edge, j_of_edge, slot] = eids
+        wv[chunk_of_edge, j_of_edge, slot] = we
+    if len(missing):
+        chunk_grp = np.concatenate([chunk_grp, missing])
+        chunk_cb = np.concatenate([chunk_cb,
+                                   np.zeros(len(missing), np.int32)])
+        corder = np.argsort(chunk_grp, kind="stable")
+        chunk_grp, chunk_cb = chunk_grp[corder], chunk_cb[corder]
+        src_l, dst_l = src_l[corder], dst_l[corder]
+        eid, wv = eid[corder], wv[corder]
+
+    grp_first = np.searchsorted(
+        chunk_grp, np.arange(n_groups + 1)).astype(np.int64)
+
+    w_unit = bool(np.all((wv == 0.0) | (wv == 1.0)))
+
+    return GroupedTiledGraph(
+        chunk_grp=jnp.asarray(chunk_grp),
+        chunk_cb=jnp.asarray(chunk_cb),
+        src_local=jnp.asarray(src_l),
+        dst_local=jnp.asarray(dst_l),
+        edge_id=jnp.asarray(eid),
+        weight=jnp.asarray(wv),
+        block_rows=block_rows,
+        block_cols=block_cols,
+        tile_edges=ET,
+        group=G,
+        n_node=n,
+        n_groups=n_groups,
+        n_col_blocks=ncb,
+        grp_first_chunk_host=tuple(int(v) for v in grp_first),
+        weight_all_unit=w_unit,
+    )
+
+
 def tile_graph_classes(
     g,
     *,
@@ -623,6 +820,8 @@ def hybrid_graph(
     sparse_block_cols: Optional[int] = None,
     block_layout: str = "rc",
     tile_classes: Optional[Sequence[int]] = None,
+    tail_format: str = "tiles",
+    tail_group: int = 16,
 ) -> HybridGraph:
     """Split the adjacency by per-block density: blocks with
     ``nnz >= min_nnz`` become dense [R, C] value matrices, the rest stays
@@ -637,6 +836,12 @@ def hybrid_graph(
     512-slot tile is ~1% utilised; the tail wants blocks as large as VMEM
     allows (per-edge one-hot cost ∝ (1/R + 1/C) / density).  Outputs still
     add: both kernels emit [row-padded, F] aligned at row 0.
+
+    ``tail_format='grouped'``: the remainder uses the stripe-group chunked
+    format (GroupedTiledGraph + the grouped SpMM kernel) — halves the
+    one-hot width at equal utilisation by amortising the x panel and grid
+    constant over ``tail_group`` sub-tiles (the round-3 tail redesign;
+    SpMM-only: attention kernels still consume the per-tile format).
 
     An INTEGRAL ``values_dtype`` (np.int8) stores dense blocks as edge
     COUNTS (0/1 after dedup) regardless of edge weights — halving the
@@ -661,7 +866,11 @@ def hybrid_graph(
     dense_ids = np.flatnonzero(dense_mask2d.reshape(-1))      # rb-major order
 
     if len(dense_ids) == 0:
-        if tile_classes:
+        if tail_format == "grouped":
+            tiles = tile_graph_grouped(
+                g, block_rows=sbr, block_cols=sbc, tile_edges=tile_edges,
+                group=tail_group, unit_weight=unit_weight)
+        elif tile_classes:
             tiles = tile_graph_classes(
                 g, block_rows=sbr, block_cols=sbc,
                 tile_classes=tile_classes, unit_weight=unit_weight)
@@ -795,7 +1004,11 @@ def hybrid_graph(
     )
     # rest.edge_weight already carries the requested weights (1s when
     # unit_weight), so tile_graph must NOT re-unit them
-    if tile_classes:
+    if tail_format == "grouped":
+        tiles = tile_graph_grouped(rest, block_rows=sbr, block_cols=sbc,
+                                   tile_edges=tile_edges, group=tail_group,
+                                   unit_weight=False)
+    elif tile_classes:
         tiles = tile_graph_classes(rest, block_rows=sbr, block_cols=sbc,
                                    tile_classes=tile_classes,
                                    unit_weight=False)
@@ -844,6 +1057,39 @@ def _label_prop_numpy(row_ptr: np.ndarray, nbrs: np.ndarray, n: int,
         if changed * 1000 < n:
             break
     return labels
+
+
+def transpose_host_graph(g) -> Tuple[HostGraph, np.ndarray]:
+    """The transposed graph Aᵀ (senders <-> receivers, weights preserved)
+    plus ``perm``: for edge i of the TRANSPOSED graph, ``perm[i]`` is its
+    index in the original edge order (identity on weights; lets runtime
+    per-edge values ride into transposed tilings via one [E] take).
+
+    This is the backbone of the tiled backward (VERDICT r2 next-3): the
+    VJP of y = A x is dx = Aᵀ ȳ — the SAME kernel over the transposed
+    tiling, instead of the [E, F]-materialising XLA recompute."""
+    g = _as_host(g)
+    ne = g.n_edge
+    order = np.argsort(g.senders[:ne], kind="stable")
+    gt = HostGraph(
+        senders=np.concatenate(
+            [g.receivers[:ne][order],
+             np.full(g.e_pad - ne, g.n_node, np.int32)]),
+        receivers=np.concatenate(
+            [g.senders[:ne][order],
+             np.full(g.e_pad - ne, g.n_node, np.int32)]),
+        edge_mask=np.concatenate(
+            [np.ones(ne, bool), np.zeros(g.e_pad - ne, bool)]),
+        edge_weight=np.concatenate(
+            [g.edge_weight[:ne][order],
+             np.zeros(g.e_pad - ne, np.float32)]),
+        n_node=g.n_node,
+        n_edge=ne,
+    )
+    perm = np.concatenate(
+        [order.astype(np.int64),
+         np.full(g.e_pad - ne, max(g.e_pad - 1, 0), np.int64)])
+    return gt, perm
 
 
 def cluster_labels(g: HostGraph, max_iter: int = 20, seed: int = 0):

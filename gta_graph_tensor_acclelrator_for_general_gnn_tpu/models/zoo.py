@@ -34,7 +34,7 @@ class Model:
         return params
 
     def make_apply(self, compute_dtype=None, schedules=None, host_graph=None,
-                   x_host=None):
+                   x_host=None, build_transpose=False):
         """Forward over the layer stack.
 
         ``schedules``: optional per-layer :class:`~..compiler.schedule.Schedule`
@@ -56,7 +56,8 @@ class Model:
                 schedules = [schedules] * len(self.layers)
             assert host_graph is not None, "schedules need host_graph"
             fns = [lower_schedule(g, s, host_graph, compute_dtype,
-                                  x_host=x_host if i == 0 else None)
+                                  x_host=x_host if i == 0 else None,
+                                  build_transpose=build_transpose)
                    for i, (g, s) in enumerate(zip(self.layers, schedules))]
 
         def apply(params, g: GraphTensor, x: jax.Array) -> jax.Array:

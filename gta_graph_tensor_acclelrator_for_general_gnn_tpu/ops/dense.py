@@ -507,26 +507,38 @@ def _spmm_ref_g(g, x, weighted: bool = True):
 
 
 def spmm_hybrid(hyb, g, x, *, weighted: bool = True,
-                interpret: bool = False):
+                interpret: bool = False, hyb_t=None):
     """Density-split SpMM: dense blocks on the MXU-direct kernel, sparse
     remainder on the one-hot edge-tile kernel; partial sums add exactly
     (both are plain weighted sums).  ``g`` (the full GraphTensor) feeds the
-    XLA backward.  [N, F] -> [N, F] f32 with exact linear VJP."""
+    XLA backward.  [N, F] -> [N, F] f32 with exact linear VJP.
+
+    ``hyb_t``: hybrid split of the TRANSPOSED graph (same build params
+    over graph.transpose_host_graph's output).  The x-grad then runs the
+    same density-split kernels — dx = Aᵀ ȳ — instead of the [E, F]-
+    materialising XLA recompute, so full-batch training scales with the
+    forward (the round-3 tiled backward, VERDICT r2 next-3)."""
     from . import spmm as spmm_mod
+
+    def run(h, v):
+        y = spmm_mod.spmm(h.tiles, v, interpret=interpret)
+        if h.dense is not None:
+            yd = spmm_dense(h.dense, v, interpret=interpret)
+            y = y + yd[: y.shape[0]]
+        return y
 
     @jax.custom_vjp
     def f(x):
-        y = spmm_mod.spmm(hyb.tiles, x, interpret=interpret)
-        if hyb.dense is not None:
-            yd = spmm_dense(hyb.dense, x, interpret=interpret)
-            y = y + yd[: y.shape[0]]
-        return y
+        return run(hyb, x)
 
     def fwd(x):
         return f(x), (x,)
 
     def bwd(res, gbar):
         (x,) = res
+        if hyb_t is not None:
+            dx = run(hyb_t, gbar.astype(x.dtype))
+            return (dx[: x.shape[0]].astype(x.dtype),)
         _, vjp = jax.vjp(lambda v: _spmm_ref_g(g, v, weighted), x)
         return vjp(gbar.astype(jnp.float32))
 

@@ -35,11 +35,76 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..graph import MultiTiledGraph, TiledGraph
+from ..graph import GroupedTiledGraph, MultiTiledGraph, TiledGraph
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _spmm_grouped_kernel(
+    # scalar prefetch
+    grp_ref, cb_ref,
+    # tensor inputs: src, dst, [w,] x   (w absent when unit_weight)
+    *refs,
+    block_rows: int, block_cols: int, tile_edges: int, group: int,
+    precision, unit_weight: bool,
+):
+    """One grid step = one chunk: ``group`` sub-tiles sharing a single
+    (stripe-group, col-block).  Sub-tile j serves row block grp*group+j, so
+    every index is static: the output stripe [group*R, fb] stays VMEM
+    resident across its group, the x panel [C, fb] is DMA'd once per chunk
+    (amortised over the group), and the grid constant is paid per chunk
+    instead of per tile.  This is what lets the one-hot width R+C shrink
+    to 1024 (vs 2048) at equal utilisation — the round-3 tail redesign
+    (VERDICT r2 next-1).
+
+    ``unit_weight``: every real-edge weight is exactly 1.0 — the weight
+    stream, its DMA, and the f32 multiply pass all drop out (~20% of the
+    kernel, scripts/grouped_ablate.py).  Padding safety is independent of
+    the weights: pad slots carry src==block_cols / dst==block_rows, which
+    match neither one-hot iota, so they contribute exact zeros."""
+    if unit_weight:
+        src_ref, dst_ref, x_ref, o_ref = refs
+        w_ref = None
+    else:
+        src_ref, dst_ref, w_ref, x_ref, o_ref = refs
+    c = pl.program_id(1)
+
+    prev_grp = jnp.where(c == 0, -1, grp_ref[jnp.maximum(c - 1, 0)])
+
+    @pl.when(grp_ref[c] != prev_grp)
+    def _zero():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    # batched over the group: ONE [G*ET, C] gather matmul (full MXU M) and
+    # one G-batched scatter contraction — at F=128 the kernel is otherwise
+    # VPU-bound on one-hot construction and MXU-overhead-bound on small-M
+    # matmuls (measured: per-j unroll 73 ms vs batched form, grouped_ab)
+    G, ET, R, C = group, tile_edges, block_rows, block_cols
+    xb = x_ref[:]                                          # [C, fb]
+    fb = o_ref.shape[1]
+    src = src_ref[0]                                       # [G, ET]
+    dst = dst_ref[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (G, ET, C), 2)
+    g = (src[..., None] == cols).astype(xb.dtype).reshape(G * ET, C)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (G, ET, R), 2)
+    s = (dst[..., None] == rows).astype(xb.dtype)          # [G, ET, R]
+    msg = jnp.dot(g, xb, preferred_element_type=jnp.float32,
+                  precision=precision)                     # [G*ET, fb]
+    if unit_weight:
+        msg = msg.reshape(G, ET, fb).astype(xb.dtype)
+    else:
+        # weight applied in f32 on the 3-D view (a [G*ET, 1] reshape of w
+        # is a cross-lane shape cast Mosaic can't lower; the leading-dim
+        # split of msg is layout-preserving)
+        w = w_ref[0]                                       # [G, ET]
+        msg = (msg.reshape(G, ET, fb) * w[..., None]).astype(xb.dtype)
+    out = jax.lax.dot_general(
+        s, msg,
+        (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision)
+    o_ref[:] += out.reshape(G * R, fb)                     # [G*R, fb]
 
 
 def _spmm_kernel(
@@ -103,6 +168,123 @@ def _stripe_chunks(row_first: tuple, n_tiles: int, cap: int):
     return chunks
 
 
+def _spmm_grouped_raw(
+    tg: GroupedTiledGraph,
+    x: jax.Array,
+    edge_vals: Optional[jax.Array] = None,
+    *,
+    feat_block: int = 512,
+    interpret: bool = False,
+    precision: Optional[jax.lax.Precision] = None,
+    max_chunks_per_call: int = 65536,
+    _xp: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Grouped-chunk SpMM forward: ``y`` [n_node, F] float32.
+
+    When every real-edge weight is exactly 1.0 and there are no runtime
+    ``edge_vals``, the weight stream drops out of the kernel entirely
+    (tg.weight_all_unit, ~20% faster at tail density)."""
+    n_cols = tg.n_col_blocks * tg.block_cols
+    f = x.shape[1]
+    fb = min(feat_block, _round_up(f, 128))
+    f_pad = _round_up(f, fb)
+    GR = tg.group * tg.block_rows                     # stripe rows
+
+    xp = (_xp if _xp is not None
+          else jnp.zeros((n_cols, f_pad), x.dtype).at[: x.shape[0], :f].set(x))
+
+    w = tg.weight
+    unit = edge_vals is None and tg.weight_all_unit
+    if edge_vals is not None:
+        w = w * jnp.take(edge_vals, tg.edge_id, axis=0)
+
+    if precision is None:
+        precision = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+
+    kernel = functools.partial(
+        _spmm_grouped_kernel,
+        block_rows=tg.block_rows,
+        block_cols=tg.block_cols,
+        tile_edges=tg.tile_edges,
+        group=tg.group,
+        precision=precision,
+        unit_weight=unit,
+    )
+
+    def call(chunk_grp, chunk_cb, srcl, dstl, wv, n_grp):
+        NC = int(chunk_grp.shape[0])
+        edge_spec = pl.BlockSpec((1, tg.group, tg.tile_edges),
+                                 lambda fi, c, grp, cb: (c, 0, 0))
+        in_specs = [edge_spec, edge_spec]
+        operands = [srcl, dstl]
+        if not unit:
+            in_specs.append(edge_spec)
+            operands.append(wv)
+        in_specs.append(pl.BlockSpec(
+            (tg.block_cols, fb), lambda fi, c, grp, cb: (cb[c], fi)))
+        operands.append(xp)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(f_pad // fb, NC),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (GR, fb), lambda fi, c, grp, cb: (grp[c], fi)),
+        )
+        flops = (2 * NC * tg.group * tg.tile_edges
+                 * (tg.block_cols + tg.block_rows) * f_pad)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_grp * GR, f_pad), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=(NC * tg.block_cols * fb * xp.dtype.itemsize
+                                + NC * tg.group * tg.tile_edges * 12),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(chunk_grp, chunk_cb, *operands)
+
+    NC = tg.n_chunks
+    if NC <= max_chunks_per_call or tg.grp_first_chunk_host is None:
+        y = call(tg.chunk_grp, tg.chunk_cb, tg.src_local, tg.dst_local, w,
+                 tg.n_groups)
+    else:
+        parts = []
+        for c0, c1, g0, g1 in _stripe_chunks(
+                tg.grp_first_chunk_host, NC, max_chunks_per_call):
+            parts.append(call(
+                tg.chunk_grp[c0:c1] - g0, tg.chunk_cb[c0:c1],
+                tg.src_local[c0:c1], tg.dst_local[c0:c1], w[c0:c1],
+                g1 - g0))
+        y = jnp.concatenate(parts, axis=0)
+    return y[: tg.n_node, :f]
+
+
+def _spmm_grouped_reference(tg: GroupedTiledGraph, x, edge_vals=None):
+    """XLA COO twin over the grouped tile arrays (for VJP recompute and
+    parity tests); pad slots carry weight 0 so collisions are harmless."""
+    NC, G, ET = tg.src_local.shape
+    grp = tg.chunk_grp
+    src = (tg.chunk_cb[:, None, None] * tg.block_cols
+           + tg.src_local).reshape(-1)
+    j = jnp.arange(G, dtype=jnp.int32)[None, :, None]
+    dst = ((grp[:, None, None] * G + j) * tg.block_rows
+           + tg.dst_local).reshape(-1)
+    w = tg.weight
+    if edge_vals is not None:
+        w = w * jnp.take(edge_vals, tg.edge_id, axis=0)
+    w = w.reshape(-1).astype(jnp.float32)
+    n_cols = tg.n_col_blocks * tg.block_cols
+    xp = jnp.zeros((n_cols, x.shape[1]), x.dtype).at[: x.shape[0]].set(x)
+    vals = (jnp.take(xp, src, axis=0, mode="clip").astype(jnp.float32)
+            * w[:, None])
+    y = jnp.zeros((tg.n_groups * G * tg.block_rows, x.shape[1]),
+                  jnp.float32).at[dst].add(vals, mode="drop")
+    return y[: tg.n_node]
+
+
 def _spmm_reference(tg, x, edge_vals=None):
     """XLA COO formulation over the SAME tile arrays — numerically identical
     weighted sum (tile weight is exactly 0 on padding, so pad-slot index
@@ -115,6 +297,8 @@ def _spmm_reference(tg, x, edge_vals=None):
             yp = _spmm_reference(part, x, edge_vals)
             y = yp if y is None else y + yp
         return y
+    if isinstance(tg, GroupedTiledGraph):
+        return _spmm_grouped_reference(tg, x, edge_vals)
     src = (tg.tile_cb[:, None] * tg.block_cols + tg.src_local).reshape(-1)
     dst = (tg.tile_rb[:, None] * tg.block_rows + tg.dst_local).reshape(-1)
     w = tg.weight
@@ -135,6 +319,8 @@ def spmm(
     x: jax.Array,
     edge_vals: Optional[jax.Array] = None,
     *,
+    tg_t=None,
+    ev_perm_t: Optional[jax.Array] = None,
     feat_block: int = 512,
     interpret: bool = False,
     precision: Optional[jax.lax.Precision] = None,
@@ -142,12 +328,24 @@ def spmm(
     _xp: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Block-sparse SpMM: ``y`` [n_node, F] f32, differentiable in ``x`` and
-    ``edge_vals``.  Forward = the Pallas one-hot kernel (:func:`_spmm_raw`);
-    backward = autodiff of the exact XLA COO formulation (the kernel computes
-    a plain weighted sum, so the VJP is exact — same pattern as the GAT
-    kernels' custom VJPs)."""
+    ``edge_vals``.  Forward = the Pallas one-hot kernel (:func:`_spmm_raw`).
+
+    Backward: with ``tg_t`` (a tiling of the TRANSPOSED graph, built once
+    host-side via graph.transpose_host_graph) the x-grad runs the SAME
+    kernel on the transpose — dx = Aᵀ ȳ — so gradients scale exactly like
+    the forward (the round-3 tiled backward, VERDICT r2 next-3).  Without
+    ``tg_t``, autodiff of the exact XLA COO formulation (materialises
+    [slots, F] — fine at small scale, fatal at Reddit full-batch).
+
+    ``ev_perm_t``: transposed-order -> original-order edge permutation
+    (transpose_host_graph's ``perm``) — routes runtime ``edge_vals`` into
+    the transposed tiling with one [E] take.  The edge_vals GRAD always
+    uses the reference formulation (it is an SDDMM; kernel route lives in
+    the GAT custom VJPs)."""
     kw = dict(feat_block=feat_block, interpret=interpret, precision=precision,
               max_tiles_per_call=max_tiles_per_call, _xp=_xp)
+    kwt = dict(feat_block=feat_block, interpret=interpret,
+               precision=precision, max_tiles_per_call=max_tiles_per_call)
     if edge_vals is None:
         @jax.custom_vjp
         def f(v):
@@ -157,7 +355,11 @@ def spmm(
             return f(v), (v,)
 
         def bwd(res, gy):
-            _, vjp = jax.vjp(lambda vv: _spmm_reference(tg, vv), *res)
+            (v,) = res
+            if tg_t is not None:
+                dx = _spmm_raw(tg_t, gy.astype(v.dtype), None, **kwt)
+                return (dx[: v.shape[0]].astype(v.dtype),)
+            _, vjp = jax.vjp(lambda vv: _spmm_reference(tg, vv), v)
             return vjp(gy)
 
         f.defvjp(fwd, bwd)
@@ -171,7 +373,13 @@ def spmm(
         return f2(v, ev), (v, ev)
 
     def bwd2(res, gy):
-        _, vjp = jax.vjp(lambda vv, ee: _spmm_reference(tg, vv, ee), *res)
+        v, ev = res
+        _, vjp = jax.vjp(lambda vv, ee: _spmm_reference(tg, vv, ee), v, ev)
+        if tg_t is not None and ev_perm_t is not None:
+            ev_t = jnp.take(ev, ev_perm_t, axis=0)
+            dx = _spmm_raw(tg_t, gy.astype(v.dtype), ev_t, **kwt)
+            _, dev = vjp(gy)
+            return dx[: v.shape[0]].astype(v.dtype), dev
         return vjp(gy)
 
     f2.defvjp(fwd2, bwd2)
@@ -206,7 +414,13 @@ def _spmm_raw(
 
     A :class:`graph.MultiTiledGraph` (per-run capacity classes) runs one
     kernel per class; the partial sums add exactly (plain weighted sums).
+    A :class:`graph.GroupedTiledGraph` routes to the stripe-group chunked
+    kernel (:func:`_spmm_grouped_raw`).
     """
+    if isinstance(tg, GroupedTiledGraph):
+        return _spmm_grouped_raw(
+            tg, x, edge_vals, feat_block=feat_block, interpret=interpret,
+            precision=precision, _xp=_xp)
     if isinstance(tg, MultiTiledGraph):
         # build the padded x panel ONCE (classes share geometry); per-class
         # rebuilds measurably eat the packing win on medium graphs

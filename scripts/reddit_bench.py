@@ -139,12 +139,21 @@ def best_tile_edges(thr_, tr, tc):
 
 
 tail_e = int(bn[bn < thr].sum())
-ET = best_tile_edges(thr, 1024, 1024)
+GROUPED = "--grouped" in sys.argv   # round-3 stripe-group chunked tail
 t0 = time.time()
-hyb = hybrid_graph(hg, block_rows=RB, block_cols=CB, tile_edges=ET,
-                   min_nnz=thr, supergroup=16,
-                   values_dtype=np.int8 if INT8 else ml_dtypes.bfloat16,
-                   sparse_block_rows=1024, sparse_block_cols=1024)
+if GROUPED:
+    ET = 128
+    hyb = hybrid_graph(hg, block_rows=RB, block_cols=CB, tile_edges=ET,
+                       min_nnz=thr, supergroup=16,
+                       values_dtype=np.int8 if INT8 else ml_dtypes.bfloat16,
+                       sparse_block_rows=512, sparse_block_cols=512,
+                       tail_format="grouped", tail_group=16)
+else:
+    ET = best_tile_edges(thr, 1024, 1024)
+    hyb = hybrid_graph(hg, block_rows=RB, block_cols=CB, tile_edges=ET,
+                       min_nnz=thr, supergroup=16,
+                       values_dtype=np.int8 if INT8 else ml_dtypes.bfloat16,
+                       sparse_block_rows=1024, sparse_block_cols=1024)
 nb = hyb.dense.n_blocks if hyb.dense else 0
 print(f"hybrid split {time.time()-t0:.0f}s thr={thr}: "
       f"dense {hyb.n_dense_edges} edges in {nb} blocks "

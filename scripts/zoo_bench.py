@@ -5,12 +5,15 @@ Cora config (2-layer, 1433 -> 128 -> 7, GAT heads=4), one TPU chip.
 
 Two execution paths per family:
   * xla        — per-op XLA lowering (compiler/lower.py), the oracle path
-  * compiled   — the min-HBM-traffic legal schedule from the fusion
-                 compiler (compiler/schedule.py enumeration + analytic
-                 traffic model, NO measurement in the loop — the
-                 reference's compile-only output, vTCAD/code/compiler.py
-                 sorts candidates by rw the same way), lowered through
-                 the Pallas/hybrid kernel paths per layer
+  * compiled   — the min-MODELLED-LATENCY legal schedule from the fusion
+                 compiler (compiler/latency.py: measured tile-cost model +
+                 MXU/HBM rooflines + calibrated XLA row costs, NO
+                 measurement in the loop — the reference's
+                 compiler+simulator pick, vTCAD/code/simulator.py:423-650),
+                 lowered through the Pallas/hybrid kernel paths per layer.
+                 The all-XLA schedule is always a ranked candidate, so the
+                 pick never models itself into a regression (r2's
+                 traffic-min pick lost on PNA).
 
 Timing: utils/benchmark.time_layer_device with target_s self-calibration
 (quotable absolutes; see docs/ARCHITECTURE.md "Measurement discipline").
@@ -32,8 +35,8 @@ from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler import (
     schedule as S)
 from gta_graph_tensor_acclelrator_for_general_gnn_tpu.models.zoo import (
     NETWORKS, build_model)
-from gta_graph_tensor_acclelrator_for_general_gnn_tpu.tune.search import (
-    _candidate_schedules)
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler import (
+    latency as latency_mod)
 from gta_graph_tensor_acclelrator_for_general_gnn_tpu.utils.benchmark import (
     time_layer_device)
 
@@ -53,23 +56,15 @@ from gta_graph_tensor_acclelrator_for_general_gnn_tpu.hwconfig import (
 palette = load_hw_config().palette()
 
 
-def min_traffic_schedule(graph, feat_width, kernel_only):
-    """The compiler's pick: min modelled HBM traffic over legal,
-    VMEM-feasible candidates (≙ vTCAD/code/compiler.py:452 sort-by-rw).
-    ``kernel_only`` restricts to schedules that dispatch at least one
-    pattern block to a Pallas kernel (the min-traffic pick otherwise
-    degenerates to the max-fused all-XLA schedule, already measured)."""
-    best, best_t = None, float("inf")
-    for c in _candidate_schedules(graph, 64, palette):
-        if any(tc.path == S.PATH_ONEHOT and not S.tile_is_feasible(tc, feat_width)
-               for tc in c.tiles):
-            continue
-        if kernel_only and all(tc.path == S.PATH_XLA for tc in c.tiles):
-            continue
-        t = S.traffic_bytes(graph, c.blocks, stats)
-        if t < best_t:
-            best, best_t = c, t
-    return best, best_t
+def compiled_pick(graph, feat_width):
+    """The compiler's pick: argmin MODELLED LATENCY over legal,
+    VMEM-feasible candidates including all-XLA (compiler/latency.py —
+    the reference's compiler+simulator role).  Returns (schedule,
+    modelled_ns, traffic_bytes)."""
+    sc, t_ns = latency_mod.min_latency_schedule(
+        graph, hg, feat_width=feat_width, tile_palette=palette)
+    tr = S.traffic_bytes(graph, sc.blocks, stats) if sc is not None else 0
+    return sc, t_ns, tr
 
 
 def measure(net, warmup=False):
@@ -84,15 +79,26 @@ def measure(net, warmup=False):
     row["xla_us"] = lat * 1e6
     row["xla_wall_s"] = time.time() - t0
 
-    scheds, traffic = [], 0
+    scheds, traffic, modelled_ns = [], 0, 0.0
     w = ds.x.shape[1]
     for graph in model.layers:
-        sc, tr = min_traffic_schedule(graph, w, kernel_only=True)
-        if sc is None:  # no kernel pattern matches this family's blocks
-            sc, tr = min_traffic_schedule(graph, w, kernel_only=False)
+        sc, t_ns, tr = compiled_pick(graph, w)
         scheds.append(sc)
-        traffic += tr
+        if sc is not None:
+            traffic += tr
+            modelled_ns += t_ns
         w = max(op.out_width for op in graph.ops if op.op_id in graph.outputs)
+    row["modelled_us"] = modelled_ns / 1e3
+    if any(sc is None for sc in scheds):
+        # no feasible candidate at all for some layer: record and skip the
+        # compiled measurement instead of crashing the remaining families
+        row["compiled_error"] = "no feasible schedule"
+        row["compiled_us"] = float("nan")
+        row["compiled_traffic_mb"] = traffic / 2**20
+        row["schedule"] = [s.key() if s else None for s in scheds]
+        if not warmup:
+            print(json.dumps(row), flush=True)
+        return row
     t0 = time.time()
     try:
         fwd2 = model.make_apply(dtype, schedules=scheds, host_graph=hg)
@@ -112,8 +118,9 @@ def measure(net, warmup=False):
 # discarded warmup (first slope in a process reads ~10-15% high)
 measure(nets[0], warmup=True)
 rows = [measure(n) for n in nets]
-print("\n| net | per-op XLA | compiled (min-traffic) | modelled HBM |")
-print("|---|---|---|---|")
+print("\n| net | per-op XLA | compiled (min-latency) | modelled | modelled HBM |")
+print("|---|---|---|---|---|")
 for r in rows:
     print(f"| {r['net']} | {r['xla_us']:.1f} us | {r['compiled_us']:.1f} us "
+          f"| {r.get('modelled_us', float('nan')):.1f} us "
           f"| {r['compiled_traffic_mb']:.1f} MB |")

@@ -1,0 +1,164 @@
+"""Tiled backward (dx = Aᵀ ȳ over a transposed tiling) vs XLA autodiff
+(VERDICT r2 next-3: gradients that scale like the forward)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+    hybrid_graph, tile_graph, tile_graph_grouped, transpose_host_graph)
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import (
+    dense as dense_mod, spmm as spmm_mod)
+
+
+def _rand_graph(rng, n=400, e=3000, **kw):
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    return gta.build_host_graph(s, r, n, **kw)
+
+
+def _xla_spmm(hg, x):
+    g = hg.to_device()
+    msg = jnp.take(x, g.senders, axis=0) * g.edge_weight[:, None]
+    return jnp.zeros_like(x).at[g.receivers].add(
+        msg * g.edge_mask[:, None], mode="drop")
+
+
+def test_transpose_host_graph(rng):
+    hg = _rand_graph(rng, symmetric_norm=True)
+    gt, perm = transpose_host_graph(hg)
+    ne = hg.n_edge
+    assert gt.n_edge == ne
+    np.testing.assert_array_equal(gt.senders[:ne],
+                                  hg.receivers[:ne][perm[:ne]])
+    np.testing.assert_array_equal(gt.receivers[:ne],
+                                  hg.senders[:ne][perm[:ne]])
+    np.testing.assert_array_equal(gt.edge_weight[:ne],
+                                  hg.edge_weight[:ne][perm[:ne]])
+    assert (np.diff(gt.receivers[:ne]) >= 0).all()  # sorted for tiling
+
+
+def test_spmm_grad_tiled_vs_xla(rng):
+    hg = _rand_graph(rng, symmetric_norm=True)
+    hgt, _ = transpose_host_graph(hg)
+    tg = tile_graph(hg, block_rows=128, block_cols=128, tile_edges=64)
+    tg_t = tile_graph(hgt, block_rows=128, block_cols=128, tile_edges=64)
+    x = jnp.asarray(rng.standard_normal((hg.n_node, 64)), jnp.float32)
+    gy = jnp.asarray(rng.standard_normal((hg.n_node, 64)), jnp.float32)
+
+    def loss_k(v):
+        return jnp.vdot(spmm_mod.spmm(tg, v, tg_t=tg_t,
+                                      interpret=True), gy)
+
+    def loss_ref(v):
+        return jnp.vdot(_xla_spmm(hg, v), gy)
+
+    dk = jax.grad(loss_k)(x)
+    dr = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dr),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_grad_grouped_transpose(rng):
+    hg = _rand_graph(rng, symmetric_norm=True)
+    hgt, _ = transpose_host_graph(hg)
+    tg = tile_graph_grouped(hg, block_rows=128, block_cols=128,
+                            tile_edges=64, group=4)
+    tg_t = tile_graph_grouped(hgt, block_rows=128, block_cols=128,
+                              tile_edges=64, group=4)
+    x = jnp.asarray(rng.standard_normal((hg.n_node, 64)), jnp.float32)
+    gy = jnp.asarray(rng.standard_normal((hg.n_node, 64)), jnp.float32)
+    dk = jax.grad(lambda v: jnp.vdot(
+        spmm_mod.spmm(tg, v, tg_t=tg_t, interpret=True), gy))(x)
+    dr = jax.grad(lambda v: jnp.vdot(_xla_spmm(hg, v), gy))(x)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dr),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_grad_edge_vals_transpose(rng):
+    hg = _rand_graph(rng, symmetric_norm=True)
+    hgt, perm = transpose_host_graph(hg)
+    tg = tile_graph(hg, block_rows=128, block_cols=128, tile_edges=64)
+    tg_t = tile_graph(hgt, block_rows=128, block_cols=128, tile_edges=64)
+    x = jnp.asarray(rng.standard_normal((hg.n_node, 32)), jnp.float32)
+    ev = jnp.asarray(rng.standard_normal(hg.e_pad), jnp.float32)
+    gy = jnp.asarray(rng.standard_normal((hg.n_node, 32)), jnp.float32)
+    permd = jnp.asarray(perm)
+
+    def k(v, ee):
+        return jnp.vdot(spmm_mod.spmm(tg, v, ee, tg_t=tg_t,
+                                      ev_perm_t=permd, interpret=True), gy)
+
+    def ref(v, ee):
+        g = hg.to_device()
+        msg = (jnp.take(v, g.senders, axis=0) * g.edge_weight[:, None]
+               * ee[:, None])
+        y = jnp.zeros_like(v).at[g.receivers].add(
+            msg * g.edge_mask[:, None], mode="drop")
+        return jnp.vdot(y, gy)
+
+    dkx, dke = jax.grad(k, argnums=(0, 1))(x, ev)
+    drx, dre = jax.grad(ref, argnums=(0, 1))(x, ev)
+    np.testing.assert_allclose(np.asarray(dkx), np.asarray(drx),
+                               rtol=1e-4, atol=1e-4)
+    # edge grads exist only on live slots; reference twin zeroes pads
+    np.testing.assert_allclose(np.asarray(dke)[: hg.n_edge],
+                               np.asarray(dre)[: hg.n_edge],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_hybrid_grad_transpose(rng):
+    hg = _rand_graph(rng, symmetric_norm=True)
+    hgt, _ = transpose_host_graph(hg)
+    kw = dict(block_rows=128, block_cols=128, tile_edges=64, min_nnz=40)
+    hyb = hybrid_graph(hg, **kw)
+    hyb_t = hybrid_graph(hgt, **kw)
+    g = hg.to_device()
+    x = jnp.asarray(rng.standard_normal((hg.n_node, 64)), jnp.float32)
+    gy = jnp.asarray(rng.standard_normal((hg.n_node, 64)), jnp.float32)
+    dk = jax.grad(lambda v: jnp.vdot(dense_mod.spmm_hybrid(
+        hyb, g, v, interpret=True, hyb_t=hyb_t), gy))(x)
+    dr = jax.grad(lambda v: jnp.vdot(_xla_spmm(hg, v), gy))(x)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dr),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_lower_schedule_build_transpose_grads(rng):
+    """End-to-end: a GCN layer whose SpMM block is kernel-dispatched,
+    lowered with build_transpose, matches the XLA lowering's gradients —
+    exercising the tg_t plumbing through lower_schedule."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.models.zoo import (
+        build_model)
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler import (
+        schedule as S)
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.fusion \
+        import classify_block, lower_schedule
+    hg = _rand_graph(rng, n=300, e=2000, add_self_loops=True,
+                     symmetric_norm=True)
+    g = hg.to_device()
+    model = build_model("GCN", 32, 5, hidden=16, n_layers=1)
+    params = model.init(jax.random.key(0))
+    graph = model.layers[0]
+    part = S.aggregation_partition(graph)
+    assert part is not None
+    tiles = tuple(
+        S.TileConfig(128, 128, 64)
+        if classify_block(graph, b, S.TileConfig(128, 128, 64))[0] == "spmm"
+        else S.TileConfig(path=S.PATH_XLA) for b in part)
+    sched = S.Schedule(blocks=part, tiles=tiles)
+    assert any(tc.kernel for tc in tiles)
+    x = jnp.asarray(rng.standard_normal((hg.n_node, 32)), jnp.float32)
+
+    fn_x = model.make_apply()
+    fn_k = lower_schedule(graph, sched, hg, interpret=True,
+                          build_transpose=True)
+
+    def loss(fn, p):
+        out = fn(p, g, x)
+        return jnp.sum(out * out)
+
+    gx = jax.grad(lambda p: loss(fn_x, p))(params)
+    gk = jax.grad(lambda p: loss(fn_k, p))(params)
+    for k in gx:
+        np.testing.assert_allclose(np.asarray(gk[k]), np.asarray(gx[k]),
+                                   rtol=2e-3, atol=2e-3)
