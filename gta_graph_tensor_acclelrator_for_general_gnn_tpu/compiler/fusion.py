@@ -187,10 +187,11 @@ def lower_schedule(
 
     tiled: Dict[tuple, TiledGraph] = {}
     hybrids: Dict[tuple, object] = {}
-    host_graph_t = None
+    host_graph_t = perm_t = None
     if build_transpose:
         from ..graph import transpose_host_graph
-        host_graph_t, _ = transpose_host_graph(host_graph)
+        host_graph_t, perm_np = transpose_host_graph(host_graph)
+        perm_t = jnp.asarray(perm_np)
 
     def get_tiled(tc: TileConfig, unit_weight: bool,
                   hg: Optional[HostGraph] = None) -> TiledGraph:
@@ -259,7 +260,12 @@ def lower_schedule(
             plans.append((kind, block, tc, plan, get_tiled(tc, uw),
                           get_tiled(tc, uw, host_graph_t)
                           if host_graph_t is not None else None))
-        elif kind in ("gat_layer", "gat", "sddmm"):
+        elif kind == "gat":
+            plans.append((kind, block, tc, plan,
+                          get_tiled(tc, unit_weight=True),
+                          (get_tiled(tc, True, host_graph_t), perm_t)
+                          if host_graph_t is not None else None))
+        elif kind in ("gat_layer", "sddmm"):
             plans.append((kind, block, tc, plan,
                           get_tiled(tc, unit_weight=True), None))
         else:
@@ -385,6 +391,9 @@ def lower_schedule(
                     negative_slope=plan.negative_slope,
                     interpret=interpret,
                     w_asrc=None if w_as is None else kin(w_as),
+                    g=g if tg_t is not None else None,
+                    tg_t=tg_t[0] if tg_t is not None else None,
+                    ev_perm_t=tg_t[1] if tg_t is not None else None,
                 )
             else:
                 for oid in block:

@@ -541,6 +541,72 @@ def _gat_reference(tg: TiledGraph, h_src, a_src, a_dst, negative_slope):
     return out[:n]
 
 
+def _gat_bwd_scalable(g, tg, tg_t, perm_t, h, a_s, a_d, out, gbar,
+                      slope: float, interpret: bool = False):
+    """GAT attention gradients WITHOUT materialising any [E, HD] tensor —
+    the tiled backward (VERDICT r2 next-3).  Memory high-water: a handful
+    of [E, H] edge tensors (H = heads, small) plus the tilings.
+
+    Math (per head, α the normalised softmax weight of edge e = s->d):
+      dh[s]   = Σ_{e: src=s} α_e ḡ_d          -> H transposed SpMMs with
+                                                 per-edge vals α (tg_t)
+      t_e     = <ḡ_d, h_s>                     -> tiled SDDMM over tg
+      dl_e    = α_e (t_e − <ḡ_d, out_d>)       (softmax VJP; Σα t = <ḡ,out>)
+      dz_e    = dl_e · leaky_relu'(a_s+a_d)
+      da_s[s] = Σ_{src=s} dz_e ; da_d[d] = Σ_{dst=d} dz_e   ([E, H] scatters)
+
+    α is recomputed in the exact per-dst segment-max form (shift choice
+    does not change α), so the grads match autodiff of the XLA reference
+    formulation to roundoff."""
+    from . import sddmm as sddmm_mod
+    from . import spmm as spmm_mod
+    n = g.n_node
+    H = a_s.shape[1]
+    HD = h.shape[1]
+    D = HD // H
+    f32 = jnp.float32
+    src = jnp.where(g.edge_mask, g.senders, n)
+    dst = jnp.where(g.edge_mask, g.receivers, n)
+    pad1 = jnp.zeros((1, H), f32)
+    a_se = jnp.take(jnp.concatenate([a_s.astype(f32), pad1], 0), src, axis=0)
+    a_de = jnp.take(jnp.concatenate([a_d.astype(f32), pad1], 0), dst, axis=0)
+    lraw = a_se + a_de                                     # [E, H]
+    e = jnp.where(g.edge_mask[:, None],
+                  jax.nn.leaky_relu(lraw, slope), NEG)
+    m = jax.ops.segment_max(e, dst, n + 1)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    p = jnp.where(g.edge_mask[:, None],
+                  jnp.exp(e - jnp.take(m, dst, axis=0)), 0.0)
+    den = jnp.maximum(
+        jax.ops.segment_sum(p, dst, n + 1, indices_are_sorted=True), 1e-20)
+    alpha = p / jnp.take(den, dst, axis=0)                 # [E, H]
+
+    gb = gbar.astype(f32)
+    # t_e = <gbar_d, h_s> per head: one-hot SDDMM in tile layout
+    t_tiles = sddmm_mod.sddmm(tg, h, gb.astype(h.dtype), heads=H,
+                              interpret=interpret)
+    t = sddmm_mod.tiles_to_edges(tg, t_tiles, g.e_pad)     # [e_pad, H]
+    s2 = jnp.sum(gb.reshape(n, H, D) * out.reshape(n, H, D), axis=-1)
+    s2e = jnp.take(jnp.concatenate([s2, pad1], 0), dst, axis=0)
+    dl = alpha * (t - s2e)
+    dz = jnp.where(g.edge_mask[:, None],
+                   dl * jnp.where(lraw > 0, 1.0, slope), 0.0)
+    dad = jax.ops.segment_sum(dz, dst, n + 1,
+                              indices_are_sorted=True)[:n]
+    das = jnp.zeros((n + 1, H), f32).at[src].add(dz, mode="drop")[:n]
+
+    # dh: per-head transposed weighted aggregation (same SpMM kernel)
+    alpha_t = jnp.take(alpha, perm_t, axis=0)              # transposed order
+    dh_cols = []
+    for k in range(H):
+        dk = spmm_mod._spmm_raw(tg_t, gb[:, k * D:(k + 1) * D],
+                                alpha_t[:, k], interpret=interpret)
+        dh_cols.append(dk[:n])
+    dh = jnp.concatenate(dh_cols, axis=1)
+    return (dh.astype(h.dtype), das.astype(a_s.dtype),
+            dad.astype(a_d.dtype))
+
+
 def gat_attention(
     tg: TiledGraph,
     h_src: jax.Array,
@@ -550,13 +616,23 @@ def gat_attention(
     negative_slope: float = 0.2,
     interpret: bool = False,
     w_asrc: jax.Array = None,
+    g=None,
+    tg_t=None,
+    ev_perm_t: jax.Array = None,
 ) -> jax.Array:
     """Fused multi-head GAT edge-softmax + aggregation.  [N,HD],[N,H],[N,H]
-    -> [N,HD] f32.  Forward = Pallas online-softmax kernel; backward =
-    autodiff of the XLA segment formulation (numerically identical result,
-    so the VJP is exact).  Pass ``w_asrc`` [HD,H] instead of ``a_src`` when
-    a_src is a linear map of h (the values are derived by one tiny XLA
-    matmul and packed into the kernel's gather operand)."""
+    -> [N,HD] f32.  Forward = Pallas online-softmax kernel.  Pass
+    ``w_asrc`` [HD,H] instead of ``a_src`` when a_src is a linear map of h
+    (the values are derived by one tiny XLA matmul and packed into the
+    kernel's gather operand).
+
+    Backward: default = autodiff of the XLA segment formulation
+    (numerically identical result, so the VJP is exact — but it
+    materialises [slots, HD], fatal at full-batch Reddit).  Passing
+    ``g`` + ``tg_t`` (unit-weight tiling of the transposed graph) +
+    ``ev_perm_t`` (transpose_host_graph's perm) switches to the tiled
+    backward (:func:`_gat_bwd_scalable`): [E, H] edge tensors only."""
+    scalable = g is not None and tg_t is not None and ev_perm_t is not None
 
     if w_asrc is not None:
         @jax.custom_vjp
@@ -566,15 +642,29 @@ def gat_attention(
                                 interpret=interpret)
 
         def fwdw(h, w, d):
-            return fw(h, w, d), (h, w, d)
+            y = fw(h, w, d)
+            return y, ((h, w, d, y) if scalable else (h, w, d))
 
-        def bwdw(res, g):
+        def bwdw(res, gy):
+            if scalable:
+                h, w, d, y = res
+                a_s = jnp.dot(h.astype(jnp.float32), w.astype(jnp.float32))
+                dh, das, dad = _gat_bwd_scalable(
+                    g, tg, tg_t, ev_perm_t, h, a_s, d, y, gy,
+                    negative_slope, interpret)
+                # chain a_src = h @ w
+                dh = (dh.astype(jnp.float32)
+                      + jnp.dot(das.astype(jnp.float32),
+                                w.astype(jnp.float32).T)).astype(h.dtype)
+                dw = jnp.dot(h.astype(jnp.float32).T,
+                             das.astype(jnp.float32)).astype(w.dtype)
+                return dh, dw, dad
             _, vjp = jax.vjp(
                 lambda h, w, d: _gat_reference(
                     tg, h, jnp.dot(h.astype(jnp.float32),
                                    w.astype(jnp.float32)),
                     d, negative_slope), *res)
-            return vjp(g)
+            return vjp(gy)
 
         fw.defvjp(fwdw, bwdw)
         return fw(h_src, w_asrc, a_dst)
@@ -585,12 +675,17 @@ def gat_attention(
                             interpret=interpret)
 
     def fwd(h, s, d):
-        return f(h, s, d), (h, s, d)
+        y = f(h, s, d)
+        return y, ((h, s, d, y) if scalable else (h, s, d))
 
-    def bwd(res, g):
+    def bwd(res, gy):
+        if scalable:
+            h, s, d, y = res
+            return _gat_bwd_scalable(g, tg, tg_t, ev_perm_t, h, s, d, y,
+                                     gy, negative_slope, interpret)
         _, vjp = jax.vjp(
             lambda h, s, d: _gat_reference(tg, h, s, d, negative_slope), *res)
-        return vjp(g)
+        return vjp(gy)
 
     f.defvjp(fwd, bwd)
     return f(h_src, a_src, a_dst)

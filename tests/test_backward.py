@@ -162,3 +162,57 @@ def test_lower_schedule_build_transpose_grads(rng):
     for k in gx:
         np.testing.assert_allclose(np.asarray(gk[k]), np.asarray(gx[k]),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_gat_grad_scalable_vs_reference(rng):
+    """Tiled GAT backward (_gat_bwd_scalable) vs autodiff of the XLA
+    segment formulation — both h/a_src/a_dst grads and the w_asrc chain."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import (
+        gat as gat_mod)
+    hg = _rand_graph(rng, n=260, e=1800, add_self_loops=True)
+    hgt, perm = transpose_host_graph(hg)
+    g = hg.to_device()
+    tg = tile_graph(hg, block_rows=128, block_cols=128, tile_edges=64,
+                    unit_weight=True)
+    tg_t = tile_graph(hgt, block_rows=128, block_cols=128, tile_edges=64,
+                      unit_weight=True)
+    permd = jnp.asarray(perm)
+    H, D = 4, 8
+    h = jnp.asarray(rng.standard_normal((hg.n_node, H * D)), jnp.float32)
+    a_s = jnp.asarray(rng.standard_normal((hg.n_node, H)), jnp.float32)
+    a_d = jnp.asarray(rng.standard_normal((hg.n_node, H)), jnp.float32)
+    gy = jnp.asarray(rng.standard_normal((hg.n_node, H * D)), jnp.float32)
+
+    def loss_k(hh, ss, dd):
+        out = gat_mod.gat_attention(tg, hh, ss, dd, heads=H,
+                                    interpret=True, g=g, tg_t=tg_t,
+                                    ev_perm_t=permd)
+        return jnp.vdot(out, gy)
+
+    def loss_ref(hh, ss, dd):
+        return jnp.vdot(gat_mod._gat_reference(tg, hh, ss, dd, 0.2), gy)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(h, a_s, a_d)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(h, a_s, a_d)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+    # w_asrc variant: a_src derived in-kernel; grads chain through w
+    w_as = jnp.asarray(rng.standard_normal((H * D, H)) * 0.3, jnp.float32)
+
+    def loss_kw(hh, ww, dd):
+        out = gat_mod.gat_attention(tg, hh, a_dst=dd, heads=H,
+                                    interpret=True, w_asrc=ww, g=g,
+                                    tg_t=tg_t, ev_perm_t=permd)
+        return jnp.vdot(out, gy)
+
+    def loss_rw(hh, ww, dd):
+        a_s2 = jnp.dot(hh, ww)
+        return jnp.vdot(gat_mod._gat_reference(tg, hh, a_s2, dd, 0.2), gy)
+
+    gkw = jax.grad(loss_kw, argnums=(0, 1, 2))(h, w_as, a_d)
+    grw = jax.grad(loss_rw, argnums=(0, 1, 2))(h, w_as, a_d)
+    for a, b in zip(gkw, grw):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
