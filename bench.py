@@ -76,11 +76,37 @@ def main():
     best_s = time_layer_device(fn, params, ds.graph, x,
                                k_small=100, k_big=4100, reps=4)
     us = best_s * 1e6
+
+    # roofline context (VERDICT r2 next-9): achieved vs peak for the
+    # measured schedule — modelled FLOPs / HBM bytes over the measured
+    # time against v5e peaks (197 TFLOP/s bf16, 819 GB/s)
+    roof = {}
+    try:
+        from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler \
+            import schedule as S
+        from gta_graph_tensor_acclelrator_for_general_gnn_tpu.utils.profile \
+            import op_report
+        stats = S.GraphStats(n_node=ds.host_graph.n_node,
+                             n_edge=ds.host_graph.n_edge,
+                             e_pad=ds.host_graph.e_pad)
+        blocks = (tuple(tuple(b) for b in spec["blocks"])
+                  if os.path.exists(BEST_SCHEDULE_MEMO)
+                  else tuple((op.op_id,) for op in og.ops))
+        flops = sum(c.flops for c in op_report(og, blocks, stats, 2))
+        byts = S.traffic_bytes(og, blocks, stats, 2)
+        roof = {
+            "mxu_pct": round(100 * flops / best_s / 197e12, 2),
+            "hbm_pct": round(100 * byts / best_s / 819e9, 2),
+        }
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "gat_cora_layer3_latency",
         "value": round(us, 2),
         "unit": "us",
         "vs_baseline": round(BASELINE_US / us, 3),
+        **roof,
     }))
 
 

@@ -298,6 +298,42 @@ def main(argv=None):
             target_s=args.target_s or None)
         out.update(dict(spmm_latency_us=lat * 1e6,
                         spmm_edges_per_s=bhg.n_edge / lat))
+        # roofline %: achieved vs v5e peaks for the one-hot kernel
+        # (VERDICT r2 next-9 — makes the tail gap a first-class number).
+        # MXU: kernel FLOPs incl. padded slots; HBM: the ideal traffic
+        # (x panel per run + edge streams + output), i.e. % of the
+        # bandwidth-bound speed-of-light for this op
+        import numpy as np
+        from .hwconfig import load_hw_config
+        cfg = load_hw_config()
+        xb = x.dtype.itemsize
+        slots = getattr(tg, "total_slots", None) or tg.n_tiles * tg.tile_edges
+        if hasattr(tg, "parts"):
+            kflops = sum(2 * p.n_tiles * p.tile_edges
+                         * (p.block_rows + p.block_cols) * args.hidden
+                         for p in tg.parts)
+            runs = sum(len(np.unique(np.asarray(p.tile_rb)
+                                     * p.n_col_blocks
+                                     + np.asarray(p.tile_cb)))
+                       for p in tg.parts)
+            bc = tg.parts[0].block_cols
+        else:
+            kflops = (2 * slots * (tg.block_rows + tg.block_cols)
+                      * args.hidden)
+            bc = tg.block_cols
+            if hasattr(tg, "chunk_cb"):
+                runs = tg.n_chunks
+            else:
+                runs = len(np.unique(np.asarray(tg.tile_rb)
+                                     * tg.n_col_blocks
+                                     + np.asarray(tg.tile_cb)))
+        ideal_bytes = (runs * bc * args.hidden * xb + slots * 16
+                       + bhg.n_node * args.hidden * 4)
+        mxu_peak = 197e12 if args.bf16 else 49e12
+        out.update(dict(
+            spmm_mxu_pct=round(100 * kflops / lat / mxu_peak, 1),
+            spmm_hbm_pct=round(
+                100 * ideal_bytes / lat / (cfg.hbm_gbps * 1e9), 1)))
 
         # SDDMM (per-edge pair dots — the attention-logit hot op; the
         # north-star metric is SpMM+SDDMM edges/s)

@@ -541,6 +541,33 @@ def _gat_reference(tg: TiledGraph, h_src, a_src, a_dst, negative_slope):
     return out[:n]
 
 
+# Shift-bound safety margin: rows whose incident a_src all sit further than
+# this below the global per-head max would lose f32-exp precision under the
+# shift-bound softmax (full underflow at ~88; we guard well before)
+SHIFT_GAP_SAFE = 60.0
+
+
+def gat_shift_gap(g, a_src: jax.Array) -> jax.Array:
+    """Worst-case shift-bound gap of the fused GAT kernels: scalar
+    ``max over rows/heads of (global max a_src − per-row max incident
+    a_src)``.  Rows with gap > ~85 collapse to zero attention under the
+    kernels' global-msrc shift (module docstring 'Bound domain').  Rows
+    with no in-edges are excluded (their output is 0 either way)."""
+    n = g.n_node
+    src = jnp.where(g.edge_mask, g.senders, n)
+    dst = jnp.where(g.edge_mask, g.receivers, n)
+    f32 = jnp.float32
+    a = a_src.astype(f32)
+    pad = jnp.full((1, a.shape[1]), NEG, f32)
+    a_se = jnp.take(jnp.concatenate([a, pad], 0), src, axis=0)
+    a_se = jnp.where(g.edge_mask[:, None], a_se, NEG)
+    rowmax = jax.ops.segment_max(a_se, dst, n + 1,
+                                 indices_are_sorted=True)[:n]
+    msrc = jnp.max(a, axis=0)
+    gap = jnp.where(rowmax > NEG / 2, msrc[None, :] - rowmax, 0.0)
+    return jnp.max(gap)
+
+
 def _gat_bwd_scalable(g, tg, tg_t, perm_t, h, a_s, a_d, out, gbar,
                       slope: float, interpret: bool = False):
     """GAT attention gradients WITHOUT materialising any [E, HD] tensor —
@@ -619,6 +646,7 @@ def gat_attention(
     g=None,
     tg_t=None,
     ev_perm_t: jax.Array = None,
+    guard_shift: bool = False,
 ) -> jax.Array:
     """Fused multi-head GAT edge-softmax + aggregation.  [N,HD],[N,H],[N,H]
     -> [N,HD] f32.  Forward = Pallas online-softmax kernel.  Pass
@@ -631,15 +659,39 @@ def gat_attention(
     materialises [slots, HD], fatal at full-batch Reddit).  Passing
     ``g`` + ``tg_t`` (unit-weight tiling of the transposed graph) +
     ``ev_perm_t`` (transpose_host_graph's perm) switches to the tiled
-    backward (:func:`_gat_bwd_scalable`): [E, H] edge tensors only."""
+    backward (:func:`_gat_bwd_scalable`): [E, H] edge tensors only.
+
+    ``guard_shift`` (needs ``g``): runtime-check the shift-bound domain
+    (gat_shift_gap) and lax.cond-dispatch to the exact per-row segment-max
+    XLA path when any row's incident a_src sits > SHIFT_GAP_SAFE below the
+    global max — the adversarial-logit regime where the kernels' bound
+    underflows (module docstring 'Bound domain').  Both branches compile;
+    intended for serving at small/medium scale — at Reddit scale pre-check
+    the gap offline instead."""
     scalable = g is not None and tg_t is not None and ev_perm_t is not None
+    assert not guard_shift or g is not None, "guard_shift needs g"
+
+    def run_kernel(h, s, d, w=None):
+        return _gat_forward(tg, h, s, d, w_asrc=w,
+                            negative_slope=negative_slope,
+                            interpret=interpret)
+
+    def run_guarded(h, s, d, w=None):
+        if not guard_shift:
+            return run_kernel(h, s, d, w)
+        sv = (jnp.dot(h.astype(jnp.float32), w.astype(jnp.float32))
+              if w is not None else s)
+        gap = gat_shift_gap(g, sv)
+        return jax.lax.cond(
+            gap < SHIFT_GAP_SAFE,
+            lambda hh: run_kernel(hh, s, d, w),
+            lambda hh: _gat_reference(tg, hh, sv, d, negative_slope),
+            h)
 
     if w_asrc is not None:
         @jax.custom_vjp
         def fw(h, w, d):
-            return _gat_forward(tg, h, None, d, w_asrc=w,
-                                negative_slope=negative_slope,
-                                interpret=interpret)
+            return run_guarded(h, None, d, w)
 
         def fwdw(h, w, d):
             y = fw(h, w, d)
@@ -671,8 +723,7 @@ def gat_attention(
 
     @jax.custom_vjp
     def f(h, s, d):
-        return _gat_forward(tg, h, s, d, negative_slope=negative_slope,
-                            interpret=interpret)
+        return run_guarded(h, s, d)
 
     def fwd(h, s, d):
         y = f(h, s, d)
