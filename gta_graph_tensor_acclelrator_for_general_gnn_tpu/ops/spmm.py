@@ -128,20 +128,27 @@ def _spmm_kernel(
     dst = dst_ref[0, 0, :]                                # [ET]
     w = w_ref[0, 0, :]                                    # [ET]
 
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tile_edges, block_cols), 1)
-    g = (src[:, None] == cols).astype(x_ref.dtype)        # [ET, C]
-    msg = jnp.dot(g, x_ref[:], preferred_element_type=jnp.float32,
-                  precision=precision)
-    msg = msg * w[:, None]                                # [ET, F]
+    # dead tiles (uniform-shape padding across shard_map shards) carry
+    # cb == -1: skip both matmuls, paying only the grid constant — the
+    # skew-aware padding fix (VERDICT r2 next-8)
+    @pl.when(cb_ref[t] >= 0)
+    def _compute():
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_edges, block_cols), 1)
+        g = (src[:, None] == cols).astype(x_ref.dtype)    # [ET, C]
+        msg = jnp.dot(g, x_ref[:], preferred_element_type=jnp.float32,
+                      precision=precision)
+        msg = msg * w[:, None]                            # [ET, F]
 
-    # scatter-add via transposed-contraction dot_general on an [ET, R]
-    # one-hot (building the [R, ET] orientation separately costs an extra
-    # VPU compare pass — measured slower on v5e, round-2 sweep)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_edges, block_rows), 1)
-    s = (dst[:, None] == rows).astype(x_ref.dtype)        # [ET, R]
-    o_ref[:] += jax.lax.dot_general(
-        s, msg.astype(x_ref.dtype), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
+        # scatter-add via transposed-contraction dot_general on an [ET, R]
+        # one-hot (building the [R, ET] orientation separately costs an
+        # extra VPU compare pass — measured slower on v5e, round-2 sweep)
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_edges, block_rows), 1)
+        s = (dst[:, None] == rows).astype(x_ref.dtype)    # [ET, R]
+        o_ref[:] += jax.lax.dot_general(
+            s, msg.astype(x_ref.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
 
 
 # Above ~100k tiles the two scalar-prefetch arrays outgrow SMEM and the
@@ -481,7 +488,8 @@ def _spmm_raw(
                 pl.BlockSpec((1, 1, tg.tile_edges),
                              lambda fi, t, rb, cb: (t, 0, 0)),
                 pl.BlockSpec(
-                    (tg.block_cols, fb), lambda fi, t, rb, cb: (cb[t], fi)),
+                    (tg.block_cols, fb),
+                    lambda fi, t, rb, cb: (jnp.maximum(cb[t], 0), fi)),
             ],
             out_specs=pl.BlockSpec(
                 (tg.block_rows, fb), lambda fi, t, rb, cb: (rb[t], fi)),

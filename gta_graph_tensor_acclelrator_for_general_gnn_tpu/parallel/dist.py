@@ -46,9 +46,18 @@ def _sq(a):
     return a[0]
 
 
-def remote_table(x_local: jax.Array, sh: PartitionedGraph, axis: str = AXIS) -> jax.Array:
+def remote_table(x_local: jax.Array, sh, axis=AXIS) -> jax.Array:
     """Exchange boundary rows; returns the combined remote source table
-    [D*H + D*Kh + 1, F] (halo rows, hub rows, zero dump row)."""
+    [D*H + D*Kh + 1, F] (halo rows, hub rows, zero dump row).
+
+    A :class:`~.mesh2d.PartitionedGraph2D` routes to the hierarchical
+    per-axis exchange (``axis`` is then the (host, chip) tuple)."""
+    from .mesh2d import (CHIP_AXIS, HOST_AXIS, PartitionedGraph2D,
+                         remote_table_2d)
+    if isinstance(sh, PartitionedGraph2D):
+        ha, ca = (axis if isinstance(axis, (tuple, list))
+                  else (HOST_AXIS, CHIP_AXIS))
+        return remote_table_2d(x_local, sh, ha, ca)
     send_idx = _sq(sh.send_idx)                       # [D, H]
     send_mask = _sq(sh.send_mask)                     # [D, H]
     send = jnp.take(x_local, send_idx, axis=0)        # [D, H, F]
@@ -151,12 +160,93 @@ def _spmm_local_kernel(h, sh: PartitionedGraph, tiles):
     return f(h, _sq(sh.el_src), _sq(sh.el_dst), _sq(sh.el_w), *leaves)
 
 
+def _leaky(v, slope: float):
+    return jnp.where(v >= 0, v, slope * v)
+
+
+def _gat_local_kernel(h, a_s, a_d, msrc, sh: PartitionedGraph, tiles,
+                      slope: float):
+    """Local-edge attention PARTIALS [n_local, HD+H] = [num ‖ den] through
+    the fused Pallas online-softmax chain (normalize=False) under the
+    mesh-global shift bound ``msrc`` (pmax of per-shard a_src maxima) — so
+    the remote partial computed in XLA adds EXACTLY (same per-row bound
+    b[r] = leaky(msrc + a_dst[r]); gat.py module docstring).
+
+    VJP = autodiff of the XLA num/den partial over the shard's local edge
+    arrays — includes the msrc dependence, whose contributions cancel only
+    after the outer normalise, so it must flow."""
+    import numpy as np
+    from ..ops import gat as gat_mod
+    tg = jax.tree.map(_sq, tiles)
+    interp = jax.default_backend() == "cpu"
+    leaves, treedef = jax.tree.flatten(tg)
+    leaf_avals = [(l.shape, l.dtype) for l in leaves]
+    n_l = sh.n_local
+    H = a_d.shape[1]
+    HD = h.shape[1]
+    D_ = HD // H
+    dts = (h.dtype, a_s.dtype, a_d.dtype, msrc.dtype)
+
+    def local_ref(hv, sv, dv, ms, el_src, el_dst, el_mask):
+        f32 = jnp.float32
+        pad1 = jnp.zeros((1, H), f32)
+        padh = jnp.zeros((1, HD), f32)
+        hs = jnp.take(jnp.concatenate([hv.astype(f32), padh], 0),
+                      el_src, axis=0)
+        asr = jnp.take(jnp.concatenate([sv.astype(f32), pad1], 0),
+                       el_src, axis=0)
+        ads = jnp.take(jnp.concatenate([dv.astype(f32), pad1], 0),
+                       el_dst, axis=0)
+        e = _leaky(asr + ads, slope)
+        bound = _leaky(ms.astype(f32) + dv.astype(f32), slope)  # [n_l, H]
+        b = jnp.take(jnp.concatenate([bound, pad1], 0), el_dst, axis=0)
+        p = jnp.where(el_mask[:, None], jnp.exp(e - b), 0.0)
+        num = jax.ops.segment_sum(jnp.repeat(p, D_, axis=1) * hs,
+                                  el_dst, n_l + 1)
+        den = jax.ops.segment_sum(p, el_dst, n_l + 1)
+        return jnp.concatenate([num, den], axis=1)[: n_l]
+
+    @jax.custom_vjp
+    def f(hv, sv, dv, ms, el_src, el_dst, el_mask, *lv):
+        return gat_mod._gat_forward(
+            jax.tree.unflatten(treedef, lv), hv, sv, dv,
+            negative_slope=slope, interpret=interp,
+            normalize=False, msrc=ms)[: n_l]
+
+    def fwd(hv, sv, dv, ms, el_src, el_dst, el_mask, *lv):
+        return (f(hv, sv, dv, ms, el_src, el_dst, el_mask, *lv),
+                (hv, sv, dv, ms, el_src, el_dst, el_mask))
+
+    def bwd(res, gy):
+        hv, sv, dv, ms, el_src, el_dst, el_mask = res
+        _, vjp = jax.vjp(
+            lambda a, b, c, m: local_ref(a, b, c, m, el_src, el_dst,
+                                         el_mask), hv, sv, dv, ms)
+        dh, ds, dd, dm = vjp(gy.astype(jnp.float32))
+
+        def zero_ct(shape, dtype):
+            if jnp.issubdtype(dtype, jnp.floating):
+                return jnp.zeros(shape, dtype)
+            return np.zeros(shape, jax.dtypes.float0)
+
+        return ((dh.astype(dts[0]), ds.astype(dts[1]), dd.astype(dts[2]),
+                 dm.astype(dts[3]))
+                + tuple(np.zeros(a.shape, jax.dtypes.float0)
+                        for a in (el_src, el_dst, el_mask))
+                + tuple(zero_ct(s, d) for s, d in leaf_avals))
+
+    f.defvjp(fwd, bwd)
+    return f(h, a_s, a_d, msrc, _sq(sh.el_src), _sq(sh.el_dst),
+             _sq(sh.el_mask), *leaves)
+
+
 def lower_shard(
     graph: ir.OpGraph,
     compute_dtype=None,
     axis: str = AXIS,
     use_kernels: bool = False,
     tiles=None,
+    gat_tiles=None,
 ) -> Callable:
     """Lower an OpGraph to a per-shard function ``fn(params, sh, x_local)``
     for use inside shard_map.  Mirrors compiler.lower but with the scatter /
@@ -164,9 +254,33 @@ def lower_shard(
 
     ``use_kernels`` + ``tiles`` (from :func:`shard_tiles`): the SpMM
     aggregation pattern executes its LOCAL edges through the Pallas one-hot
-    kernel; remote edges stay on the XLA segment path (they are few)."""
+    kernel; remote edges stay on the XLA segment path (they are few).
+
+    ``gat_tiles`` (unit-weight shard_tiles): the GAT attention chain's
+    local edges run the fused online-softmax kernel as [num ‖ den]
+    PARTIALS under a mesh-global (pmax) shift bound; the remote-edge
+    partial adds exactly and the combine normalises once — multi-chip
+    attention through the single-chip kernels (VERDICT r2 next-4a)."""
     order = graph.topo_order()
     outputs = list(graph.outputs)
+
+    gat_plan = None
+    if use_kernels and gat_tiles is not None:
+        from ..ops.gat import find_gat_chain
+        plan = find_gat_chain(graph)
+        if plan is not None:
+            # internal chain values must not escape (only out_op is
+            # materialised by the fused route)
+            consumers = {op.op_id: set() for op in graph.ops}
+            for op in graph.ops:
+                for i in op.inputs:
+                    if i in consumers:
+                        consumers[i].add(op.op_id)
+            internal = plan.ops - {plan.out_op}
+            escapes = (any(consumers[o] - plan.ops for o in internal)
+                       or (internal & set(graph.outputs)))
+            if not escapes:
+                gat_plan = plan
 
     # match scatter(C) -> [MUL edge_weight ->] gather(ADD) chains for the
     # kernel route (ids resolved at lowering time, not per call)
@@ -192,11 +306,13 @@ def lower_shard(
                 kernel_chains[op.op_id] = (sc.inputs[0], weighted)
 
     def apply(params: Dict[str, jax.Array], sh: PartitionedGraph,
-              x: jax.Array, tiles_shard=None):
+              x: jax.Array, tiles_shard=None, gat_tiles_shard=None):
         # tiles_shard: the per-shard [1, ...] tile pytree passed THROUGH
         # shard_map (a closure over the stacked array would silently give
         # every device shard 0's tiles)
         tiles_in = tiles_shard if tiles_shard is not None else tiles
+        gat_tiles_in = (gat_tiles_shard if gat_tiles_shard is not None
+                        else gat_tiles)
         vals: Dict[int, object] = {}
 
         def ref(i: int):
@@ -214,6 +330,57 @@ def lower_shard(
 
         for oid in order:
             op = graph.by_id[oid]
+            if gat_plan is not None and oid in gat_plan.ops:
+                if oid != gat_plan.out_op:
+                    continue      # internal chain value: never materialised
+                f32 = jnp.float32
+                h = ref(gat_plan.h_op)
+                a_s = ref(gat_plan.asrc_op)
+                a_d = ref(gat_plan.adst_op)
+                if compute_dtype is not None:
+                    h = h.astype(compute_dtype)
+                H = a_d.shape[1]
+                HD = h.shape[1]
+                D_ = HD // H
+                slope = gat_plan.negative_slope
+                # mesh-global shift bound (both partials must share it).
+                # stop_gradient is EXACT, not an approximation: the final
+                # out = num/den is invariant to the shift (both partials
+                # scale by exp(-b)), so d out/d msrc == 0 analytically —
+                # and pmax has no differentiation rule anyway
+                # (stop_gradient on the INPUT: pmax has no JVP rule, and a
+                # symbolically-zero tangent skips it entirely)
+                msrc = jax.lax.pmax(
+                    jnp.max(jax.lax.stop_gradient(a_s).astype(f32),
+                            axis=0, keepdims=True), axis)
+                acc = _gat_local_kernel(h, a_s, a_d, msrc, sh,
+                                        gat_tiles_in, slope)
+                # remote partial (XLA): ONE exchange carries [h ‖ a_src]
+                cat = jnp.concatenate(
+                    [h.astype(f32), a_s.astype(f32)], axis=1)
+                rem = jnp.take(remote_table(cat, sh, axis),
+                               _sq(sh.er_src), axis=0)
+                hr, asr = rem[:, :HD], rem[:, HD:]
+                pad1 = jnp.zeros((1, H), f32)
+                ads = jnp.take(
+                    jnp.concatenate([a_d.astype(f32), pad1], 0),
+                    _sq(sh.er_dst), axis=0)
+                e = _leaky(asr + ads, slope)
+                bound = _leaky(msrc + a_d.astype(f32), slope)
+                b = jnp.take(jnp.concatenate([bound, pad1], 0),
+                             _sq(sh.er_dst), axis=0)
+                p = jnp.where(_sq(sh.er_mask)[:, None], jnp.exp(e - b), 0.0)
+                num_r = jax.ops.segment_sum(
+                    jnp.repeat(p, D_, axis=1) * hr, _sq(sh.er_dst),
+                    sh.n_local + 1)
+                den_r = jax.ops.segment_sum(p, _sq(sh.er_dst),
+                                            sh.n_local + 1)
+                acc = acc + jnp.concatenate(
+                    [num_r, den_r], axis=1)[: sh.n_local]
+                num, den = acc[:, :HD], acc[:, HD:]
+                vals[oid] = num / jnp.repeat(
+                    jnp.maximum(den, 1e-20), D_, axis=1)
+                continue
             if oid in kernel_chains:
                 in_ref, weighted = kernel_chains[oid]
                 h = ref(in_ref)
@@ -273,10 +440,19 @@ def lower_shard(
 
 
 def shard_tiles(part_host, *, block_rows: int = 256,
-                block_cols: int = 256, tile_edges: int = 512):
+                block_cols: int = 256, tile_edges: int = 512,
+                unit_weight: bool = False):
     """Per-shard TiledGraph over LOCAL edges, stacked on a leading D axis
     with a UNIFORM tile count (max over shards) so one shard_map program
-    serves every device.
+    serves every device (shard_map shapes must match across devices).
+
+    Skew handling (VERDICT r2 next-8): padding tiles beyond a shard's own
+    need carry ``tile_cb == -1`` — the kernels skip both matmuls on them
+    (pl.when), so a skewed partition costs each device only its own tiles
+    plus ~314 ns/pad-tile of grid constant, not full one-hot work (the
+    uniform-T padding previously multiplied wasted work ~4.5x per tile).
+
+    ``unit_weight``: tile weights forced to 1 (attention-chain tilings).
 
     Pass HOST numpy views of the partition's el_* arrays (e.g. the
     PartitionedGraph built on the host before shard_part ships it) — never
@@ -310,7 +486,8 @@ def shard_tiles(part_host, *, block_rows: int = 256,
             n_edge=ne,
         )
         per.append(tile_graph(hg, block_rows=block_rows,
-                              block_cols=block_cols, tile_edges=tile_edges))
+                              block_cols=block_cols, tile_edges=tile_edges,
+                              unit_weight=unit_weight))
 
     T = max(tg.n_tiles for tg in per)
 
@@ -333,8 +510,10 @@ def shard_tiles(part_host, *, block_rows: int = 256,
             tg,
             tile_rb=_jnp.concatenate(
                 [tg.tile_rb, _jnp.full((ext,), last_rb, _jnp.int32)]),
+            # cb == -1 marks DEAD padding tiles: the kernels skip their
+            # matmuls entirely (index maps clamp to block 0)
             tile_cb=_jnp.concatenate(
-                [tg.tile_cb, _jnp.zeros((ext,), _jnp.int32)]),
+                [tg.tile_cb, _jnp.full((ext,), -1, _jnp.int32)]),
             src_local=_jnp.concatenate(
                 [tg.src_local,
                  _jnp.full((ext, tg.tile_edges), tg.block_cols, _jnp.int32)]),
@@ -358,6 +537,7 @@ def make_dist_apply(
     axis: str = AXIS,
     use_kernels: bool = False,
     tiles=None,
+    gat_tiles=None,
 ) -> Callable:
     """Build the mesh-wide forward ``apply(params, part, x) -> logits``.
 
@@ -366,21 +546,31 @@ def make_dist_apply(
     shardings (see :func:`shard_part`).  Output is [D*n_local, n_out] sharded
     the same way.
     """
-    fns = [lower_shard(g, compute_dtype, axis, use_kernels, tiles)
+    fns = [lower_shard(g, compute_dtype, axis, use_kernels, tiles,
+                       gat_tiles)
            for g in layers]
 
     def local_forward(params, sh, x_local, *tile_args):
-        ts = tile_args[0] if tile_args else None
+        ts = gts = None
+        if tiles is not None and gat_tiles is not None:
+            ts, gts = tile_args
+        elif tiles is not None:
+            ts, = tile_args
+        elif gat_tiles is not None:
+            gts, = tile_args
         h = x_local
         for fn in fns:
-            h = fn(params, sh, h, ts)
+            h = fn(params, sh, h, ts, gts)
         return h
 
     in_specs = [P(), P(axis), P(axis, None)]
     args = ()
     if tiles is not None:
         in_specs.append(P(axis))
-        args = (tiles,)
+        args = args + (tiles,)
+    if gat_tiles is not None:
+        in_specs.append(P(axis))
+        args = args + (gat_tiles,)
 
     def wrapper(params, part, x):
         fn = jax.shard_map(
@@ -411,6 +601,7 @@ def make_sharded_train_step(
     axis: str = AXIS,
     use_kernels: bool = False,
     tiles=None,
+    gat_tiles=None,
 ) -> Callable:
     """Full distributed training step: forward via shard_map (halo all_to_all
     + hub all_gather inside), masked CE on the node-sharded logits, grads
@@ -419,7 +610,7 @@ def make_sharded_train_step(
     from ..models.train import TrainState, masked_cross_entropy
 
     fwd = make_dist_apply(layers, mesh, compute_dtype, axis,
-                          use_kernels, tiles)
+                          use_kernels, tiles, gat_tiles)
 
     def step(state: TrainState, part: PartitionedGraph, x, y, mask):
         def loss_fn(params):

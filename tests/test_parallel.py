@@ -236,3 +236,162 @@ def test_shard_tiles_heterogeneous_stripe_counts(rng):
                                            tiles=td))
     np.testing.assert_allclose(np.asarray(fwd(params, pd, xp))[:n],
                                np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_dist_gat_kernel_route_matches_xla(rng):
+    """Multi-chip attention through the fused kernels: the GAT chain's
+    local edges run the online-softmax Pallas kernel as num/den partials
+    under a mesh-global (pmax) shift; remote partial adds exactly
+    (VERDICT r2 next-4a).  Forward AND grads vs the single-device XLA
+    lowering."""
+    mesh = _mesh()
+    g, og, params, x = _setup(rng, "GAT", n=120, e=900, heads=4)
+    ref = lower(og)(params, g, jnp.asarray(x))
+
+    hg = gta.build_host_graph(
+        np.asarray(g.senders[: g.n_edge]),
+        np.asarray(g.receivers[: g.n_edge]), g.n_node,
+        edge_weight=np.asarray(g.edge_weight[: g.n_edge]))
+    part = parallel.partition_graph(hg, mesh.size)
+    gat_tiles = parallel.shard_tiles(part, block_rows=16, block_cols=16,
+                                     tile_edges=32, unit_weight=True)
+    part_d = parallel.shard_part(part, mesh)
+    gat_tiles_d = parallel.shard_part(gat_tiles, mesh)
+    xp = jax.device_put(
+        jnp.asarray(parallel.pad_nodes(x, part)),
+        NamedSharding(mesh, P("graph", None)))
+    fwd = jax.jit(parallel.make_dist_apply([og], mesh, use_kernels=True,
+                                           gat_tiles=gat_tiles_d))
+    out = fwd(params, part_d, xp)
+    np.testing.assert_allclose(
+        np.asarray(out)[: g.n_node], np.asarray(ref), rtol=5e-5, atol=5e-5)
+
+    # grads: distributed (replicated-param psum) vs single-device
+    def loss_d(p):
+        return jnp.sum(fwd(p, part_d, xp)[: g.n_node] ** 2)
+
+    def loss_s(p):
+        return jnp.sum(lower(og)(p, g, jnp.asarray(x)) ** 2)
+
+    gd = jax.grad(loss_d)(params)
+    gs = jax.grad(loss_s)(params)
+    for k in gs:
+        np.testing.assert_allclose(np.asarray(gd[k]), np.asarray(gs[k]),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_shard_tiles_dead_tile_marking(rng):
+    """Skewed partitions: padding tiles beyond a shard's own need are
+    marked cb == -1 (the kernels skip their matmuls), so per-device LIVE
+    tile counts equal each shard's own need exactly."""
+    # deliberately skewed: 90% of edges land on shard 0's nodes
+    n, e = 160, 1200
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = np.where(rng.random(e) < 0.9,
+                 rng.integers(0, n // 8, e),
+                 rng.integers(0, n, e)).astype(np.int32)
+    hg = gta.build_host_graph(s, r, n, symmetric_norm=True)
+    mesh = _mesh()
+    part = parallel.partition_graph(hg, mesh.size)
+    tiles = parallel.shard_tiles(part, block_rows=16, block_cols=16,
+                                 tile_edges=32)
+    cb = np.asarray(tiles.tile_cb)                  # [D, T]
+    live = (cb >= 0).sum(axis=1)
+    el_mask = np.asarray(part.el_mask)
+    need = []
+    for d in range(mesh.size):
+        m = el_mask[d]
+        ne = int(m.sum())
+        if ne == 0:
+            need.append(1)
+            continue
+        src = np.asarray(part.el_src)[d][m]
+        dst = np.asarray(part.el_dst)[d][m]
+        key = (dst // 16).astype(np.int64) * 1000 + src // 16
+        _, cnt = np.unique(key, return_counts=True)
+        need.append(int(np.ceil(cnt / 32).sum()))
+    # live tiles == own need (+ row-coverage filler tiles at most n_rb)
+    n_rb = part.n_local // 16 + (1 if part.n_local % 16 else 0)
+    assert (live <= np.asarray(need) + n_rb).all(), (live, need)
+    assert cb.shape[1] == live.max() or (cb[:, -1] == -1).any()
+    # and the skewed shard's need dominates: padding exists on light shards
+    assert live.min() < cb.shape[1]
+
+    # correctness with dead tiles in the loop
+    og = gta.build_op_graph("GCN", 24, 12)
+    params = init_params(og, jax.random.key(1))
+    x = rng.normal(size=(n, 24)).astype(np.float32)
+    g = hg.to_device()
+    ref = lower(og)(params, g, jnp.asarray(x))
+    part_d = parallel.shard_part(part, mesh)
+    tiles_d = parallel.shard_part(tiles, mesh)
+    xp = jax.device_put(
+        jnp.asarray(parallel.pad_nodes(x, part)),
+        NamedSharding(mesh, P("graph", None)))
+    fwd = jax.jit(parallel.make_dist_apply([og], mesh, use_kernels=True,
+                                           tiles=tiles_d))
+    out = fwd(params, part_d, xp)
+    np.testing.assert_allclose(
+        np.asarray(out)[: g.n_node], np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def _mesh2d(dh=2, dc=4):
+    return Mesh(np.array(jax.devices()[: dh * dc]).reshape(dh, dc),
+                ("host", "chip"))
+
+
+@pytest.mark.parametrize("network,kw", [
+    ("GCN", {}),
+    ("GAT", {"heads": 4}),
+])
+def test_dist_2d_mesh_forward_and_grads(rng, network, kw):
+    """Hierarchical (hosts x chips) plan on a (2, 4) virtual mesh: halo
+    all_to_all on the inner chip axis, deduped host-axis exchange + chip
+    all_gather for cross-host rows (VERDICT r2 next-4b).  Forward and
+    grads vs single device."""
+    mesh = _mesh2d()
+    g, og, params, x = _setup(rng, network, n=130, e=900, **kw)
+    ref = lower(og)(params, g, jnp.asarray(x))
+
+    hg = gta.build_host_graph(
+        np.asarray(g.senders[: g.n_edge]),
+        np.asarray(g.receivers[: g.n_edge]), g.n_node,
+        edge_weight=np.asarray(g.edge_weight[: g.n_edge]))
+    part = parallel.partition_graph_2d(hg, 2, 4)
+    axes = ("host", "chip")
+    part_d = parallel.shard_part(part, mesh, axis=axes)
+    xp = jax.device_put(
+        jnp.asarray(parallel.pad_nodes(x, part)),
+        NamedSharding(mesh, P(axes, None)))
+    fwd = jax.jit(parallel.make_dist_apply([og], mesh, axis=axes))
+    out = fwd(params, part_d, xp)
+    np.testing.assert_allclose(
+        np.asarray(out)[: g.n_node], np.asarray(ref), rtol=5e-5, atol=5e-5)
+
+    gd = jax.grad(lambda p: jnp.sum(fwd(p, part_d, xp)[: g.n_node] ** 2))(
+        params)
+    gs = jax.grad(lambda p: jnp.sum(
+        lower(og)(p, g, jnp.asarray(x)) ** 2))(params)
+    for k in gs:
+        np.testing.assert_allclose(np.asarray(gd[k]), np.asarray(gs[k]),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_2d_comm_report_dedups_dcn(rng):
+    """The hierarchical plan's DCN volume must undercut the 1-D plan's
+    cross-host share: rows needed by several chips of a host cross DCN
+    once."""
+    n, e = 512, 6000
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    hg = gta.build_host_graph(s, r, n, symmetric_norm=True)
+    p1 = parallel.partition_graph(hg, 8, hub_frac=0.0)
+    p2 = parallel.partition_graph_2d(hg, 2, 4, hub_frac=0.0)
+    F = 128
+    r1 = p1.comm_report(F)
+    r2 = p2.comm_report(F)
+    # 1-D: 6/8 of halo pairs cross hosts on a (2,4) layout
+    dcn_1d = r1["halo_bytes"] * (4 * 8) // (8 * 8 - 8) if False else \
+        r1["halo_bytes"] * 4 // 8  # pairs into the other host's 4 shards
+    assert r2["dcn_bytes"] < dcn_1d, (r2, r1)
+    assert r2["local_edges_frac"] == r1["local_edges_frac"]
