@@ -33,7 +33,7 @@ from .schedule import Schedule, TileConfig
 
 # bump when kernel implementations change: memoised tuner latencies are
 # keyed on (KERNEL_VERSION, schedule) so stale measurements never resurface
-KERNEL_VERSION = 6  # v6: tuner timing self-calibrates (target_s)
+KERNEL_VERSION = 7  # v7: grouped tail, dead-tile skip, pair-agg kernel
 
 
 @dataclasses.dataclass
@@ -136,6 +136,11 @@ def classify_block(graph: ir.OpGraph, block, tc: TileConfig):
     sddmm_plan = (match_sddmm(graph, block)
                   if tc.kernel and spmm_plan is None
                   and layer_plan is None and gat_plan is None else None)
+    pair_plan = None
+    if (tc.kernel and spmm_plan is None and layer_plan is None
+            and gat_plan is None and sddmm_plan is None):
+        from ..ops.pairagg import match_pair_agg
+        pair_plan = match_pair_agg(graph, block)
     if tc.path == S.PATH_STREAM and (spmm_plan or gat_plan):
         return ("spmm_stream" if spmm_plan else "gat_stream",
                 spmm_plan or gat_plan)
@@ -151,6 +156,8 @@ def classify_block(graph: ir.OpGraph, block, tc: TileConfig):
         return "gat", gat_plan
     if sddmm_plan is not None:
         return "sddmm", sddmm_plan
+    if pair_plan is not None and tc.path == S.PATH_ONEHOT:
+        return "pair_agg", pair_plan
     return "xla", None
 
 
@@ -265,7 +272,7 @@ def lower_schedule(
                           get_tiled(tc, unit_weight=True),
                           (get_tiled(tc, True, host_graph_t), perm_t)
                           if host_graph_t is not None else None))
-        elif kind in ("gat_layer", "sddmm"):
+        elif kind in ("gat_layer", "sddmm", "pair_agg"):
             plans.append((kind, block, tc, plan,
                           get_tiled(tc, unit_weight=True), None))
         else:
@@ -332,6 +339,33 @@ def lower_schedule(
                 vals[plan.out_op] = sddmm_mod.sddmm_edges(
                     tg, g, kin(ref(plan.src_op)), kin(ref(plan.dst_op)),
                     plan.compute, interpret=interpret)
+            elif kind == "pair_agg":
+                from ..ops import pairagg as pair_mod
+
+                def side(terms):
+                    acc = None
+                    for rf, wname in terms:
+                        t_ = ref(rf)
+                        if wname is not None:
+                            t_ = jnp.dot(
+                                kin(t_), kin(params[wname]),
+                                preferred_element_type=jnp.float32)
+                        a = kin(t_)
+                        acc = a if acc is None else acc + a
+                    return acc
+
+                u = side(plan.cterms)
+                v = side(plan.rterms)
+                y_sum, y_max, cnt = pair_mod.pair_aggregate(
+                    tg, u, v, sf=plan.sf, slope=plan.slope,
+                    want_max=ir.MAX in plan.gathers, interpret=interpret)
+                if ir.ADD in plan.gathers:
+                    vals[plan.gathers[ir.ADD]] = y_sum
+                if ir.MAX in plan.gathers:
+                    vals[plan.gathers[ir.MAX]] = y_max
+                if ir.MEAN in plan.gathers:
+                    vals[plan.gathers[ir.MEAN]] = (
+                        y_sum / jnp.maximum(cnt, 1.0))
             elif kind == "gat_hybrid":
                 vals[plan.out_op] = dense_mod.gat_hybrid(
                     tg, g,

@@ -221,6 +221,11 @@ def block_ns(
     if kind == "sddmm":
         fw = graph.width_of(plan.src_op)
         return cost.onehot_ns(tc, max(2 * fw, 8), dtype_bytes)
+    if kind == "pair_agg":
+        # two gather matmuls + scatter(s) + (for MAX) the segmented scan:
+        # ~2x the single-pass one-hot cost, +60% when MAX is wanted
+        factor = 2.0 + (0.6 if ir.MAX in plan.gathers else 0.0)
+        return factor * cost.onehot_ns(tc, plan.width, dtype_bytes)
 
     # GAT chain variants
     if kind == "gat_layer":

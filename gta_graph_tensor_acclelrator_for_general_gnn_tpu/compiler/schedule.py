@@ -32,7 +32,10 @@ PATH_HYBRID = "hybrid"   # density-split: dense blocks on MXU-direct kernels,
                          # sparse remainder on one-hot edge tiles (the
                          # reference's per-tile MM-vs-VEC dispatch,
                          # simulator.py:541-545, generalised)
-PATHS = (PATH_XLA, PATH_ONEHOT, PATH_STREAM, PATH_HYBRID)
+PATH_GROUPED = "grouped" # stripe-group chunked one-hot SpMM (half the
+                         # one-hot width at equal utilisation; the round-3
+                         # sparse-tail kernel).  SpMM blocks only.
+PATHS = (PATH_XLA, PATH_ONEHOT, PATH_STREAM, PATH_HYBRID, PATH_GROUPED)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -230,6 +233,41 @@ def aggregation_partition(
     return tuple(tuple(b) for b in part)
 
 
+def pair_agg_partition(
+        graph: ir.OpGraph) -> Optional[Tuple[Tuple[int, ...], ...]]:
+    """Partition isolating the DGN/PNA pair-sum aggregation chain
+    (z = sf(u[src]+v[dst]) followed by its gather set) as ONE block for the
+    fused pair-aggregate kernel (ops/pairagg.py), everything else
+    singleton.  The enumerator cannot reach this shape (the chain crosses
+    the scatter-order breakpoint the reference's fusion rule forbids,
+    compiler.py:472-473 — the fused kernel never materialises the edge
+    value, so the rule does not apply to it)."""
+    from ..ops.pairagg import match_pair_agg, _collect_terms
+    all_ids = {op.op_id for op in graph.ops}
+    for g0 in graph.ops:
+        if g0.kind != ir.GATHER or not g0.inputs or g0.inputs[0] < 0:
+            continue
+        root = g0.inputs[0]
+        gathers = [op.op_id for op in graph.ops
+                   if op.kind == ir.GATHER and op.inputs == [root]]
+        rop = graph.by_id[root]
+        block = set(gathers)
+        expr_root = root
+        if rop.kind == ir.APPLY_EDGE and rop.compute == ir.SF:
+            block.add(root)
+            expr_root = rop.inputs[0]
+        got = _collect_terms(graph, expr_root, all_ids)
+        if got is None:
+            continue
+        block |= got[2]
+        if match_pair_agg(graph, sorted(block)) is None:
+            continue
+        rest = [[o] for o in graph.topo_order() if o not in block]
+        part = _order_blocks(graph, [sorted(block)] + rest)
+        return tuple(tuple(b) for b in part)
+    return None
+
+
 def max_fusion_partition(graph: ir.OpGraph) -> Tuple[Tuple[int, ...], ...]:
     """Greedy max fusion: fuse every non-breakpoint edge whose fusion keeps
     the partition legal (the reference's 'fuse all' GA seed,
@@ -301,11 +339,25 @@ def traffic_bytes(
     return total
 
 
+GROUPED_G = 16   # stripe-group size of the grouped kernel (measured best)
+
+
 def vmem_bytes(tile: TileConfig, feat_width: int, dtype_bytes: int = 4) -> int:
     """Double-buffered VMEM footprint of one Pallas aggregation block: the
     x column block, the output row block, and the edge-tile arrays (the
     reference's buffer constraint W + (N+E)*2 < 2MB, compiler.py:67-131;
-    the TPU budget is VMEM, default checked against ~16MB)."""
+    the TPU budget is VMEM, default checked against ~16MB).  The grouped
+    path keeps a group*R output stripe and G*ET-slot one-hot operands
+    resident."""
+    fb = min(feat_width, 512)
+    if tile.path == PATH_GROUPED:
+        g = GROUPED_G
+        o_blk = g * tile.block_rows * fb * 4
+        x_blk = tile.block_cols * fb * dtype_bytes
+        slots = g * tile.tile_edges
+        onehot = slots * (tile.block_rows + tile.block_cols) * dtype_bytes
+        edges = slots * (3 * 4 + dtype_bytes)
+        return o_blk + 2 * (x_blk + edges) + onehot + slots * fb * 4
     x_blk = tile.block_cols * feat_width * dtype_bytes
     o_blk = tile.block_rows * feat_width * 4          # f32 accumulator
     edges = tile.tile_edges * (3 * 4 + dtype_bytes)   # src/dst/eid + weight
@@ -398,11 +450,13 @@ def partition_is_legal_with_patterns(
     """Partition legality with the kernel-pattern exemption: a block that
     exactly matches a fused-kernel pattern may contain breakpoint edges."""
     from ..ops.gat import match_gat_block, match_gat_layer
+    from ..ops.pairagg import match_pair_agg
     if ir.partition_is_legal(graph, blocks):
         return True
     exempt = [b for b in blocks
               if match_gat_block(graph, b) is not None
-              or match_gat_layer(graph, b) is not None]
+              or match_gat_layer(graph, b) is not None
+              or match_pair_agg(graph, b) is not None]
     if not exempt:
         return False
     # re-check with exempt blocks collapsed to opaque nodes: internal edges

@@ -119,20 +119,14 @@ def _exec_signature(graph: ir.OpGraph, sched: S.Schedule) -> tuple:
     only kernel-dispatched blocks differentiate candidates — measuring two
     schedules with the same signature is paying a tunnel compile for nothing.
     """
-    from ..ops.gat import match_gat_block, match_gat_layer
-    from ..compiler.fusion import match_spmm, match_sddmm
+    from ..compiler.fusion import classify_block
     sig = []
     for b, tc in zip(sched.blocks, sched.tiles):
         if not tc.kernel:
             continue
-        if match_spmm(graph, b) is not None:
-            sig.append(("spmm", tuple(b), tc.key()))
-        elif match_gat_layer(graph, b) is not None:
-            sig.append(("gat_layer", tuple(b), tc.key()))
-        elif match_gat_block(graph, b) is not None:
-            sig.append(("gat", tuple(b), tc.key()))
-        elif match_sddmm(graph, b) is not None:
-            sig.append(("sddmm", tuple(b), tc.key()))
+        kind, _ = classify_block(graph, b, tc)
+        if kind != "xla":
+            sig.append((kind, tuple(b), tc.key()))
     return tuple(sorted(sig))
 
 
@@ -158,6 +152,9 @@ def _candidate_schedules(
     ap = S.aggregation_partition(graph)
     if ap is not None and ap not in parts:
         parts.append(ap)
+    pa = S.pair_agg_partition(graph)
+    if pa is not None and pa not in parts:
+        parts.append(pa)
     mf = S.max_fusion_partition(graph)
     if mf not in parts:
         parts.append(mf)
@@ -169,8 +166,7 @@ def _candidate_schedules(
         if S.singleton_partition(graph) not in parts:
             parts.append(S.singleton_partition(graph))
 
-    from ..ops.gat import match_gat_block, match_gat_layer
-    from ..compiler.fusion import match_spmm, match_sddmm
+    from ..compiler.fusion import classify_block
 
     out: List[S.Schedule] = []
     seen = set()
@@ -181,12 +177,10 @@ def _candidate_schedules(
             seen.add(sig)
             out.append(sched)
 
+    probe = S.TileConfig(256, 256, 512, S.PATH_ONEHOT)
     for part in parts:
         pattern_idx = [i for i, b in enumerate(part)
-                       if match_spmm(graph, b) is not None
-                       or match_gat_layer(graph, b) is not None
-                       or match_gat_block(graph, b) is not None
-                       or match_sddmm(graph, b) is not None]
+                       if classify_block(graph, b, probe)[0] != "xla"]
         base = tuple(S.TileConfig(path=S.PATH_XLA) for _ in part)
         add(S.Schedule(blocks=part, tiles=base))
         if pattern_idx:

@@ -187,6 +187,33 @@ check("gat_layer_elu/f32",
       jax.jit(lambda: _gat_layer_reference(tgu, x, w_l, was_l, wad_l,
                                            0.2, "elu"))(), 1e-4)
 
+# pair-sum aggregation (DGN/PNA fused chain: sum/max/mean in one pass)
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import (
+    pairagg as pair_mod)
+u_pa = jax.device_put(
+    jax.random.normal(jax.random.key(20), (n, F), jnp.float32))
+v_pa = jax.device_put(
+    jax.random.normal(jax.random.key(21), (n, F), jnp.float32))
+ys_pa, ym_pa, cnt_pa = jax.jit(
+    lambda: pair_mod.pair_aggregate_raw(tgu, u_pa, v_pa,
+                                        sf="leaky_relu"))()
+rs_pa, rm_pa, rc_pa = pair_mod._pair_agg_reference(
+    tgu, u_pa, v_pa, sf="leaky_relu", slope=0.2)
+check("pair_agg_sum/f32", ys_pa, rs_pa, 1e-4)
+check("pair_agg_max/f32", ym_pa, rm_pa, 1e-4)
+check("pair_agg_cnt/f32", cnt_pa, rc_pa, 1e-6)
+
+# grouped stripe-chunk SpMM (the round-3 sparse-tail kernel)
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+    tile_graph_grouped)
+tg_g = tile_graph_grouped(hg, block_rows=512, block_cols=512,
+                          tile_edges=128, group=8)
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import (
+    spmm as spmm_g)
+check("spmm_grouped/f32",
+      jax.jit(lambda: spmm_g._spmm_grouped_raw(tg_g, x))(),
+      spmm_g._spmm_grouped_reference(tg_g, x)[:n], 1e-4)
+
 # sparse-input MM
 from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import sinput
 xs = (rng.random((n, 200)) < 0.03).astype(np.float32) * \

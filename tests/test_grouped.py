@@ -106,24 +106,25 @@ def test_schedule_key_roundtrip():
     assert S.Schedule.from_key(sched.key()) == sched
 
 
-def test_latency_pick_never_kernel_for_maxmin(rng):
-    """DGN/PNA (gather MAX/MIN) have no kernel yet: the latency pick must
-    fall back to all-XLA rather than a kernel-free 'kernel' schedule."""
+def test_latency_pick_kernel_or_xla_never_worse(rng):
+    """The pick must be well-formed for every family: finite modelled
+    latency, and never exceed the modelled all-XLA cost (the never-regress
+    property; DGN/PNA now route through the pair-agg kernel)."""
     from gta_graph_tensor_acclelrator_for_general_gnn_tpu.models.zoo import (
         build_model)
     ds_x_width, n_class = 64, 7
     hg = _rand_graph(rng, n=500, e=3000, add_self_loops=True,
                      symmetric_norm=True)
+    cost = L.GraphCost(hg)
     for net in ("DGN", "PNA"):
         model = build_model(net, ds_x_width, n_class, hidden=32, n_layers=1)
         for graph in model.layers:
             sc, t = L.min_latency_schedule(graph, hg, feat_width=ds_x_width)
             assert sc is not None and np.isfinite(t)
-            from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler \
-                import fusion as F
-            kinds = {F.classify_block(graph, b, tc)[0]
-                     for b, tc in zip(sc.blocks, sc.tiles)}
-            assert kinds <= {"xla"}, (net, kinds)
+            mf = S.max_fusion_partition(graph)
+            xla = S.Schedule(blocks=mf, tiles=tuple(
+                S.TileConfig(path=S.PATH_XLA) for _ in mf))
+            assert t <= L.schedule_ns(graph, xla, cost)
 
 
 def test_latency_pick_kernels_gat(rng):
@@ -160,3 +161,77 @@ def test_latency_model_prices_lowering_not_intent(rng):
                                                     S.PATH_HYBRID),))
     xla = S.Schedule(blocks=lp, tiles=(S.TileConfig(path=S.PATH_XLA),))
     assert L.schedule_ns(graph, hyb, cost) == L.schedule_ns(graph, xla, cost)
+
+
+def test_pair_agg_lowering_pna_dgn(rng):
+    """PNA/DGN lower through the fused pair-aggregate kernel and match the
+    XLA oracle; the compile-only pick selects it (VERDICT r2 next-5)."""
+    import jax
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.fusion \
+        import classify_block, lower_schedule
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.lower \
+        import init_params, lower
+    hg = _rand_graph(rng, n=500, e=3000, add_self_loops=True,
+                     symmetric_norm=True)
+    g = hg.to_device()
+    for net, kw in (("PNA", {}), ("PNA", {"reorder": True}), ("DGN", {})):
+        og = gta.build_op_graph(net, 48, 16, **kw)
+        part = S.pair_agg_partition(og)
+        assert part is not None, (net, kw)
+        tc0 = S.TileConfig(128, 128, 64)
+        tiles = tuple(tc0 if classify_block(og, b, tc0)[0] == "pair_agg"
+                      else S.TileConfig(path=S.PATH_XLA) for b in part)
+        assert any(t.kernel for t in tiles)
+        params = init_params(og, jax.random.key(0))
+        x = jnp.asarray(rng.standard_normal((hg.n_node, 48)), jnp.float32)
+        ref = lower(og)(params, g, x)
+        out = lower_schedule(og, S.Schedule(blocks=part, tiles=tiles), hg,
+                             interpret=True)(params, g, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        sc, _ = L.min_latency_schedule(og, hg, feat_width=48)
+        kinds = {classify_block(og, b, t)[0]
+                 for b, t in zip(sc.blocks, sc.tiles)}
+        assert "pair_agg" in kinds, (net, kw, kinds)
+
+
+def test_pair_agg_grads(rng):
+    """Backward through the pair-agg custom VJP (XLA-twin recompute)."""
+    import jax
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+        tile_graph)
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import (
+        pairagg as PA)
+    hg = _rand_graph(rng, n=300, e=2000)
+    tg = tile_graph(hg, block_rows=128, block_cols=128, tile_edges=64,
+                    unit_weight=True)
+    g = hg.to_device()
+    n, d = hg.n_node, 32
+    u = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    gy = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+
+    def loss_k(a, b):
+        ys, ym, cnt = PA.pair_aggregate(tg, a, b, sf="leaky_relu",
+                                        interpret=True)
+        return jnp.vdot(ys, gy) + jnp.vdot(ym, gy)
+
+    def loss_ref(a, b):
+        src = jnp.where(g.edge_mask, g.senders, n)
+        dst = jnp.where(g.edge_mask, g.receivers, n)
+        ap = jnp.concatenate([a, jnp.zeros((1, d))], 0)
+        bp = jnp.concatenate([b, jnp.zeros((1, d))], 0)
+        z = jax.nn.leaky_relu(jnp.take(ap, src, 0) + jnp.take(bp, dst, 0),
+                              0.2)
+        zs = jnp.where(g.edge_mask[:, None], z, 0.0)
+        ys = jax.ops.segment_sum(zs, dst, n + 1)[:n]
+        zm = jnp.where(g.edge_mask[:, None], z, -1e30)
+        ym = jax.ops.segment_max(zm, dst, n + 1)[:n]
+        ym = jnp.where(ym > -1e29, ym, 0.0)
+        return jnp.vdot(ys, gy) + jnp.vdot(ym, gy)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(u, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(u, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
