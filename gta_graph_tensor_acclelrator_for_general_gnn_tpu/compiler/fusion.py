@@ -141,6 +141,10 @@ def classify_block(graph: ir.OpGraph, block, tc: TileConfig):
             and gat_plan is None and sddmm_plan is None):
         from ..ops.pairagg import match_pair_agg
         pair_plan = match_pair_agg(graph, block)
+    if tc.path == S.PATH_GROUPED:
+        # the stripe-group chunked kernel exists for plain SpMM only
+        return ("spmm_grouped", spmm_plan) if spmm_plan is not None \
+            else ("xla", None)
     if tc.path == S.PATH_STREAM and (spmm_plan or gat_plan):
         return ("spmm_stream" if spmm_plan else "gat_stream",
                 spmm_plan or gat_plan)
@@ -203,16 +207,28 @@ def lower_schedule(
     def get_tiled(tc: TileConfig, unit_weight: bool,
                   hg: Optional[HostGraph] = None) -> TiledGraph:
         hg = hg if hg is not None else host_graph
+        grouped = tc.path == S.PATH_GROUPED
         key = (id(hg), tc.block_rows, tc.block_cols, tc.tile_edges,
-               unit_weight)
+               unit_weight, grouped)
         if key not in tiled:
-            tiled[key] = tile_graph(
-                hg,
-                block_rows=tc.block_rows,
-                block_cols=tc.block_cols,
-                tile_edges=tc.tile_edges,
-                unit_weight=unit_weight,
-            )
+            if grouped:
+                from ..graph import tile_graph_grouped
+                tiled[key] = tile_graph_grouped(
+                    hg,
+                    block_rows=tc.block_rows,
+                    block_cols=tc.block_cols,
+                    tile_edges=tc.tile_edges,
+                    group=S.GROUPED_G,
+                    unit_weight=unit_weight,
+                )
+            else:
+                tiled[key] = tile_graph(
+                    hg,
+                    block_rows=tc.block_rows,
+                    block_cols=tc.block_cols,
+                    tile_edges=tc.tile_edges,
+                    unit_weight=unit_weight,
+                )
         return tiled[key]
 
     def get_hybrid(tc: TileConfig, unit_weight: bool, min_nnz: int,
@@ -262,7 +278,7 @@ def lower_schedule(
                 hd // plan.heads)
             plans.append((kind, block, tc, plan, get_hybrid(tc, True, thr),
                           None))
-        elif kind == "spmm":
+        elif kind in ("spmm", "spmm_grouped"):
             uw = not plan.weighted
             plans.append((kind, block, tc, plan, get_tiled(tc, uw),
                           get_tiled(tc, uw, host_graph_t)
@@ -290,7 +306,7 @@ def lower_schedule(
     # 1/in-degree post-scale (matches primitives.gather_to_nodes MEAN, which
     # divides by the real incident-edge count)
     inv_deg = None
-    if any(p[0] in ("spmm", "spmm_hybrid", "spmm_stream")
+    if any(p[0] in ("spmm", "spmm_grouped", "spmm_hybrid", "spmm_stream")
            and getattr(p[3], "mean", False) for p in plans):
         import numpy as _np
         deg = _np.bincount(_np.asarray(host_graph.receivers),
@@ -325,7 +341,7 @@ def lower_schedule(
 
         for (kind, block, tc, plan, _, _), tg, tg_t in zip(plans, tgs,
                                                            tgs_t):
-            if kind == "spmm":
+            if kind in ("spmm", "spmm_grouped"):
                 y = spmm_mod.spmm(tg, kin(ref(plan.in_op)),
                                   tg_t=tg_t, interpret=interpret)
                 vals[plan.out_op] = seg_out(plan, y)

@@ -71,6 +71,12 @@ class LatencyConstants:
     # lax.scan edge streaming: XLA-like per-edge segment cost plus a
     # per-chunk constant (measured ~= all-XLA at Cora, memo l3bench)
     stream_chunk_ns: float = 40000.0
+    # grouped stripe-chunk kernel: per-chunk overhead beyond the MXU
+    # matmuls (scalar streams, pipeline), +extra when the weight stream is
+    # live (fit on the 20.5M-edge tail A/B: 51.1 ms unit / 61.4 weighted
+    # at 13.7k chunks, scripts/grouped_ab.py)
+    grouped_chunk_ns: float = 1000.0
+    grouped_weighted_ns: float = 750.0
 
 
 DEFAULT = LatencyConstants()
@@ -175,6 +181,51 @@ class GraphCost:
                 feat_width=f, x_bytes=dtype_bytes)
         return t
 
+    @functools.lru_cache(maxsize=64)
+    def _grouped_chunks(self, br: int, bc: int, et: int, g: int) -> int:
+        """Chunk count of the grouped tiler at this geometry: per
+        (stripe-group, col-block), the max tile depth over its row
+        blocks."""
+        from ..graph import _as_host
+        hg = _as_host(self.g)
+        ne = hg.n_edge
+        if ne == 0:
+            return 1
+        r = hg.receivers[:ne]
+        s = hg.senders[:ne]
+        ncb = max(-(-hg.n_node // bc), 1)
+        rb = (r // br).astype(np.int64)
+        cb = (s // bc).astype(np.int64)
+        key = (rb // g) * ncb * g + cb * g + rb % g
+        cnt = np.bincount(key)
+        cnt = cnt[cnt > 0]
+        levels = -(-cnt // et)
+        # group by (grp, cb): consecutive keys share (grp, cb) when rb%g
+        # varies — rebuild the (grp, cb) key of each run
+        uniq = np.unique((rb // g) * ncb * g + cb * g + rb % g)
+        gc = uniq // g
+        order = np.argsort(gc, kind="stable")
+        gc_s, lv_s = gc[order], levels[order]
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                gc_s[1:] != gc_s[:-1]]))
+        return int(np.maximum.reduceat(lv_s, starts).sum())
+
+    def grouped_ns(self, tc: S.TileConfig, feat_width: int,
+                   dtype_bytes: int = 2, weighted: bool = True) -> float:
+        g = S.GROUPED_G
+        nc = self._grouped_chunks(tc.block_rows, tc.block_cols,
+                                  tc.tile_edges, g)
+        c = self.c
+        f = max(feat_width, 1)
+        mxu = c.mxu_tflops_bf16 if dtype_bytes <= 2 else c.mxu_tflops_f32
+        compute = (2.0 * g * tc.tile_edges
+                   * (tc.block_rows + tc.block_cols) * f / (mxu * 1e3))
+        panel = tc.block_cols * f * dtype_bytes / c.hbm_gbps
+        per = max(compute, panel) + c.grouped_chunk_ns
+        if weighted:
+            per += c.grouped_weighted_ns
+        return nc * per
+
     def stream_ns(self, tc: S.TileConfig, feat_width: int,
                   dtype_bytes: int = 2) -> float:
         # chunked lax.scan over edges lowers to the same dynamic take +
@@ -212,6 +263,9 @@ def block_ns(
         return xla_block()
     if kind == "spmm":
         return cost.onehot_ns(tc, graph.width_of(plan.in_op), dtype_bytes)
+    if kind == "spmm_grouped":
+        return cost.grouped_ns(tc, graph.width_of(plan.in_op), dtype_bytes,
+                               weighted=plan.weighted)
     if kind == "spmm_hybrid":
         thr = dense_mod.spmm_dense_threshold(tc.block_rows, tc.block_cols)
         return cost.hybrid_ns(tc, graph.width_of(plan.in_op), thr,

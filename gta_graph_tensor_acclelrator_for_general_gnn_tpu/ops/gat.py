@@ -302,6 +302,151 @@ def _gat_kernel_t(
 NARROW_T = 64
 
 
+def _gat_grouped_kernel(
+    grp_ref, cb_ref,
+    src_ref, dst_ref, wgt_ref, hcat_ref, adst_ref, msrc_ref, w_ref,
+    o_ref,
+    *, block_rows: int, block_cols: int, tile_edges: int, group: int,
+    HD: int, H: int, slope: float, precision,
+):
+    """Stripe-group chunked GAT attention partials (the round-3 grouped
+    format applied to the fused chain): one chunk = ``group`` sub-tiles of
+    one (stripe-group, col-block), derive variant (a_src = hs @ w
+    in-kernel), shift-bound softmax, [num ‖ den] accumulator resident for
+    the whole stripe.  normalize=False semantics only (hybrid callers
+    combine and normalise outside)."""
+    c = pl.program_id(1)
+    G, ET, R, C = group, tile_edges, block_rows, block_cols
+    dt = hcat_ref.dtype
+
+    prev_grp = jnp.where(c == 0, -1, grp_ref[jnp.maximum(c - 1, 0)])
+
+    @pl.when(grp_ref[c] != prev_grp)
+    def _zero():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    src = src_ref[0]                                          # [G, ET]
+    dst = dst_ref[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (G, ET, C), 2)
+    oh_src = (src[..., None] == cols).astype(dt).reshape(G * ET, C)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (G, ET, R), 2)
+    oh_dst = (dst[..., None] == rows).astype(dt)              # [G, ET, R]
+
+    hs = jnp.dot(oh_src, hcat_ref[:], preferred_element_type=jnp.float32,
+                 precision=precision)                         # [G*ET, HD]
+    a_s = jnp.dot(hs.astype(dt), w_ref[:],
+                  preferred_element_type=jnp.float32,
+                  precision=precision)                        # [G*ET, H]
+    ads3 = adst_ref[:].reshape(G, R, H)
+    a_d = jax.lax.dot_general(
+        oh_dst, ads3.astype(dt), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision)
+
+    def leaky(v):
+        return jnp.where(v >= 0, v, slope * v)
+
+    e = leaky(a_s.reshape(G, ET, H) + a_d)
+    bound = leaky(msrc_ref[0, :][None, None, :] + a_d)
+    dmat = jax.lax.broadcast_in_dim(dst, (G, ET, H), (0, 1))
+    p = jnp.where(dmat < R, jnp.exp(jnp.minimum(e - bound, 60.0)), 0.0)
+    wmat = jax.lax.broadcast_in_dim(wgt_ref[0], (G, ET, H), (0, 1))
+    p = (p * wmat).reshape(G * ET, H)                # term multiplicity
+
+    if HD == H:
+        p_full = p
+    else:
+        brow = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 0)
+        bcol = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 1) // (HD // H)
+        B = (brow == bcol).astype(jnp.float32)
+        p_full = jnp.dot(p, B, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)  # [G*ET, HD]
+
+    v = jnp.concatenate([p_full * hs, p], axis=1).astype(dt)
+    acc = jax.lax.dot_general(
+        oh_dst, v.reshape(G, ET, HD + H), (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision)
+    o_ref[:] += acc.reshape(G * R, HD + H)
+
+
+def _gat_grouped_raw(
+    tg,
+    h_src: jax.Array,
+    a_dst: jax.Array,
+    w_asrc: jax.Array,
+    msrc: jax.Array,
+    *,
+    negative_slope: float = 0.2,
+    interpret: bool = False,
+    precision=None,
+    max_chunks_per_call: int = 65536,
+) -> jax.Array:
+    """Grouped-chunk GAT partials: [n_node, HD+H] = [num ‖ den] under the
+    ``msrc`` shift bound (normalize=False semantics)."""
+    from .spmm import _stripe_chunks
+    H = a_dst.shape[1]
+    HD = h_src.shape[1]
+    G, R, C, ET = tg.group, tg.block_rows, tg.block_cols, tg.tile_edges
+    GR = G * R
+    n_cols = tg.n_col_blocks * C
+    n_rows = tg.n_groups * GR
+    dt = h_src.dtype
+    if precision is None:
+        precision = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+    hcat = jnp.zeros((n_cols, HD), dt).at[: h_src.shape[0]].set(h_src)
+    ads = jnp.zeros((n_rows, H), a_dst.dtype).at[: a_dst.shape[0]].set(
+        a_dst)
+    kernel = functools.partial(
+        _gat_grouped_kernel, block_rows=R, block_cols=C, tile_edges=ET,
+        group=G, HD=HD, H=H, slope=negative_slope, precision=precision)
+
+    def call(chunk_grp, chunk_cb, srcl, dstl, wv, n_grp):
+        NC = int(chunk_grp.shape[0])
+        edge_spec = pl.BlockSpec((1, G, ET),
+                                 lambda fi, c, grp, cb: (c, 0, 0))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(1, NC),
+            in_specs=[
+                edge_spec, edge_spec, edge_spec,
+                pl.BlockSpec((C, HD), lambda fi, c, grp, cb: (cb[c], 0)),
+                pl.BlockSpec((GR, H), lambda fi, c, grp, cb: (grp[c], 0)),
+                pl.BlockSpec((1, H), lambda fi, c, grp, cb: (0, 0)),
+                pl.BlockSpec((HD, H), lambda fi, c, grp, cb: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (GR, HD + H), lambda fi, c, grp, cb: (grp[c], 0)),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_grp * GR, HD + H),
+                                           jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * NC * G * ET * (C + 2 * R) * (HD + H),
+                bytes_accessed=NC * (C * HD + GR * H) * dt.itemsize,
+                transcendentals=NC * G * ET * H,
+            ),
+            interpret=interpret,
+        )(chunk_grp, chunk_cb, srcl, dstl, wv,
+          hcat, ads, msrc.astype(jnp.float32), w_asrc.astype(dt))
+
+    NC = tg.n_chunks
+    if NC <= max_chunks_per_call or tg.grp_first_chunk_host is None:
+        acc = call(tg.chunk_grp, tg.chunk_cb, tg.src_local, tg.dst_local,
+                   tg.weight, tg.n_groups)
+    else:
+        parts = []
+        for c0, c1, g0, g1 in _stripe_chunks(
+                tg.grp_first_chunk_host, NC, max_chunks_per_call):
+            parts.append(call(
+                tg.chunk_grp[c0:c1] - g0, tg.chunk_cb[c0:c1],
+                tg.src_local[c0:c1], tg.dst_local[c0:c1],
+                tg.weight[c0:c1], g1 - g0))
+        acc = jnp.concatenate(parts, axis=0)
+    return acc[: tg.n_node]
+
+
 def _gat_forward(
     tg: TiledGraph,
     h_src: jax.Array,
@@ -317,7 +462,15 @@ def _gat_forward(
     max_tiles_per_call: int = None,
     dataflow: str = None,
 ) -> jax.Array:
-    from ..graph import MultiTiledGraph
+    from ..graph import GroupedTiledGraph, MultiTiledGraph
+    if isinstance(tg, GroupedTiledGraph):
+        assert not normalize and msrc is not None and w_asrc is not None, (
+            "grouped GAT supports the hybrid partial path only: "
+            "normalize=False + msrc + w_asrc (derive)")
+        return _gat_grouped_raw(
+            tg, h_src, a_dst, w_asrc, msrc,
+            negative_slope=negative_slope, interpret=interpret,
+            precision=precision)
     if isinstance(tg, MultiTiledGraph):
         # per-run capacity classes: the (num, den) accumulators are plain
         # sums over edges, so per-class partials add exactly — PROVIDED all

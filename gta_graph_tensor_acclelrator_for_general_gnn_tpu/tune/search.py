@@ -38,6 +38,8 @@ TILE_PALETTE = (
     S.TileConfig(1024, 1024, 1024),
     S.TileConfig(256, 256, 512, S.PATH_HYBRID),   # density-split dispatch
     S.TileConfig(512, 512, 512, S.PATH_HYBRID),
+    S.TileConfig(512, 512, 128, S.PATH_GROUPED),  # stripe-group chunked
+    S.TileConfig(512, 512, 256, S.PATH_GROUPED),
     S.TileConfig(tile_edges=8, path=S.PATH_STREAM),     # 16k-edge chunks
     S.TileConfig(tile_edges=128, path=S.PATH_STREAM),   # 256k-edge chunks
 )

@@ -1,0 +1,108 @@
+import sys; sys.path.insert(0, "/root/repo")
+"""FULL-BATCH Reddit training on one chip — the tiled backward makes the
+gradients scale like the forward (VERDICT r2 next-3: the r2 VJPs
+materialised [E, F] ~ 58 GB at Reddit/F=128 and could not run).
+
+GCN: grouped-path SpMM schedules + transposed grouped tilings (dx = Aᵀȳ).
+GAT: fused-chain forward + the scalable [E, H] backward (sddmm-kernel t,
+per-head transposed SpMM dh).
+
+Usage: python scripts/reddit_train.py [GCN|GAT] [n_edges]
+"""
+import os
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler import (
+    schedule as S)
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.fusion import (
+    classify_block)
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import HostGraph
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.models.zoo import (
+    build_model)
+
+NET = sys.argv[1] if len(sys.argv) > 1 else "GCN"
+N = 232965
+E = int(sys.argv[2]) if len(sys.argv) > 2 else 114_615_892
+F_IN, HIDDEN, N_CLASS = 602, 128, 41          # reference Reddit dims
+
+cache = f"/tmp/reddit_cache_{E}_c.npz"
+t0 = time.time()
+z = np.load(cache)
+hg = HostGraph(senders=z["s"], receivers=z["r"], edge_mask=z["m"],
+               edge_weight=z["w"], n_node=N, n_edge=int(z["ne"]))
+print(f"cache load {time.time()-t0:.0f}s E={hg.n_edge}", flush=True)
+
+heads = 4 if NET == "GAT" else None
+model = build_model(NET, F_IN, N_CLASS, hidden=HIDDEN, n_layers=2,
+                    **({"heads": heads} if heads else {}))
+
+t0 = time.time()
+scheds = []
+for graph in model.layers:
+    if NET == "GCN":
+        part = S.aggregation_partition(graph)
+        tcg = S.TileConfig(512, 512, 128, S.PATH_GROUPED)
+        tiles = tuple(
+            tcg if classify_block(graph, b, tcg)[0] == "spmm_grouped"
+            else S.TileConfig(path=S.PATH_XLA) for b in part)
+    else:
+        part = S.pattern_partition(graph)
+        tcc = S.TileConfig(512, 1024, 512, S.PATH_ONEHOT)
+        tiles = tuple(
+            tcc if classify_block(graph, b, tcc)[0] in ("gat", "gat_layer")
+            else S.TileConfig(path=S.PATH_XLA) for b in part)
+    assert any(t.kernel for t in tiles), part
+    scheds.append(S.Schedule(blocks=part, tiles=tuple(tiles)))
+print(f"schedules {time.time()-t0:.0f}s: "
+      f"{[sc.key()[:60] for sc in scheds]}", flush=True)
+
+t0 = time.time()
+fwd = model.make_apply(jnp.bfloat16, schedules=scheds, host_graph=hg,
+                       build_transpose=True)
+print(f"lowering (tilings fwd+T) {time.time()-t0:.0f}s", flush=True)
+
+params = jax.device_put(model.init(jax.random.key(0)))
+rngn = np.random.default_rng(0)
+x = jax.device_put(jnp.asarray(
+    rngn.standard_normal((N, F_IN)).astype(np.float32), jnp.bfloat16))
+y = jax.device_put(jnp.asarray(rngn.integers(0, N_CLASS, N), jnp.int32))
+g_dev = hg.to_device()
+
+
+def loss_fn(p):
+    logits = fwd(p, g_dev, x)
+    ll = jax.nn.log_softmax(logits.astype(jnp.float32))
+    return -jnp.mean(jnp.take_along_axis(ll, y[:, None], 1))
+
+
+step = jax.jit(jax.value_and_grad(loss_fn))
+
+t0 = time.time()
+l0, g0 = jax.block_until_ready(step(params))
+print(f"first step (compile) {time.time()-t0:.0f}s", flush=True)
+
+# timed steps (full batch: one step == one epoch)
+losses = []
+p = params
+times = []
+for i in range(4):
+    t0 = time.time()
+    l, gr = step(p)
+    jax.block_until_ready(l)
+    times.append(time.time() - t0)
+    p = jax.tree.map(lambda a, b: a - 0.1 * b.astype(a.dtype), p, gr)
+    losses.append(float(l))
+
+print(f"{NET} FULL-BATCH Reddit train: epoch(step) = "
+      f"{min(times):.2f} s  (times {['%.2f' % t for t in times]})",
+      flush=True)
+print(f"losses {losses}  monotone={all(b < a for a, b in zip(losses, losses[1:]))}",
+      flush=True)

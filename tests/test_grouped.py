@@ -235,3 +235,36 @@ def test_pair_agg_grads(rng):
     for a, b in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_path_schedule_lowering(rng):
+    """PATH_GROUPED schedules lower through tile_graph_grouped + the
+    grouped kernel, with working transposed-backward plumbing."""
+    import jax
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.fusion \
+        import classify_block, lower_schedule
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.lower \
+        import init_params, lower
+    hg = _rand_graph(rng, n=400, e=3000, add_self_loops=True,
+                     symmetric_norm=True)
+    g = hg.to_device()
+    og = gta.build_op_graph("GCN", 32, 16)
+    part = S.aggregation_partition(og)
+    tcg = S.TileConfig(128, 128, 64, S.PATH_GROUPED)
+    tiles = tuple(
+        tcg if classify_block(og, b, tcg)[0] == "spmm_grouped"
+        else S.TileConfig(path=S.PATH_XLA) for b in part)
+    assert any(t.path == S.PATH_GROUPED for t in tiles)
+    params = init_params(og, jax.random.key(0))
+    x = jnp.asarray(rng.standard_normal((hg.n_node, 32)), jnp.float32)
+    ref = lower(og)(params, g, x)
+    fn = lower_schedule(og, S.Schedule(blocks=part, tiles=tiles), hg,
+                        interpret=True, build_transpose=True)
+    out = fn(params, g, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    gk = jax.grad(lambda p: jnp.sum(fn(p, g, x) ** 2))(params)
+    gr = jax.grad(lambda p: jnp.sum(lower(og)(p, g, x) ** 2))(params)
+    for k in gr:
+        np.testing.assert_allclose(np.asarray(gk[k]), np.asarray(gr[k]),
+                                   rtol=2e-3, atol=2e-3)
