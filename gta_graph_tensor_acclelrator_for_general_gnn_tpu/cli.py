@@ -51,6 +51,10 @@ def main(argv=None):
     p.add_argument("--stack", action="store_true",
                    help="tune each layer of the real model stack and write "
                         "a per-layer schedule JSON (run/train --schedule)")
+    p.add_argument("--compiled", action="store_true",
+                   help="run: use the compile-only min-modelled-latency "
+                        "schedule pick (compiler/latency.py) when no "
+                        "--schedule file is given")
     p.add_argument("--schedule", default=None,
                    help="path to a tuned schedule JSON (results/best_*.json) "
                         "to execute with (run/train)")
@@ -158,6 +162,22 @@ def main(argv=None):
         sched = load_schedule()
         if sched is not None and not isinstance(sched, list):
             sched = [sched] * args.layers
+        if sched is None and args.compiled:
+            # compile-only pick: argmin MODELLED latency incl. the all-XLA
+            # candidate (compiler/latency.py — the reference's
+            # compiler+simulator role, no measurement in the loop)
+            from .compiler.latency import min_latency_schedule
+            sched = []
+            w = ds.x.shape[1]
+            modelled_ns = 0.0
+            for graph in model.layers:
+                sc, t_ns = min_latency_schedule(graph, ds.host_graph,
+                                                feat_width=w)
+                sched.append(sc)
+                modelled_ns += t_ns
+                w = max(op.out_width for op in graph.ops
+                        if op.op_id in graph.outputs)
+            out["modelled_us"] = modelled_ns / 1e3
         fwd = model.make_apply(
             dtype, schedules=sched,
             host_graph=ds.host_graph if sched else None)

@@ -170,9 +170,10 @@ def lower_schedule(
     schedule: Schedule,
     host_graph: HostGraph,
     compute_dtype=None,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
     x_host=None,
     build_transpose: bool = False,
+    tile_cache: Optional[Dict] = None,
 ) -> Callable[[Dict[str, jax.Array], GraphTensor, jax.Array], jax.Array]:
     """Lower ``graph`` under ``schedule`` to ``apply(params, g, x)``.
 
@@ -196,13 +197,24 @@ def lower_schedule(
     from ..ops import dense as dense_mod
     from ..graph import hybrid_graph
 
-    tiled: Dict[tuple, TiledGraph] = {}
-    hybrids: Dict[tuple, object] = {}
+    if interpret is None:
+        # CPU backends have no Mosaic: interpret the kernels (CI smoke /
+        # virtual-mesh runs); real backends compile
+        interpret = jax.default_backend() == "cpu"
+
+    # tile_cache: share tilings across the layers of one model — every
+    # layer of a stack typically uses the same geometry over the same
+    # graph, and a full-Reddit grouped tiling costs ~5 min + 2.3 GB each
+    cache = tile_cache if tile_cache is not None else {}
+    tiled: Dict[tuple, TiledGraph] = cache.setdefault("tiled", {})
+    hybrids: Dict[tuple, object] = cache.setdefault("hybrids", {})
     host_graph_t = perm_t = None
     if build_transpose:
-        from ..graph import transpose_host_graph
-        host_graph_t, perm_np = transpose_host_graph(host_graph)
-        perm_t = jnp.asarray(perm_np)
+        if "transpose" not in cache:
+            from ..graph import transpose_host_graph
+            hg_t, perm_np = transpose_host_graph(host_graph)
+            cache["transpose"] = (hg_t, jnp.asarray(perm_np))
+        host_graph_t, perm_t = cache["transpose"]
 
     def get_tiled(tc: TileConfig, unit_weight: bool,
                   hg: Optional[HostGraph] = None) -> TiledGraph:

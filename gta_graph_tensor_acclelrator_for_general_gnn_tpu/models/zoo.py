@@ -55,9 +55,11 @@ class Model:
             if not isinstance(schedules, (list, tuple)):
                 schedules = [schedules] * len(self.layers)
             assert host_graph is not None, "schedules need host_graph"
+            shared_cache: dict = {}
             fns = [lower_schedule(g, s, host_graph, compute_dtype,
                                   x_host=x_host if i == 0 else None,
-                                  build_transpose=build_transpose)
+                                  build_transpose=build_transpose,
+                                  tile_cache=shared_cache)
                    for i, (g, s) in enumerate(zip(self.layers, schedules))]
 
         def apply(params, g: GraphTensor, x: jax.Array) -> jax.Array:

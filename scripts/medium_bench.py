@@ -37,6 +37,8 @@ COMMUNITY = "--community" in sys.argv
 # --classes: per-run capacity classes for the sparse tail
 # (graph.tile_graph_classes) instead of one tile_edges
 CLASSES = (64, 128, 256, 512, 1024) if "--classes" in sys.argv else None
+# --grouped: stripe-group chunked tail (round-3 kernel) for SpMM and GAT
+GROUPED = "--grouped" in sys.argv
 
 warmed = False
 for name in names:
@@ -106,12 +108,18 @@ for name in names:
         if best is None or t < best[0]:
             best = (t, tr, tc, et)
     _, SR, SC, ET = best
-    print(f"  spmm tail geometry {SR}x{SC}/ET{ET} "
+    if GROUPED:
+        SR = SC = 512
+        ET = 128
+    print(f"  spmm tail geometry {SR}x{SC}/ET{ET}"
+          f"{' grouped/G16' if GROUPED else ''} "
           f"(model {best[0]/1e6:.2f} ms)", flush=True)
     hyb = hybrid_graph(hg, block_rows=RB, block_cols=CB, tile_edges=ET,
                        min_nnz=thr, supergroup=16, values_dtype=np.int8,
                        sparse_block_rows=SR, sparse_block_cols=SC,
-                       tile_classes=CLASSES)
+                       tile_classes=CLASSES,
+                       tail_format="grouped" if GROUPED else "tiles",
+                       tail_group=16)
     nb = hyb.dense.n_blocks if hyb.dense else 0
     deg_in = np.bincount(hg.receivers[: hg.n_edge], minlength=N)
     deg_out = np.bincount(hg.senders[: hg.n_edge], minlength=N)
@@ -156,11 +164,17 @@ for name in names:
         if best_g is None or t < best_g[0]:
             best_g = (t, tr, tc, et)
     _, GR, GC, ET_g = best_g
-    print(f"  gat tail geometry {GR}x{GC}/ET{ET_g}", flush=True)
+    if GROUPED:
+        GR = GC = 512
+        ET_g = 128
+    print(f"  gat tail geometry {GR}x{GC}/ET{ET_g}"
+          f"{' grouped/G16' if GROUPED else ''}", flush=True)
     hyb_g = hybrid_graph(hg, block_rows=RB, block_cols=CB, tile_edges=ET_g,
                          min_nnz=thr_g, unit_weight=True, block_layout="cr",
                          values_dtype=np.int8,
                          sparse_block_rows=GR, sparse_block_cols=GC,
+                         tail_format="grouped" if GROUPED else "tiles",
+                         tail_group=16,
                          # transposed dataflow: edge axis rides the 128-lane
                          # dim, so capacities must be %128
                          tile_classes=(tuple(c for c in CLASSES if c % 128 == 0)
@@ -180,7 +194,8 @@ for name in names:
         msrc = jnp.max(a_s, axis=0, keepdims=True)
         acc = _gat_forward(tg, xx, None, a_d.astype(jnp.bfloat16),
                            w_asrc=wv, normalize=False, msrc=msrc,
-                           dataflow="transposed_derive")
+                           dataflow=None if GROUPED else
+                           "transposed_derive")
         if bg is not None:
             accd = D.gat_dense_partial(bg, xx, a_s, a_d, msrc)
             acc = acc + accd[: acc.shape[0]]

@@ -272,14 +272,19 @@ if "--gat" in sys.argv:
     DF = (sys.argv[sys.argv.index("--df") + 1] if "--df" in sys.argv
           else "transposed_derive")
     ET_FORCE = _flag("--et", 0)
+    if GROUPED:
+        geos = [(512, 512)]
     for TRr, TCc in geos:
-        ET_g = ET_FORCE or best_tile_edges(thr_g, TRr, TCc)
+        ET_g = (128 if GROUPED
+                else (ET_FORCE or best_tile_edges(thr_g, TRr, TCc)))
         t0 = time.time()
         hyb_g = hybrid_graph(
             hg, block_rows=RB, block_cols=CB, tile_edges=ET_g,
             min_nnz=thr_g, unit_weight=True, block_layout="cr",
             values_dtype=np.int8 if INT8 else ml_dtypes.bfloat16,
-            sparse_block_rows=TRr, sparse_block_cols=TCc)
+            sparse_block_rows=TRr, sparse_block_cols=TCc,
+            tail_format="grouped" if GROUPED else "tiles",
+            tail_group=16)
         nbg = hyb_g.dense.n_blocks if hyb_g.dense else 0
         print(f"gat split {time.time()-t0:.0f}s thr={thr_g} "
               f"tail {TRr}x{TCc}/ET{ET_g}: dense {hyb_g.n_dense_edges} in "
@@ -292,7 +297,7 @@ if "--gat" in sys.argv:
             msrc = jnp.max(a_s, axis=0, keepdims=True)
             acc = _gat_forward(tg, xx, None, a_d.astype(jnp.bfloat16),
                                w_asrc=wv, normalize=False, msrc=msrc,
-                               dataflow=DF)
+                               dataflow=None if GROUPED else DF)
             if bg is not None:
                 accd = D.gat_dense_partial(bg, xx, a_s, a_d, msrc)
                 acc = acc + accd[: acc.shape[0]]
@@ -311,7 +316,7 @@ if "--gat" in sys.argv:
             msrc = jnp.max(a_s, axis=0, keepdims=True)
             return _gat_forward(tg, xx, None, a_d.astype(jnp.bfloat16),
                                 w_asrc=wv, normalize=False, msrc=msrc,
-                                dataflow=DF)
+                                dataflow=None if GROUPED else DF)
 
         tt_ = time_layer_device(gat_tail_fn, None, gg, x, k_small=1,
                                 k_big=5, reps=2)

@@ -65,9 +65,19 @@ print(f"schedules {time.time()-t0:.0f}s: "
       f"{[sc.key()[:60] for sc in scheds]}", flush=True)
 
 t0 = time.time()
-fwd = model.make_apply(jnp.bfloat16, schedules=scheds, host_graph=hg,
-                       build_transpose=True)
-print(f"lowering (tilings fwd+T) {time.time()-t0:.0f}s", flush=True)
+# lower per layer and thread the tile captures through jit as ARGUMENTS
+# (a closure would lower the multi-GB tilings as HLO constants — the
+# classic full-Reddit crash, ROADMAP fact 5); tile_cache shares the
+# fwd+transposed tilings across both layers
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.fusion \
+    import lower_schedule
+cache = {}
+fns = [lower_schedule(g, sc, hg, jnp.bfloat16, build_transpose=True,
+                      tile_cache=cache)
+       for g, sc in zip(model.layers, scheds)]
+caps = tuple(fn.captures for fn in fns)   # already device-resident
+print(f"lowering (tilings fwd+T, shared cache) {time.time()-t0:.0f}s",
+      flush=True)
 
 params = jax.device_put(model.init(jax.random.key(0)))
 rngn = np.random.default_rng(0)
@@ -77,16 +87,18 @@ y = jax.device_put(jnp.asarray(rngn.integers(0, N_CLASS, N), jnp.int32))
 g_dev = hg.to_device()
 
 
-def loss_fn(p):
-    logits = fwd(p, g_dev, x)
-    ll = jax.nn.log_softmax(logits.astype(jnp.float32))
+def loss_fn(p, caps, xx):
+    h = xx
+    for fn, c in zip(fns, caps):
+        h = fn.inner(p, g_dev, h, c)
+    ll = jax.nn.log_softmax(h.astype(jnp.float32))
     return -jnp.mean(jnp.take_along_axis(ll, y[:, None], 1))
 
 
-step = jax.jit(jax.value_and_grad(loss_fn))
+step = jax.jit(jax.value_and_grad(loss_fn, argnums=0))
 
 t0 = time.time()
-l0, g0 = jax.block_until_ready(step(params))
+l0, g0 = jax.block_until_ready(step(params, caps, x))
 print(f"first step (compile) {time.time()-t0:.0f}s", flush=True)
 
 # timed steps (full batch: one step == one epoch)
@@ -95,7 +107,7 @@ p = params
 times = []
 for i in range(4):
     t0 = time.time()
-    l, gr = step(p)
+    l, gr = step(p, caps, x)
     jax.block_until_ready(l)
     times.append(time.time() - t0)
     p = jax.tree.map(lambda a, b: a - 0.1 * b.astype(a.dtype), p, gr)
