@@ -485,6 +485,13 @@ class GroupedTiledGraph:
     x-traffic amortise ``group``-fold.  Measured on the Reddit tail: see
     results/SUMMARY.md round 3.
 
+    DOMAIN: uniform-sparse regimes (the hybrid TAIL).  Every (grp, cb)
+    chunk carries the MAX tile depth over its ``group`` row blocks, so a
+    skewed run distribution (e.g. the dense head of a full reordered
+    graph) degenerates: one 260k-edge block inflates all G sub-tiles to
+    its depth.  Feed full graphs through hybrid_graph(tail_format=
+    'grouped') so dense blocks never reach this format.
+
     Attributes (NC = number of chunks, G = group, ET = tile_edges):
       chunk_grp: int32[NC]  stripe-group index (output block index map)
       chunk_cb:  int32[NC]  col-block index (x panel index map)

@@ -724,8 +724,7 @@ def gat_shift_gap(g, a_src: jax.Array) -> jax.Array:
 def _gat_bwd_scalable(g, tg, tg_t, perm_t, h, a_s, a_d, out, gbar,
                       slope: float, interpret: bool = False):
     """GAT attention gradients WITHOUT materialising any [E, HD] tensor —
-    the tiled backward (VERDICT r2 next-3).  Memory high-water: a handful
-    of [E, H] edge tensors (H = heads, small) plus the tilings.
+    the tiled backward (VERDICT r2 next-3).
 
     Math (per head, α the normalised softmax weight of edge e = s->d):
       dh[s]   = Σ_{e: src=s} α_e ḡ_d          -> H transposed SpMMs with
@@ -733,11 +732,14 @@ def _gat_bwd_scalable(g, tg, tg_t, perm_t, h, a_s, a_d, out, gbar,
       t_e     = <ḡ_d, h_s>                     -> tiled SDDMM over tg
       dl_e    = α_e (t_e − <ḡ_d, out_d>)       (softmax VJP; Σα t = <ḡ,out>)
       dz_e    = dl_e · leaky_relu'(a_s+a_d)
-      da_s[s] = Σ_{src=s} dz_e ; da_d[d] = Σ_{dst=d} dz_e   ([E, H] scatters)
+      da_s[s] = Σ_{src=s} dz_e ; da_d[d] = Σ_{dst=d} dz_e
 
-    α is recomputed in the exact per-dst segment-max form (shift choice
-    does not change α), so the grads match autodiff of the XLA reference
-    formulation to roundoff."""
+    Memory: all edge-domain intermediates are ONE-DIMENSIONAL [E] arrays
+    inside a per-head python loop — a 2-D [E, H] array at H=4 pads its
+    lane dim 4 -> 128 under the TPU (8,128) tiling and costs 32x its
+    logical bytes (58 GB at Reddit scale; bisected from the full-batch
+    OOM).  α is recomputed in the exact per-dst segment-max form, so the
+    grads match autodiff of the XLA reference to roundoff."""
     from . import sddmm as sddmm_mod
     from . import spmm as spmm_mod
     n = g.n_node
@@ -747,42 +749,59 @@ def _gat_bwd_scalable(g, tg, tg_t, perm_t, h, a_s, a_d, out, gbar,
     f32 = jnp.float32
     src = jnp.where(g.edge_mask, g.senders, n)
     dst = jnp.where(g.edge_mask, g.receivers, n)
-    pad1 = jnp.zeros((1, H), f32)
-    a_se = jnp.take(jnp.concatenate([a_s.astype(f32), pad1], 0), src, axis=0)
-    a_de = jnp.take(jnp.concatenate([a_d.astype(f32), pad1], 0), dst, axis=0)
-    lraw = a_se + a_de                                     # [E, H]
-    e = jnp.where(g.edge_mask[:, None],
-                  jax.nn.leaky_relu(lraw, slope), NEG)
-    m = jax.ops.segment_max(e, dst, n + 1)
-    m = jnp.where(jnp.isfinite(m), m, 0.0)
-    p = jnp.where(g.edge_mask[:, None],
-                  jnp.exp(e - jnp.take(m, dst, axis=0)), 0.0)
-    den = jnp.maximum(
-        jax.ops.segment_sum(p, dst, n + 1, indices_are_sorted=True), 1e-20)
-    alpha = p / jnp.take(den, dst, axis=0)                 # [E, H]
-
+    mask = g.edge_mask
     gb = gbar.astype(f32)
-    # t_e = <gbar_d, h_s> per head: one-hot SDDMM in tile layout
-    t_tiles = sddmm_mod.sddmm(tg, h, gb.astype(h.dtype), heads=H,
-                              interpret=interpret)
-    t = sddmm_mod.tiles_to_edges(tg, t_tiles, g.e_pad)     # [e_pad, H]
     s2 = jnp.sum(gb.reshape(n, H, D) * out.reshape(n, H, D), axis=-1)
-    s2e = jnp.take(jnp.concatenate([s2, pad1], 0), dst, axis=0)
-    dl = alpha * (t - s2e)
-    dz = jnp.where(g.edge_mask[:, None],
-                   dl * jnp.where(lraw > 0, 1.0, slope), 0.0)
-    dad = jax.ops.segment_sum(dz, dst, n + 1,
-                              indices_are_sorted=True)[:n]
-    das = jnp.zeros((n + 1, H), f32).at[src].add(dz, mode="drop")[:n]
+    idx = tg.edge_id.reshape(-1)
 
-    # dh: per-head transposed weighted aggregation (same SpMM kernel)
-    alpha_t = jnp.take(alpha, perm_t, axis=0)              # transposed order
-    dh_cols = []
+    def pad1(v):  # [N] -> [N+1] with 0 dump row
+        return jnp.concatenate([v.astype(f32), jnp.zeros((1,), f32)], 0)
+
+    das_cols, dad_cols, dh_cols = [], [], []
+    # serialise the head iterations: without the barrier token XLA
+    # schedules all H sets of [E] temporaries concurrently (measured
+    # 12.7 GB HLO temp at Reddit scale -> HBM OOM); the token makes head
+    # k+1 data-depend on head k's outputs so each head's edge arrays die
+    # before the next is live
+    tok = jnp.zeros((), f32)
     for k in range(H):
-        dk = spmm_mod._spmm_raw(tg_t, gb[:, k * D:(k + 1) * D],
-                                alpha_t[:, k], interpret=interpret)
-        dh_cols.append(dk[:n])
+        a_se = jnp.take(pad1(a_s[:, k] + tok), src)        # [E]
+        a_de = jnp.take(pad1(a_d[:, k]), dst)
+        lraw = a_se + a_de
+        e = jnp.where(mask, jnp.where(lraw >= 0, lraw, slope * lraw), NEG)
+        m = jax.ops.segment_max(e, dst, n + 1)
+        m = jnp.where(jnp.isfinite(m), m, 0.0)
+        p = jnp.where(mask, jnp.exp(e - jnp.take(m, dst)), 0.0)
+        den = jnp.maximum(
+            jax.ops.segment_sum(p, dst, n + 1, indices_are_sorted=True),
+            1e-20)
+        alpha = p / jnp.take(den, dst)                     # [E]
+        # per-head SDDMM in tile layout, mapped back to edge order as a
+        # 1-D scatter-add (pad slots are exact zeros)
+        hk = h[:, k * D:(k + 1) * D]
+        gk = gb[:, k * D:(k + 1) * D]
+        t_tile = sddmm_mod.sddmm(tg, hk, gk.astype(h.dtype), heads=1,
+                                 interpret=interpret)
+        tk = jnp.zeros((g.e_pad,), f32).at[idx].add(
+            t_tile[0].reshape(-1), mode="drop")
+        s2e = jnp.take(pad1(s2[:, k]), dst)
+        dl = alpha * (tk - s2e)
+        dz = jnp.where(mask, dl * jnp.where(lraw > 0, 1.0, slope), 0.0)
+        dad_k = jax.ops.segment_sum(
+            dz, dst, n + 1, indices_are_sorted=True)[:n]
+        das_k = jnp.zeros((n + 1,), f32).at[src].add(dz, mode="drop")[:n]
+        alpha_t = jnp.take(alpha, perm_t)                  # transposed order
+        dh_k = spmm_mod._spmm_raw(tg_t, gk, alpha_t,
+                                  interpret=interpret)[:n]
+        dad_k, das_k, dh_k = jax.lax.optimization_barrier(
+            (dad_k, das_k, dh_k))
+        tok = dh_k[0, 0] * 0.0
+        dad_cols.append(dad_k)
+        das_cols.append(das_k)
+        dh_cols.append(dh_k)
     dh = jnp.concatenate(dh_cols, axis=1)
+    das = jnp.stack(das_cols, axis=1)
+    dad = jnp.stack(dad_cols, axis=1)
     return (dh.astype(h.dtype), das.astype(a_s.dtype),
             dad.astype(a_d.dtype))
 

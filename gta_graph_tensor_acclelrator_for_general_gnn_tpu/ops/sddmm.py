@@ -103,30 +103,47 @@ def sddmm(
 
     # [T, 1, ET] index layout and [H, T, 1, ET] output: the last two block
     # dims must be (8k, 128k) or equal to the array dims on TPU.
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_fb, T),
-        in_specs=[
-            pl.BlockSpec((1, 1, ET), lambda fi, t, rb, cb: (t, 0, 0)),
-            pl.BlockSpec((1, 1, ET), lambda fi, t, rb, cb: (t, 0, 0)),
-            pl.BlockSpec((tg.block_cols, fb), lambda fi, t, rb, cb: (cb[t], fi)),
-            pl.BlockSpec((tg.block_rows, fb), lambda fi, t, rb, cb: (rb[t], fi)),
-        ],
-        out_specs=pl.BlockSpec(
-            (hpb, 1, 1, ET), lambda fi, t, rb, cb: (fi, t, 0, 0)),
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((heads, T, 1, ET), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * T * ET * (tg.block_cols + tg.block_rows) * f,
-            bytes_accessed=(xs.size + xd.size) * x_src.dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(tg.tile_rb, tg.tile_cb,
-      tg.src_local[:, None, :], tg.dst_local[:, None, :], xs, xd)
+    def call(tile_rb, tile_cb, srcl, dstl):
+        T_ = int(tile_rb.shape[0])
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_fb, T_),
+            in_specs=[
+                pl.BlockSpec((1, 1, ET), lambda fi, t, rb, cb: (t, 0, 0)),
+                pl.BlockSpec((1, 1, ET), lambda fi, t, rb, cb: (t, 0, 0)),
+                pl.BlockSpec((tg.block_cols, fb),
+                             lambda fi, t, rb, cb: (cb[t], fi)),
+                pl.BlockSpec((tg.block_rows, fb),
+                             lambda fi, t, rb, cb: (rb[t], fi)),
+            ],
+            out_specs=pl.BlockSpec(
+                (hpb, 1, 1, ET), lambda fi, t, rb, cb: (fi, t, 0, 0)),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((heads, T_, 1, ET), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * T_ * ET * (tg.block_cols + tg.block_rows) * f,
+                bytes_accessed=(xs.size + xd.size) * x_src.dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(tile_rb, tile_cb, srcl[:, None, :], dstl[:, None, :], xs, xd)
+
+    from .spmm import MAX_TILES_PER_CALL, _stripe_chunks
+    if T <= MAX_TILES_PER_CALL or tg.row_first_host is None:
+        out = call(tg.tile_rb, tg.tile_cb, tg.src_local, tg.dst_local)
+    else:
+        # the scalar-prefetch arrays outgrow SMEM past ~65k tiles (hit at
+        # full-Reddit scale by the GAT scalable backward): split at
+        # row-stripe boundaries and concat on the tile axis
+        parts = []
+        for t0, t1, rb0, rb1 in _stripe_chunks(
+                tg.row_first_host, T, MAX_TILES_PER_CALL):
+            parts.append(call(tg.tile_rb[t0:t1], tg.tile_cb[t0:t1],
+                              tg.src_local[t0:t1], tg.dst_local[t0:t1]))
+        out = jnp.concatenate(parts, axis=1)
     return out[:, :, 0, :]
 
 

@@ -49,9 +49,13 @@ scheds = []
 for graph in model.layers:
     if NET == "GCN":
         part = S.aggregation_partition(graph)
-        tcg = S.TileConfig(512, 512, 128, S.PATH_GROUPED)
+        # per-tile one-hot at the proven Reddit geometry: the grouped
+        # format degenerates on the dense head (a stripe group pays its
+        # heaviest row block's depth for all G sub-tiles), so full-graph
+        # training uses the uniform per-tile format
+        tcg = S.TileConfig(1024, 1024, 512, S.PATH_ONEHOT)
         tiles = tuple(
-            tcg if classify_block(graph, b, tcg)[0] == "spmm_grouped"
+            tcg if classify_block(graph, b, tcg)[0] == "spmm"
             else S.TileConfig(path=S.PATH_XLA) for b in part)
     else:
         part = S.pattern_partition(graph)
@@ -81,24 +85,29 @@ print(f"lowering (tilings fwd+T, shared cache) {time.time()-t0:.0f}s",
 
 params = jax.device_put(model.init(jax.random.key(0)))
 rngn = np.random.default_rng(0)
-x = jax.device_put(jnp.asarray(
-    rngn.standard_normal((N, F_IN)).astype(np.float32), jnp.bfloat16))
-y = jax.device_put(jnp.asarray(rngn.integers(0, N_CLASS, N), jnp.int32))
+xh = rngn.standard_normal((N, F_IN)).astype(np.float32)
+# learnable labels (a random linear probe of the features) so the loss
+# visibly drops — random labels give ~zero gradient signal at this scale
+wy = rngn.standard_normal((F_IN, N_CLASS)).astype(np.float32)
+yh = np.argmax(xh @ wy, axis=1).astype(np.int32)
+x = jax.device_put(jnp.asarray(xh, jnp.bfloat16))
+y = jax.device_put(jnp.asarray(yh))
+del xh
 g_dev = hg.to_device()
 
 
-def loss_fn(p, caps, xx):
+def loss_fn(p, caps, gd, xx, yy):
     h = xx
     for fn, c in zip(fns, caps):
-        h = fn.inner(p, g_dev, h, c)
+        h = fn.inner(p, gd, h, c)
     ll = jax.nn.log_softmax(h.astype(jnp.float32))
-    return -jnp.mean(jnp.take_along_axis(ll, y[:, None], 1))
+    return -jnp.mean(jnp.take_along_axis(ll, yy[:, None], 1))
 
 
 step = jax.jit(jax.value_and_grad(loss_fn, argnums=0))
 
 t0 = time.time()
-l0, g0 = jax.block_until_ready(step(params, caps, x))
+l0, g0 = jax.block_until_ready(step(params, caps, g_dev, x, y))
 print(f"first step (compile) {time.time()-t0:.0f}s", flush=True)
 
 # timed steps (full batch: one step == one epoch)
@@ -107,10 +116,10 @@ p = params
 times = []
 for i in range(4):
     t0 = time.time()
-    l, gr = step(p, caps, x)
+    l, gr = step(p, caps, g_dev, x, y)
     jax.block_until_ready(l)
     times.append(time.time() - t0)
-    p = jax.tree.map(lambda a, b: a - 0.1 * b.astype(a.dtype), p, gr)
+    p = jax.tree.map(lambda a, b: a - 0.5 * b.astype(a.dtype), p, gr)
     losses.append(float(l))
 
 print(f"{NET} FULL-BATCH Reddit train: epoch(step) = "
