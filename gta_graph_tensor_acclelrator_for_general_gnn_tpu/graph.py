@@ -248,6 +248,10 @@ def tile_graph(
     simulator, we materialise the tiles themselves for real execution.
     Prefer passing a :class:`HostGraph`: passing a device GraphTensor forces a
     device->host readback (see HostGraph docstring).
+
+    ``unit_weight`` tilings store the weight in bf16 (1.0 and 0.0 are
+    exact): halves a full-Reddit tiling's weight array (585 -> 293 MB) —
+    the kernels upcast in the multiply.
     """
     g = _as_host(g)
     senders = g.senders[: g.n_edge]
@@ -351,7 +355,7 @@ def tile_graph(
         src_local=jnp.asarray(src_l),
         dst_local=jnp.asarray(dst_l),
         edge_id=jnp.asarray(eid),
-        weight=jnp.asarray(w),
+        weight=jnp.asarray(w, jnp.bfloat16 if unit_weight else None),
         row_first_tile=jnp.asarray(row_first),
         row_first_host=tuple(int(v) for v in row_first),
         block_rows=block_rows,

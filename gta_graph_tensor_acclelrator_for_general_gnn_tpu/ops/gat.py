@@ -146,7 +146,8 @@ def _gat_kernel(
     # lane dim crashes Mosaic (bisected on v5e); broadcast_in_dim is fine
     dmat = jax.lax.broadcast_in_dim(dst, (ET, H), (0,))
     p = jnp.where(dmat < R, jnp.exp(jnp.minimum(e - bound, 60.0)), 0.0)
-    wmat = jax.lax.broadcast_in_dim(wgt_ref[0, 0, :], (ET, H), (0,))
+    wmat = jax.lax.broadcast_in_dim(
+        wgt_ref[0, 0, :].astype(jnp.float32), (ET, H), (0,))
     p = p * wmat                                   # term multiplicity
 
     # head -> feature expansion: B[h, f] = 1 iff f // (HD//H) == h.
@@ -262,7 +263,8 @@ def _gat_kernel_t(
     bound = leaky(msrc_ref[:, 0][:, None] + a_d)              # [H, ET]
     dmat = jax.lax.broadcast_in_dim(dst, (H, ET), (1,))
     p = jnp.where(dmat < R, jnp.exp(jnp.minimum(e - bound, 60.0)), 0.0)
-    wmat = jax.lax.broadcast_in_dim(wgt_ref[0, 0, :], (H, ET), (1,))
+    wmat = jax.lax.broadcast_in_dim(
+        wgt_ref[0, 0, :].astype(jnp.float32), (H, ET), (1,))
     p = p * wmat                                   # term multiplicity
 
     if HD == H:
@@ -349,7 +351,8 @@ def _gat_grouped_kernel(
     bound = leaky(msrc_ref[0, :][None, None, :] + a_d)
     dmat = jax.lax.broadcast_in_dim(dst, (G, ET, H), (0, 1))
     p = jnp.where(dmat < R, jnp.exp(jnp.minimum(e - bound, 60.0)), 0.0)
-    wmat = jax.lax.broadcast_in_dim(wgt_ref[0], (G, ET, H), (0, 1))
+    wmat = jax.lax.broadcast_in_dim(
+        wgt_ref[0].astype(jnp.float32), (G, ET, H), (0, 1))
     p = (p * wmat).reshape(G * ET, H)                # term multiplicity
 
     if HD == H:
@@ -747,12 +750,14 @@ def _gat_bwd_scalable(g, tg, tg_t, perm_t, h, a_s, a_d, out, gbar,
     HD = h.shape[1]
     D = HD // H
     f32 = jnp.float32
-    src = jnp.where(g.edge_mask, g.senders, n)
-    dst = jnp.where(g.edge_mask, g.receivers, n)
-    mask = g.edge_mask
+    # padding edges already carry src == dst == n (build_host_graph pads
+    # with n_node): they route to the dump segment n and are sliced away,
+    # so NO masking selects are needed — each where() here materialised a
+    # fresh [E] buffer (437 MB at Reddit) and pushed the step over HBM
+    src = g.senders
+    dst = g.receivers
     gb = gbar.astype(f32)
     s2 = jnp.sum(gb.reshape(n, H, D) * out.reshape(n, H, D), axis=-1)
-    idx = tg.edge_id.reshape(-1)
 
     def pad1(v):  # [N] -> [N+1] with 0 dump row
         return jnp.concatenate([v.astype(f32), jnp.zeros((1,), f32)], 0)
@@ -768,25 +773,30 @@ def _gat_bwd_scalable(g, tg, tg_t, perm_t, h, a_s, a_d, out, gbar,
         a_se = jnp.take(pad1(a_s[:, k] + tok), src)        # [E]
         a_de = jnp.take(pad1(a_d[:, k]), dst)
         lraw = a_se + a_de
-        e = jnp.where(mask, jnp.where(lraw >= 0, lraw, slope * lraw), NEG)
+        pos = lraw > 0           # [E] bool (1/8 the bytes of keeping lraw)
+        e = jnp.where(pos, lraw, slope * lraw)
         m = jax.ops.segment_max(e, dst, n + 1)
         m = jnp.where(jnp.isfinite(m), m, 0.0)
-        p = jnp.where(mask, jnp.exp(e - jnp.take(m, dst)), 0.0)
+        p = jnp.exp(e - jnp.take(m, dst))
         den = jnp.maximum(
             jax.ops.segment_sum(p, dst, n + 1, indices_are_sorted=True),
             1e-20)
         alpha = p / jnp.take(den, dst)                     # [E]
         # per-head SDDMM in tile layout, mapped back to edge order as a
-        # 1-D scatter-add (pad slots are exact zeros)
-        hk = h[:, k * D:(k + 1) * D]
-        gk = gb[:, k * D:(k + 1) * D]
+        # 1-D scatter-add (pad slots are exact zeros).  The token gates
+        # these inputs too — otherwise XLA hoists all H SDDMM calls ahead
+        # of the loop and their tile buffers are concurrently live
+        hk = h[:, k * D:(k + 1) * D] + tok.astype(h.dtype)
+        gk = gb[:, k * D:(k + 1) * D] + tok
         t_tile = sddmm_mod.sddmm(tg, hk, gk.astype(h.dtype), heads=1,
                                  interpret=interpret)
-        tk = jnp.zeros((g.e_pad,), f32).at[idx].add(
-            t_tile[0].reshape(-1), mode="drop")
+        # 2-D scatter: flattening edge_id would materialise a 558 MB
+        # re-laid-out copy at Reddit scale
+        tk = jnp.zeros((g.e_pad,), f32).at[tg.edge_id].add(
+            t_tile[0], mode="drop")
         s2e = jnp.take(pad1(s2[:, k]), dst)
         dl = alpha * (tk - s2e)
-        dz = jnp.where(mask, dl * jnp.where(lraw > 0, 1.0, slope), 0.0)
+        dz = dl * jnp.where(pos, 1.0, slope)
         dad_k = jax.ops.segment_sum(
             dz, dst, n + 1, indices_are_sorted=True)[:n]
         das_k = jnp.zeros((n + 1,), f32).at[src].add(dz, mode="drop")[:n]

@@ -126,7 +126,9 @@ def _spmm_kernel(
 
     src = src_ref[0, 0, :]                                # [ET]
     dst = dst_ref[0, 0, :]                                # [ET]
-    w = w_ref[0, 0, :]                                    # [ET]
+    # f32 upcast at read: unit tilings store bf16 weights, and a 16-bit
+    # minor-dim insertion (w[:, None]) has no Mosaic lowering
+    w = w_ref[0, 0, :].astype(jnp.float32)                # [ET]
 
     # dead tiles (uniform-shape padding across shard_map shards) carry
     # cb == -1: skip both matmuls, paying only the grid constant — the
