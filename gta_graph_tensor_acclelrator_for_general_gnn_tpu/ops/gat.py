@@ -108,8 +108,8 @@ def _gat_kernel(
     def _reset():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    src = src_ref[0, 0, :]                                    # [ET]
-    dst = dst_ref[0, 0, :]                                    # [ET]
+    src = src_ref[0, 0, :].astype(jnp.int32)                  # [ET]
+    dst = dst_ref[0, 0, :].astype(jnp.int32)                  # [ET]
     dt = hcat_ref.dtype
 
     # two one-hot builds total (VPU compares are a first-order cost):
@@ -227,8 +227,8 @@ def _gat_kernel_t(
     def _reset():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    src = src_ref[0, 0, :]                                    # [ET]
-    dst = dst_ref[0, 0, :]                                    # [ET]
+    src = src_ref[0, 0, :].astype(jnp.int32)                  # [ET]
+    dst = dst_ref[0, 0, :].astype(jnp.int32)                  # [ET]
     dt = hcat_ref.dtype
 
     src_b = jax.lax.broadcast_in_dim(src, (C, ET), (1,))
@@ -327,8 +327,8 @@ def _gat_grouped_kernel(
     def _zero():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    src = src_ref[0]                                          # [G, ET]
-    dst = dst_ref[0]
+    src = src_ref[0].astype(jnp.int32)                        # [G, ET]
+    dst = dst_ref[0].astype(jnp.int32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (G, ET, C), 2)
     oh_src = (src[..., None] == cols).astype(dt).reshape(G * ET, C)
     rows = jax.lax.broadcasted_iota(jnp.int32, (G, ET, R), 2)
@@ -978,8 +978,8 @@ def _gat_layer_kernel(
         den_ref[:] = jnp.zeros_like(den_ref)
         num_ref[:] = jnp.zeros_like(num_ref)
 
-    src = src_ref[0, 0, :]
-    dst = dst_ref[0, 0, :]
+    src = src_ref[0, 0, :].astype(jnp.int32)
+    dst = dst_ref[0, 0, :].astype(jnp.int32)
 
     w = w_ref[:]
     h_cb = jnp.dot(xc_ref[:], w, preferred_element_type=jnp.float32,

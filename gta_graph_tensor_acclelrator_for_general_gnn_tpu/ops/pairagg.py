@@ -76,8 +76,8 @@ def _pair_agg_kernel(
         o_ref[:, Dp:2 * Dp] = jnp.full_like(o_ref[:, Dp:2 * Dp], NEG)
         o_ref[:, 2 * Dp:] = jnp.zeros_like(o_ref[:, 2 * Dp:])
 
-    src = src_ref[0, 0, :]                                # [ET]
-    dst = dst_ref[0, 0, :]
+    src = src_ref[0, 0, :].astype(jnp.int32)              # [ET]
+    dst = dst_ref[0, 0, :].astype(jnp.int32)
     # all minor-dim insertions happen on int32 (Mosaic restriction: minor
     # dim insertion only for 32-bit types); bools stay 2-D thereafter
     dst2 = dst[:, None]                                   # [ET, 1] int32

@@ -79,8 +79,8 @@ def sddmm(
     T, ET = tg.n_tiles, tg.tile_edges
 
     def kernel(rb, cb, src_ref, dst_ref, xsrc_ref, xdst_ref, o_ref):
-        src = src_ref[0, 0, :]
-        dst = dst_ref[0, 0, :]
+        src = src_ref[0, 0, :].astype(jnp.int32)
+        dst = dst_ref[0, 0, :].astype(jnp.int32)
         cols = jax.lax.broadcasted_iota(jnp.int32, (ET, tg.block_cols), 1)
         gs = (src[:, None] == cols).astype(xsrc_ref.dtype)
         s = jnp.dot(gs, xsrc_ref[:], preferred_element_type=jnp.float32,

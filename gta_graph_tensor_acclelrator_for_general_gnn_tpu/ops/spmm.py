@@ -84,8 +84,8 @@ def _spmm_grouped_kernel(
     G, ET, R, C = group, tile_edges, block_rows, block_cols
     xb = x_ref[:]                                          # [C, fb]
     fb = o_ref.shape[1]
-    src = src_ref[0]                                       # [G, ET]
-    dst = dst_ref[0]
+    src = src_ref[0].astype(jnp.int32)                     # [G, ET]
+    dst = dst_ref[0].astype(jnp.int32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (G, ET, C), 2)
     g = (src[..., None] == cols).astype(xb.dtype).reshape(G * ET, C)
     rows = jax.lax.broadcasted_iota(jnp.int32, (G, ET, R), 2)
@@ -124,10 +124,11 @@ def _spmm_kernel(
     def _zero():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    src = src_ref[0, 0, :]                                # [ET]
-    dst = dst_ref[0, 0, :]                                # [ET]
-    # f32 upcast at read: unit tilings store bf16 weights, and a 16-bit
-    # minor-dim insertion (w[:, None]) has no Mosaic lowering
+    src = src_ref[0, 0, :].astype(jnp.int32)             # [ET]
+    dst = dst_ref[0, 0, :].astype(jnp.int32)              # [ET]
+    # 32-bit upcasts at read: tilings store int16 local offsets and (on
+    # unit tilings) bf16 weights; 16-bit minor-dim insertions have no
+    # Mosaic lowering
     w = w_ref[0, 0, :].astype(jnp.float32)                # [ET]
 
     # dead tiles (uniform-shape padding across shard_map shards) carry

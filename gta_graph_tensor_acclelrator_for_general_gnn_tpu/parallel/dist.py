@@ -516,14 +516,17 @@ def shard_tiles(part_host, *, block_rows: int = 256,
                 [tg.tile_cb, _jnp.full((ext,), -1, _jnp.int32)]),
             src_local=_jnp.concatenate(
                 [tg.src_local,
-                 _jnp.full((ext, tg.tile_edges), tg.block_cols, _jnp.int32)]),
+                 _jnp.full((ext, tg.tile_edges), tg.block_cols,
+                           tg.src_local.dtype)]),
             dst_local=_jnp.concatenate(
                 [tg.dst_local,
-                 _jnp.full((ext, tg.tile_edges), tg.block_rows, _jnp.int32)]),
+                 _jnp.full((ext, tg.tile_edges), tg.block_rows,
+                           tg.dst_local.dtype)]),
             edge_id=_jnp.concatenate(
                 [tg.edge_id, _jnp.zeros((ext, tg.tile_edges), _jnp.int32)]),
             weight=_jnp.concatenate(
-                [tg.weight, _jnp.zeros((ext, tg.tile_edges), _jnp.float32)]),
+                [tg.weight,
+                 _jnp.zeros((ext, tg.tile_edges), tg.weight.dtype)]),
         )
 
     per = [pad_tiles(tg) for tg in per]
