@@ -35,10 +35,24 @@ F_IN, HIDDEN, N_CLASS = 602, 128, 41          # reference Reddit dims
 
 cache = f"/tmp/reddit_cache_{E}_c.npz"
 t0 = time.time()
-z = np.load(cache)
-hg = HostGraph(senders=z["s"], receivers=z["r"], edge_mask=z["m"],
-               edge_weight=z["w"], n_node=N, n_edge=int(z["ne"]))
-print(f"cache load {time.time()-t0:.0f}s E={hg.n_edge}", flush=True)
+if os.path.exists(cache):
+    z = np.load(cache)
+    hg = HostGraph(senders=z["s"], receivers=z["r"], edge_mask=z["m"],
+                   edge_weight=z["w"], n_node=N, n_edge=int(z["ne"]))
+    print(f"cache load {time.time()-t0:.0f}s E={hg.n_edge}", flush=True)
+else:
+    import gta_graph_tensor_acclelrator_for_general_gnn_tpu as _gta
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.data.datasets \
+        import synthetic_coo
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import \
+        reorder_nodes
+    s_, r_, labels = synthetic_coo(N, E, seed=1, communities=1000, p_in=0.7)
+    hg = _gta.build_host_graph(s_, r_, N, add_self_loops=True,
+                               symmetric_norm=True)
+    hg, _ = reorder_nodes(hg, "hubs+labels", labels=labels)
+    np.savez(cache, s=hg.senders, r=hg.receivers, m=hg.edge_mask,
+             w=hg.edge_weight, ne=hg.n_edge)
+    print(f"build+reorder {time.time()-t0:.0f}s E={hg.n_edge}", flush=True)
 
 heads = 4 if NET == "GAT" else None
 model = build_model(NET, F_IN, N_CLASS, hidden=HIDDEN, n_layers=2,
