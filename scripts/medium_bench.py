@@ -37,8 +37,11 @@ COMMUNITY = "--community" in sys.argv
 # --classes: per-run capacity classes for the sparse tail
 # (graph.tile_graph_classes) instead of one tile_edges
 CLASSES = (64, 128, 256, 512, 1024) if "--classes" in sys.argv else None
-# --grouped: stripe-group chunked tail (round-3 kernel) for SpMM and GAT
+# --grouped: stripe-group chunked tail (round-3 kernel) for SpMM; the
+# grouped GAT kernel is experimental (--grouped-gat; G16 VMEM-bound at
+# HD=128/H=4)
 GROUPED = "--grouped" in sys.argv
+GROUPED_GAT = "--grouped-gat" in sys.argv
 
 warmed = False
 for name in names:
@@ -164,17 +167,17 @@ for name in names:
         if best_g is None or t < best_g[0]:
             best_g = (t, tr, tc, et)
     _, GR, GC, ET_g = best_g
-    if GROUPED:
+    if GROUPED_GAT:
         GR = GC = 512
         ET_g = 128
     print(f"  gat tail geometry {GR}x{GC}/ET{ET_g}"
-          f"{' grouped/G16' if GROUPED else ''}", flush=True)
+          f"{' grouped/G8' if GROUPED_GAT else ''}", flush=True)
     hyb_g = hybrid_graph(hg, block_rows=RB, block_cols=CB, tile_edges=ET_g,
                          min_nnz=thr_g, unit_weight=True, block_layout="cr",
                          values_dtype=np.int8,
                          sparse_block_rows=GR, sparse_block_cols=GC,
-                         tail_format="grouped" if GROUPED else "tiles",
-                         tail_group=16,
+                         tail_format="grouped" if GROUPED_GAT else "tiles",
+                         tail_group=8,
                          # transposed dataflow: edge axis rides the 128-lane
                          # dim, so capacities must be %128
                          tile_classes=(tuple(c for c in CLASSES if c % 128 == 0)
@@ -194,7 +197,7 @@ for name in names:
         msrc = jnp.max(a_s, axis=0, keepdims=True)
         acc = _gat_forward(tg, xx, None, a_d.astype(jnp.bfloat16),
                            w_asrc=wv, normalize=False, msrc=msrc,
-                           dataflow=None if GROUPED else
+                           dataflow=None if GROUPED_GAT else
                            "transposed_derive")
         if bg is not None:
             accd = D.gat_dense_partial(bg, xx, a_s, a_d, msrc)

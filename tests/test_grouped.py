@@ -268,3 +268,31 @@ def test_grouped_path_schedule_lowering(rng):
     for k in gr:
         np.testing.assert_allclose(np.asarray(gk[k]), np.asarray(gr[k]),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_gat_grouped_partials_match_per_tile(rng):
+    """The grouped GAT chain kernel (normalize=False partials, derive
+    variant) is bit-exact vs the per-tile kernel path under the same
+    msrc shift (experimental: hybrid-tail use; G16 at HD=128 is
+    VMEM-bound on hardware, use G8)."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+        tile_graph)
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import (
+        gat as gat_mod)
+    hg = _rand_graph(rng, n=700, e=5000)
+    H, HD = 4, 32
+    h = jnp.asarray(rng.standard_normal((hg.n_node, HD)), jnp.float32)
+    w_a = jnp.asarray(rng.standard_normal((HD, H)) * 0.3, jnp.float32)
+    a_d = jnp.asarray(rng.standard_normal((hg.n_node, H)), jnp.float32)
+    msrc = jnp.max(h @ w_a, axis=0, keepdims=True)
+    tgg = tile_graph_grouped(hg, block_rows=128, block_cols=128,
+                             tile_edges=64, group=4, unit_weight=True)
+    tgu = tile_graph(hg, block_rows=128, block_cols=128, tile_edges=64,
+                     unit_weight=True)
+    acc = gat_mod._gat_forward(tgg, h, None, a_d, w_asrc=w_a,
+                               normalize=False, msrc=msrc, interpret=True)
+    ref = gat_mod._gat_forward(tgu, h, None, a_d, w_asrc=w_a,
+                               normalize=False, msrc=msrc, interpret=True,
+                               dataflow="wide")
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
