@@ -37,9 +37,13 @@ COMMUNITY = "--community" in sys.argv
 # --classes: per-run capacity classes for the sparse tail
 # (graph.tile_graph_classes) instead of one tile_edges
 CLASSES = (64, 128, 256, 512, 1024) if "--classes" in sys.argv else None
-# --grouped: stripe-group chunked tail (round-3 kernel) for SpMM; the
-# grouped GAT kernel is experimental (--grouped-gat; G16 VMEM-bound at
-# HD=128/H=4)
+# --grouped: stripe-group chunked tail for SpMM — EXPERIMENTAL here and
+# measured WORSE on these graphs (flickr 6.3 -> 10.9 ms: medium tails
+# have ~17-25-edge runs at 512^2, so ET128 grouped tiles sit at ~13%
+# utilisation; the grouped format's domain is Reddit-class tails with
+# ~100-edge runs).  The default model-chosen per-tile path stays the
+# production config.  --grouped-gat additionally routes the GAT tail
+# (G16 VMEM-bound at HD=128/H=4 — use G8)
 GROUPED = "--grouped" in sys.argv
 GROUPED_GAT = "--grouped-gat" in sys.argv
 

@@ -272,10 +272,14 @@ if "--gat" in sys.argv:
     DF = (sys.argv[sys.argv.index("--df") + 1] if "--df" in sys.argv
           else "transposed_derive")
     ET_FORCE = _flag("--et", 0)
-    if GROUPED:
+    # the grouped GAT kernel is EXPERIMENTAL (--grouped-gat; G16 at
+    # HD=128/H=4 exceeds scoped VMEM): --grouped alone keeps the GAT tail
+    # on the production per-tile transposed_derive path
+    GROUPED_GAT = "--grouped-gat" in sys.argv
+    if GROUPED_GAT:
         geos = [(512, 512)]
     for TRr, TCc in geos:
-        ET_g = (128 if GROUPED
+        ET_g = (128 if GROUPED_GAT
                 else (ET_FORCE or best_tile_edges(thr_g, TRr, TCc)))
         t0 = time.time()
         hyb_g = hybrid_graph(
@@ -283,8 +287,8 @@ if "--gat" in sys.argv:
             min_nnz=thr_g, unit_weight=True, block_layout="cr",
             values_dtype=np.int8 if INT8 else ml_dtypes.bfloat16,
             sparse_block_rows=TRr, sparse_block_cols=TCc,
-            tail_format="grouped" if GROUPED else "tiles",
-            tail_group=16)
+            tail_format="grouped" if GROUPED_GAT else "tiles",
+            tail_group=8)
         nbg = hyb_g.dense.n_blocks if hyb_g.dense else 0
         print(f"gat split {time.time()-t0:.0f}s thr={thr_g} "
               f"tail {TRr}x{TCc}/ET{ET_g}: dense {hyb_g.n_dense_edges} in "
@@ -297,7 +301,7 @@ if "--gat" in sys.argv:
             msrc = jnp.max(a_s, axis=0, keepdims=True)
             acc = _gat_forward(tg, xx, None, a_d.astype(jnp.bfloat16),
                                w_asrc=wv, normalize=False, msrc=msrc,
-                               dataflow=None if GROUPED else DF)
+                               dataflow=None if GROUPED_GAT else DF)
             if bg is not None:
                 accd = D.gat_dense_partial(bg, xx, a_s, a_d, msrc)
                 acc = acc + accd[: acc.shape[0]]
@@ -316,7 +320,7 @@ if "--gat" in sys.argv:
             msrc = jnp.max(a_s, axis=0, keepdims=True)
             return _gat_forward(tg, xx, None, a_d.astype(jnp.bfloat16),
                                 w_asrc=wv, normalize=False, msrc=msrc,
-                                dataflow=None if GROUPED else DF)
+                                dataflow=None if GROUPED_GAT else DF)
 
         tt_ = time_layer_device(gat_tail_fn, None, gg, x, k_small=1,
                                 k_big=5, reps=2)
