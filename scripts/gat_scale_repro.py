@@ -2,17 +2,21 @@ import sys; sys.path.insert(0, "/root/repo")
 """MINIMAL REPRO of the full-batch GAT train-step device fault (r3).
 
 Facts established by bisection (all at E=90M, reference Reddit dims):
-  * forward alone, backward alone, and ONE layer fwd+bwd (plain or
-    w_asrc) each run fine;
+  * forward alone, backward alone, ONE layer fwd+bwd (plain AND w_asrc),
+    and TWO chained FORWARDS each run fine;
   * TWO chained attention layers + value_and_grad fault with
     UNAVAILABLE: TPU device error AFTER compiling (16.9 GB fits);
   * the same 2-layer step works at E=60M.
 
-Suspects: a runtime resource limit (DMA scratch/semaphores) crossed when
-both layers' multi-call kernel sequences and serialized [E] backward
-pipelines share one program, or an XLA/Mosaic runtime bug.  Next lever:
-chunk the [E] alpha pipeline per layer (halves concurrent live state) or
-remat layer 1.
+Prime suspect: a per-executable runtime resource limit (semaphores / DMA
+queues) — at 90M the program holds ~40 pallas_call instances (per layer:
+~4 fwd multi-call chunks + 4 per-head sddmm calls x their splits + 4
+per-head spmm_T calls) vs ~30 at 60M.  jax.checkpoint on a layer trips
+UnexpectedTracerError (the gat custom_vjp closes over the tiling
+tracers; arg-thread them like dist._spmm_local_kernel to enable remat).
+Next levers: fuse the 4 per-head sddmm calls back into one heads=H call
+(-12 calls), raise/restructure the multi-call split, or chunk the [E]
+alpha pipeline.
 
 Usage: python scripts/gat_scale_repro.py [E]   (90M reproduces, 60M passes)
 """
