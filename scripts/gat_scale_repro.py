@@ -14,9 +14,11 @@ queues) — at 90M the program holds ~40 pallas_call instances (per layer:
 per-head spmm_T calls) vs ~30 at 60M.  jax.checkpoint on a layer trips
 UnexpectedTracerError (the gat custom_vjp closes over the tiling
 tracers; arg-thread them like dist._spmm_local_kernel to enable remat).
-Next levers: fuse the 4 per-head sddmm calls back into one heads=H call
-(-12 calls), raise/restructure the multi-call split, or chunk the [E]
-alpha pipeline.
+Fusing the 4 per-head sddmm calls back into one heads=H call (-12
+calls) was TRIED and does NOT fix the fault — the call-count theory is
+weakened; chunking the [E] alpha pipeline (caps live edge state) or
+enabling remat via arg-threaded custom_vjp tilings are the remaining
+levers.
 
 Usage: python scripts/gat_scale_repro.py [E]   (90M reproduces, 60M passes)
 """
