@@ -648,7 +648,11 @@ def tile_graph_grouped(
     grp_first = np.searchsorted(
         chunk_grp, np.arange(n_groups + 1)).astype(np.int64)
 
-    w_unit = bool(np.all((wv == 0.0) | (wv == 1.0)))
+    # detect unit weights from the pre-placement REAL edge weights: the slot
+    # array pads with 0.0, so testing it would mistake real weight-0.0 edges
+    # (masked/dropped) for padding and let the unit-weight kernel treat them
+    # as weight 1.0
+    w_unit = bool(ne == 0 or np.all(w == 1.0))
 
     idt = jnp.int16 if max(block_rows, block_cols) < 32000 else jnp.int32
     return GroupedTiledGraph(

@@ -108,67 +108,78 @@ def _gat_kernel(
     def _reset():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    src = src_ref[0, 0, :].astype(jnp.int32)                  # [ET]
-    dst = dst_ref[0, 0, :].astype(jnp.int32)                  # [ET]
-    dt = hcat_ref.dtype
-
-    # two one-hot builds total (VPU compares are a first-order cost):
-    # oh_src serves the packed src gather; oh_dst serves the dst gather AND
-    # the scatter-reduction (transposed-contraction dot_general).
-    cols = jax.lax.broadcasted_iota(jnp.int32, (ET, C), 1)
-    oh_src = (src[:, None] == cols).astype(dt)                # [ET, C]
-    rows_er = jax.lax.broadcasted_iota(jnp.int32, (ET, R), 1)
-    oh_dst = (dst[:, None] == rows_er).astype(dt)             # [ET, R]
-
-    if derive:
-        # pass 1: gather h rows only; derive a_src = hs @ W in-kernel
-        hs = jnp.dot(oh_src, hcat_ref[:], preferred_element_type=jnp.float32,
-                     precision=precision)                     # [ET, HD]
-        a_s = jnp.dot(hs.astype(dt), w_ref[:],
-                      preferred_element_type=jnp.float32,
-                      precision=precision)                    # [ET, H]
-    else:
-        # pass 1: packed gather of [h ‖ a_src] rows
-        g = jnp.dot(oh_src, hcat_ref[:], preferred_element_type=jnp.float32,
-                    precision=precision)                      # [ET, HD+H]
-        hs = g[:, :HD]
-        a_s = g[:, HD:]
-    # pass 2: a_dst gather
-    a_d = jnp.dot(oh_dst, adst_ref[:], preferred_element_type=jnp.float32,
-                  precision=precision)                        # [ET, H]
-
-    def leaky(v):
-        return jnp.where(v >= 0, v, slope * v)
-
-    e = leaky(a_s + a_d)
-    bound = leaky(msrc_ref[0, :][None, :] + a_d)              # [ET, H] (row-const)
-    # full-shape mask: a [ET, 1] bool broadcast against the narrow [ET, H]
-    # lane dim crashes Mosaic (bisected on v5e); broadcast_in_dim is fine
-    dmat = jax.lax.broadcast_in_dim(dst, (ET, H), (0,))
-    p = jnp.where(dmat < R, jnp.exp(jnp.minimum(e - bound, 60.0)), 0.0)
-    wmat = jax.lax.broadcast_in_dim(
-        wgt_ref[0, 0, :].astype(jnp.float32), (ET, H), (0,))
-    p = p * wmat                                   # term multiplicity
-
     # head -> feature expansion: B[h, f] = 1 iff f // (HD//H) == h.
     # head_dim == 1 (e.g. the reference's layer3 config) makes B the
-    # identity — skip both expansion matmuls entirely.
-    if HD == H:
-        p_full = p
-    else:
+    # identity — skip both expansion matmuls entirely.  Built outside the
+    # dead-tile skip because _publish's normalize branch needs it too.
+    if HD != H:
         brow = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 0)
         bcol = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 1) // (HD // H)
         B = (brow == bcol).astype(jnp.float32)
-        p_full = jnp.dot(p, B, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)  # [ET, HD]
 
-    # pass 3: ONE transposed-contraction scatter of [num ‖ den] — operands
-    # cast to the input dtype (bf16 keeps the MXU single-pass; accumulation
-    # stays f32 via preferred_element_type)
-    v = jnp.concatenate([p_full * hs, p], axis=1).astype(dt)  # [ET, HD+H]
-    acc_ref[:] += jax.lax.dot_general(
-        oh_dst, v, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
+    # cb == -1 marks DEAD padding tiles (shard_tiles skew padding): skip
+    # all three matmul passes; the x-panel index map clamps to block 0
+    @pl.when(cb_ref[t] >= 0)
+    def _compute():
+        src = src_ref[0, 0, :].astype(jnp.int32)              # [ET]
+        dst = dst_ref[0, 0, :].astype(jnp.int32)              # [ET]
+        dt = hcat_ref.dtype
+
+        # two one-hot builds total (VPU compares are a first-order cost):
+        # oh_src serves the packed src gather; oh_dst serves the dst gather
+        # AND the scatter-reduction (transposed-contraction dot_general).
+        cols = jax.lax.broadcasted_iota(jnp.int32, (ET, C), 1)
+        oh_src = (src[:, None] == cols).astype(dt)            # [ET, C]
+        rows_er = jax.lax.broadcasted_iota(jnp.int32, (ET, R), 1)
+        oh_dst = (dst[:, None] == rows_er).astype(dt)         # [ET, R]
+
+        if derive:
+            # pass 1: gather h rows only; derive a_src = hs @ W in-kernel
+            hs = jnp.dot(oh_src, hcat_ref[:],
+                         preferred_element_type=jnp.float32,
+                         precision=precision)                 # [ET, HD]
+            a_s = jnp.dot(hs.astype(dt), w_ref[:],
+                          preferred_element_type=jnp.float32,
+                          precision=precision)                # [ET, H]
+        else:
+            # pass 1: packed gather of [h ‖ a_src] rows
+            g = jnp.dot(oh_src, hcat_ref[:],
+                        preferred_element_type=jnp.float32,
+                        precision=precision)                  # [ET, HD+H]
+            hs = g[:, :HD]
+            a_s = g[:, HD:]
+        # pass 2: a_dst gather
+        a_d = jnp.dot(oh_dst, adst_ref[:],
+                      preferred_element_type=jnp.float32,
+                      precision=precision)                    # [ET, H]
+
+        def leaky(v):
+            return jnp.where(v >= 0, v, slope * v)
+
+        e = leaky(a_s + a_d)
+        bound = leaky(msrc_ref[0, :][None, :] + a_d)   # [ET, H] (row-const)
+        # full-shape mask: a [ET, 1] bool broadcast against the narrow
+        # [ET, H] lane dim crashes Mosaic (bisected on v5e);
+        # broadcast_in_dim is fine
+        dmat = jax.lax.broadcast_in_dim(dst, (ET, H), (0,))
+        p = jnp.where(dmat < R, jnp.exp(jnp.minimum(e - bound, 60.0)), 0.0)
+        wmat = jax.lax.broadcast_in_dim(
+            wgt_ref[0, 0, :].astype(jnp.float32), (ET, H), (0,))
+        p = p * wmat                                   # term multiplicity
+
+        if HD == H:
+            p_full = p
+        else:
+            p_full = jnp.dot(p, B, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)  # [ET, HD]
+
+        # pass 3: ONE transposed-contraction scatter of [num ‖ den] —
+        # operands cast to the input dtype (bf16 keeps the MXU single-pass;
+        # accumulation stays f32 via preferred_element_type)
+        v = jnp.concatenate([p_full * hs, p], axis=1).astype(dt)
+        acc_ref[:] += jax.lax.dot_general(
+            oh_dst, v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
 
     # publish once per row stripe (last tile of the stripe)
     @pl.when(next_rb != rb_ref[t])
@@ -227,59 +238,66 @@ def _gat_kernel_t(
     def _reset():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    src = src_ref[0, 0, :].astype(jnp.int32)                  # [ET]
-    dst = dst_ref[0, 0, :].astype(jnp.int32)                  # [ET]
-    dt = hcat_ref.dtype
+    # cb == -1 marks DEAD padding tiles (shard_tiles skew padding): skip
+    # all matmul passes; the x-panel index map clamps to block 0
+    @pl.when(cb_ref[t] >= 0)
+    def _compute():
+        src = src_ref[0, 0, :].astype(jnp.int32)              # [ET]
+        dst = dst_ref[0, 0, :].astype(jnp.int32)              # [ET]
+        dt = hcat_ref.dtype
 
-    src_b = jax.lax.broadcast_in_dim(src, (C, ET), (1,))
-    oh_src_t = (src_b == jax.lax.broadcasted_iota(
-        jnp.int32, (C, ET), 0)).astype(dt)                    # [C, ET]
-    dst_b = jax.lax.broadcast_in_dim(dst, (R, ET), (1,))
-    oh_dst_t = (dst_b == jax.lax.broadcasted_iota(
-        jnp.int32, (R, ET), 0)).astype(dt)                    # [R, ET]
+        src_b = jax.lax.broadcast_in_dim(src, (C, ET), (1,))
+        oh_src_t = (src_b == jax.lax.broadcasted_iota(
+            jnp.int32, (C, ET), 0)).astype(dt)                # [C, ET]
+        dst_b = jax.lax.broadcast_in_dim(dst, (R, ET), (1,))
+        oh_dst_t = (dst_b == jax.lax.broadcasted_iota(
+            jnp.int32, (R, ET), 0)).astype(dt)                # [R, ET]
 
-    if derive:
-        hs = jnp.dot(hcat_ref[:], oh_src_t,
-                     preferred_element_type=jnp.float32,
-                     precision=precision)                     # [HD, ET]
-        # a_src rows = w^T @ hs  (tiny: H sublanes)
-        a_s = jax.lax.dot_general(
-            w_ref[:], hs.astype(dt), (((0,), (0,)), ((), ())),
+        if derive:
+            hs = jnp.dot(hcat_ref[:], oh_src_t,
+                         preferred_element_type=jnp.float32,
+                         precision=precision)                 # [HD, ET]
+            # a_src rows = w^T @ hs  (tiny: H sublanes)
+            a_s = jax.lax.dot_general(
+                w_ref[:], hs.astype(dt), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)                          # [H, ET]
+        else:
+            g = jnp.dot(hcat_ref[:], oh_src_t,
+                        preferred_element_type=jnp.float32,
+                        precision=precision)                  # [HD+H, ET]
+            hs = g[:HD, :]
+            a_s = g[HD:, :]
+        a_d = jnp.dot(adst_ref[:], oh_dst_t,
+                      preferred_element_type=jnp.float32,
+                      precision=precision)                    # [H, ET]
+
+        def leaky(v):
+            return jnp.where(v >= 0, v, slope * v)
+
+        e = leaky(a_s + a_d)
+        bound = leaky(msrc_ref[:, 0][:, None] + a_d)          # [H, ET]
+        dmat = jax.lax.broadcast_in_dim(dst, (H, ET), (1,))
+        p = jnp.where(dmat < R, jnp.exp(jnp.minimum(e - bound, 60.0)), 0.0)
+        wmat = jax.lax.broadcast_in_dim(
+            wgt_ref[0, 0, :].astype(jnp.float32), (H, ET), (1,))
+        p = p * wmat                                   # term multiplicity
+
+        if HD == H:
+            p_full = p
+        else:
+            brow = jax.lax.broadcasted_iota(
+                jnp.int32, (HD, H), 0) // (HD // H)
+            bcol = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 1)
+            Bt = (brow == bcol).astype(jnp.float32)           # [HD, H]
+            p_full = jnp.dot(Bt, p, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)  # [HD, ET]
+
+        v = jnp.concatenate([p_full * hs, p], axis=0).astype(dt)
+        acc_ref[:] += jax.lax.dot_general(
+            v, oh_dst_t, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=precision)                              # [H, ET]
-    else:
-        g = jnp.dot(hcat_ref[:], oh_src_t,
-                    preferred_element_type=jnp.float32,
-                    precision=precision)                      # [HD+H, ET]
-        hs = g[:HD, :]
-        a_s = g[HD:, :]
-    a_d = jnp.dot(adst_ref[:], oh_dst_t, preferred_element_type=jnp.float32,
-                  precision=precision)                        # [H, ET]
-
-    def leaky(v):
-        return jnp.where(v >= 0, v, slope * v)
-
-    e = leaky(a_s + a_d)
-    bound = leaky(msrc_ref[:, 0][:, None] + a_d)              # [H, ET]
-    dmat = jax.lax.broadcast_in_dim(dst, (H, ET), (1,))
-    p = jnp.where(dmat < R, jnp.exp(jnp.minimum(e - bound, 60.0)), 0.0)
-    wmat = jax.lax.broadcast_in_dim(
-        wgt_ref[0, 0, :].astype(jnp.float32), (H, ET), (1,))
-    p = p * wmat                                   # term multiplicity
-
-    if HD == H:
-        p_full = p
-    else:
-        brow = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 0) // (HD // H)
-        bcol = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 1)
-        Bt = (brow == bcol).astype(jnp.float32)               # [HD, H]
-        p_full = jnp.dot(Bt, p, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)  # [HD, ET]
-
-    v = jnp.concatenate([p_full * hs, p], axis=0).astype(dt)  # [HD+H, ET]
-    acc_ref[:] += jax.lax.dot_general(
-        v, oh_dst_t, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)  # [HD+H, R]
+            precision=precision)                              # [HD+H, R]
 
     @pl.when(next_rb != rb_ref[t])
     def _publish():
@@ -403,7 +421,7 @@ def _gat_grouped_raw(
         _gat_grouped_kernel, block_rows=R, block_cols=C, tile_edges=ET,
         group=G, HD=HD, H=H, slope=negative_slope, precision=precision)
 
-    def call(chunk_grp, chunk_cb, srcl, dstl, wv, n_grp):
+    def call(chunk_grp, chunk_cb, srcl, dstl, wv, n_grp, ads_part):
         NC = int(chunk_grp.shape[0])
         edge_spec = pl.BlockSpec((1, G, ET),
                                  lambda fi, c, grp, cb: (c, 0, 0))
@@ -432,20 +450,22 @@ def _gat_grouped_raw(
             ),
             interpret=interpret,
         )(chunk_grp, chunk_cb, srcl, dstl, wv,
-          hcat, ads, msrc.astype(jnp.float32), w_asrc.astype(dt))
+          hcat, ads_part, msrc.astype(jnp.float32), w_asrc.astype(dt))
 
     NC = tg.n_chunks
     if NC <= max_chunks_per_call or tg.grp_first_chunk_host is None:
         acc = call(tg.chunk_grp, tg.chunk_cb, tg.src_local, tg.dst_local,
-                   tg.weight, tg.n_groups)
+                   tg.weight, tg.n_groups, ads)
     else:
         parts = []
         for c0, c1, g0, g1 in _stripe_chunks(
                 tg.grp_first_chunk_host, NC, max_chunks_per_call):
+            # chunk_grp is rebased by -g0, so the a_dst panel must be sliced
+            # to the same group window — its BlockSpec indexes (grp[c], 0)
             parts.append(call(
                 tg.chunk_grp[c0:c1] - g0, tg.chunk_cb[c0:c1],
                 tg.src_local[c0:c1], tg.dst_local[c0:c1],
-                tg.weight[c0:c1], g1 - g0))
+                tg.weight[c0:c1], g1 - g0, ads[g0 * GR:g1 * GR]))
         acc = jnp.concatenate(parts, axis=0)
     return acc[: tg.n_node]
 
@@ -572,7 +592,8 @@ def _gat_forward(
                 pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
                 pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
                 pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
-                pl.BlockSpec((hcat_w, C), lambda t, rb, cb: (0, cb[t])),
+                pl.BlockSpec((hcat_w, C),
+                             lambda t, rb, cb: (0, jnp.maximum(cb[t], 0))),
             ]
             operands = [tile_rb, tile_cb,
                         srcl[:, None, :], dstl[:, None, :],
@@ -613,7 +634,8 @@ def _gat_forward(
             pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
             pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
             pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
-            pl.BlockSpec((C, hcat_w), lambda t, rb, cb: (cb[t], 0)),
+            pl.BlockSpec((C, hcat_w),
+                         lambda t, rb, cb: (jnp.maximum(cb[t], 0), 0)),
         ]
         operands = [tile_rb, tile_cb,
                     srcl[:, None, :], dstl[:, None, :],

@@ -172,7 +172,7 @@ def pair_aggregate_raw(
         precision=precision)
     Wout = 2 * Dp + 128
 
-    def call(tile_rb, tile_cb, srcl, dstl, n_rb):
+    def call(tile_rb, tile_cb, srcl, dstl, n_rb, vp_part):
         T_ = int(tile_rb.shape[0])
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -198,18 +198,22 @@ def pair_aggregate_raw(
                 transcendentals=0,
             ),
             interpret=interpret,
-        )(tile_rb, tile_cb, srcl[:, None, :], dstl[:, None, :], up, vp)
+        )(tile_rb, tile_cb, srcl[:, None, :], dstl[:, None, :], up,
+          vp_part)
 
     if T <= MAX_TILES_PER_CALL or tg.row_first_host is None:
         o = call(tg.tile_rb, tg.tile_cb, tg.src_local, tg.dst_local,
-                 tg.n_row_blocks)
+                 tg.n_row_blocks, vp)
     else:
         parts = []
         for t0, t1, rb0, rb1 in _stripe_chunks(
                 tg.row_first_host, T, MAX_TILES_PER_CALL):
+            # tile_rb is rebased by -rb0, so the v panel must be sliced to
+            # the same row window — its BlockSpec indexes (rb[t], 0)
             parts.append(call(
                 tg.tile_rb[t0:t1] - rb0, tg.tile_cb[t0:t1],
-                tg.src_local[t0:t1], tg.dst_local[t0:t1], rb1 - rb0))
+                tg.src_local[t0:t1], tg.dst_local[t0:t1], rb1 - rb0,
+                vp[rb0 * R:rb1 * R]))
         # stripe chunks cover disjoint row ranges: plain row concat
         o = jnp.concatenate(parts, axis=0)
     y_sum = o[:n, :d]
