@@ -838,6 +838,314 @@ def _gat_bwd_scalable(g, tg, tg_t, perm_t, h, a_s, a_d, out, gbar,
             dad.astype(a_d.dtype))
 
 
+# ---------------------------------------------------------------------------
+# FUSED tile-domain backward (round 4): the whole per-edge gradient chain
+# (alpha recompute, SDDMM t, softmax VJP, leaky chain, three scatters) runs
+# inside two Pallas kernels — zero [E]-shaped HBM intermediates.
+#
+# The r3 backward (_gat_bwd_scalable) kept every edge-domain quantity 1-D
+# per head but still round-tripped ~10 [E] f32 arrays through HBM per head
+# (~240 MB each at Reddit): 50.8 s/step at 60M edges, and past ~60M the
+# 2-layer step crossed the device's ~60 s per-program wall-clock budget
+# (scripts/long_program_probe.py).  Here the chain is restructured the same
+# way the forward was: per edge TILE, everything lives in VMEM.
+#
+# Math (per head k; alpha the forward's normalised weight of edge s->d):
+#   t_e    = <gbar_d, h_s>                    (per-head SDDMM)
+#   s2_d   = <gbar_d, out_d>                  (tiny [N, H] XLA precompute)
+#   dl_e   = alpha_e (t_e - s2_d)             (softmax VJP)
+#   dz_e   = dl_e * leaky'(a_s[s] + a_d[d])
+#   dad[d] = sum_{dst=d} dz_e                 <- kernel over tg   (dst rows)
+#   das[s] = sum_{src=s} dz_e                 <- kernel over tg_t (src rows)
+#   dh[s]  = sum_{src=s} alpha_e gbar_d       <- same tg_t kernel
+#
+# alpha is recomputed from the forward's OWN shift-bound form using the
+# saved per-row denominator:  alpha = wgt * exp(leaky(a_se+a_de) - bound)
+# / den[d],  bound = leaky(max_s a_s + a_d[d]) — identical to the forward
+# kernel's weights (the r3 backward recomputed the exact segment-max form;
+# saving den [N, H] is 3.7 MB at Reddit and removes both segment passes).
+# Edge multiplicity (hybrid int8 merges): dz and alpha both carry the tile
+# weight, so merged slots contribute exactly their copy count.
+# ---------------------------------------------------------------------------
+
+
+def _gat_bwd_dad_kernel(
+    rb_ref, cb_ref,
+    src_ref, dst_ref, wgt_ref,
+    hcat_ref, dpack_ref, msrc_ref, o_ref, acc_ref,
+    *, R: int, C: int, ET: int, H: int, HD: int, slope: float, precision,
+):
+    """dad = scatter-by-dst of dz, over the forward tiling (rows = dst).
+
+    Per tile: gather [h ‖ a_s] rows by src (pass 1, K=C), gather
+    [gbar ‖ a_d ‖ 1/den ‖ s2] rows by dst (pass 2, K=R), run the edge
+    gradient chain on the VPU + one tiny [ET,HD]@[HD,H] head-sum matmul,
+    scatter dz into the [R, H] accumulator (pass 3, K=ET)."""
+    D = HD // H
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    prev_rb = jnp.where(t == 0, -1, rb_ref[jnp.maximum(t - 1, 0)])
+    next_rb = jnp.where(t == T - 1, -1, rb_ref[jnp.minimum(t + 1, T - 1)])
+
+    @pl.when(rb_ref[t] != prev_rb)
+    def _reset():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(cb_ref[t] >= 0)
+    def _compute():
+        src = src_ref[0, 0, :].astype(jnp.int32)
+        dst = dst_ref[0, 0, :].astype(jnp.int32)
+        dt = hcat_ref.dtype
+
+        cols = jax.lax.broadcasted_iota(jnp.int32, (ET, C), 1)
+        oh_src = (src[:, None] == cols).astype(dt)            # [ET, C]
+        rows_er = jax.lax.broadcasted_iota(jnp.int32, (ET, R), 1)
+        oh_dst = (dst[:, None] == rows_er).astype(dt)         # [ET, R]
+
+        gsrc = jnp.dot(oh_src, hcat_ref[:],
+                       preferred_element_type=jnp.float32,
+                       precision=precision)                   # [ET, HD+H]
+        hs = gsrc[:, :HD]
+        a_se = gsrc[:, HD:]
+        gdst = jnp.dot(oh_dst, dpack_ref[:],
+                       preferred_element_type=jnp.float32,
+                       precision=precision)                   # [ET, HD+3H]
+        gbar_e = gdst[:, :HD]
+        a_de = gdst[:, HD:HD + H]
+        rden_e = gdst[:, HD + H:HD + 2 * H]
+        s2e = gdst[:, HD + 2 * H:]
+
+        def leaky(v):
+            return jnp.where(v >= 0, v, slope * v)
+
+        lraw = a_se + a_de
+        bound = leaky(msrc_ref[0, :][None, :] + a_de)
+        dmat = jax.lax.broadcast_in_dim(dst, (ET, H), (0,))
+        p = jnp.where(dmat < R,
+                      jnp.exp(jnp.minimum(leaky(lraw) - bound, 60.0)), 0.0)
+        wmat = jax.lax.broadcast_in_dim(
+            wgt_ref[0, 0, :].astype(jnp.float32), (ET, H), (0,))
+        alpha = p * wmat * rden_e                             # [ET, H]
+
+        # t_e: per-head <gbar_d, h_s> — head-sum via the 0/1 matrix Bt
+        brow = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 0) // D
+        bcol = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 1)
+        Bt = (brow == bcol).astype(jnp.float32)               # [HD, H]
+        te = jnp.dot(gbar_e * hs, Bt,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)     # [ET, H]
+
+        dl = alpha * (te - s2e)
+        dz = dl * jnp.where(lraw >= 0, 1.0, slope)            # [ET, H]
+
+        acc_ref[:] += jax.lax.dot_general(
+            oh_dst, dz.astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    @pl.when(next_rb != rb_ref[t])
+    def _publish():
+        o_ref[:] = acc_ref[:]
+
+
+def _gat_bwd_dsrc_kernel(
+    rb_ref, cb_ref,
+    src_ref, dst_ref, wgt_ref,
+    dpack_ref, hcat_ref, msrc_ref, o_ref, acc_ref,
+    *, R: int, C: int, ET: int, H: int, HD: int, slope: float, precision,
+):
+    """[das ‖ dh] over the TRANSPOSED tiling (rows = original src).
+
+    In tg_t the local 'senders' are the original receivers (dst) and the
+    local 'receivers' are the original senders (src), so the dst-side pack
+    is the COLUMN panel here and [h ‖ a_s] is the ROW panel.  Emits one
+    [R, H + HD] block per row stripe: dz scattered by src (das) and
+    alpha-weighted gbar scattered by src (dh)."""
+    D = HD // H
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    prev_rb = jnp.where(t == 0, -1, rb_ref[jnp.maximum(t - 1, 0)])
+    next_rb = jnp.where(t == T - 1, -1, rb_ref[jnp.minimum(t + 1, T - 1)])
+
+    @pl.when(rb_ref[t] != prev_rb)
+    def _reset():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(cb_ref[t] >= 0)
+    def _compute():
+        dloc = src_ref[0, 0, :].astype(jnp.int32)   # original dst (cols)
+        sloc = dst_ref[0, 0, :].astype(jnp.int32)   # original src (rows)
+        dt = hcat_ref.dtype
+
+        cols = jax.lax.broadcasted_iota(jnp.int32, (ET, C), 1)
+        oh_col = (dloc[:, None] == cols).astype(dt)           # [ET, C]
+        rows_er = jax.lax.broadcasted_iota(jnp.int32, (ET, R), 1)
+        oh_row = (sloc[:, None] == rows_er).astype(dt)        # [ET, R]
+
+        gdst = jnp.dot(oh_col, dpack_ref[:],
+                       preferred_element_type=jnp.float32,
+                       precision=precision)                   # [ET, HD+3H]
+        gbar_e = gdst[:, :HD]
+        a_de = gdst[:, HD:HD + H]
+        rden_e = gdst[:, HD + H:HD + 2 * H]
+        s2e = gdst[:, HD + 2 * H:]
+        grow = jnp.dot(oh_row, hcat_ref[:],
+                       preferred_element_type=jnp.float32,
+                       precision=precision)                   # [ET, HD+H]
+        hs = grow[:, :HD]
+        a_se = grow[:, HD:]
+
+        def leaky(v):
+            return jnp.where(v >= 0, v, slope * v)
+
+        lraw = a_se + a_de
+        bound = leaky(msrc_ref[0, :][None, :] + a_de)
+        smat = jax.lax.broadcast_in_dim(sloc, (ET, H), (0,))
+        p = jnp.where(smat < R,
+                      jnp.exp(jnp.minimum(leaky(lraw) - bound, 60.0)), 0.0)
+        wmat = jax.lax.broadcast_in_dim(
+            wgt_ref[0, 0, :].astype(jnp.float32), (ET, H), (0,))
+        alpha = p * wmat * rden_e                             # [ET, H]
+
+        brow = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 0) // D
+        bcol = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 1)
+        Bt = (brow == bcol).astype(jnp.float32)               # [HD, H]
+        te = jnp.dot(gbar_e * hs, Bt,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)     # [ET, H]
+
+        dl = alpha * (te - s2e)
+        dz = dl * jnp.where(lraw >= 0, 1.0, slope)            # [ET, H]
+
+        # alpha expanded head->feat (exact copy per head: 0/1 matmul)
+        afull = jnp.dot(alpha, Bt.T,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # [ET, HD]
+        vals = jnp.concatenate([dz, afull * gbar_e], axis=1).astype(dt)
+        acc_ref[:] += jax.lax.dot_general(
+            oh_row, vals, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    @pl.when(next_rb != rb_ref[t])
+    def _publish():
+        o_ref[:] = acc_ref[:]
+
+
+def _gat_bwd_fused(tg: TiledGraph, tg_t: TiledGraph, h, a_s, a_d, den, out,
+                   gbar, slope: float, interpret: bool = False,
+                   precision=None, max_tiles_per_call: int = None,
+                   a_s_bound=None):
+    """Fused tile-domain GAT attention backward: (dh, das, dad) with no
+    [E]-shaped HBM intermediate.  ``den`` [N, H] is the forward kernel's
+    per-row softmax denominator (saved residual); the shift bound msrc is
+    recomputed exactly as the forward computes it.
+
+    ``a_s_bound``: the a_src twin the FORWARD derived its msrc bound from,
+    when it differs from ``a_s``.  In w_asrc (derive) mode the forward's
+    per-edge logits use the in-kernel hs@w (full f32 when dt is f32) while
+    msrc comes from the XLA h@w — and this JAX's DEFAULT f32 matmul
+    precision rounds through bf16, so the two can differ by ~1e-3.  alpha
+    = exp(e - bound)/den is only exact if both twins are replicated."""
+    from .spmm import MAX_TILES_PER_CALL, _stripe_chunks
+    if max_tiles_per_call is None:
+        max_tiles_per_call = MAX_TILES_PER_CALL
+    n = tg.n_node
+    H = a_d.shape[1]
+    HD = h.shape[1]
+    D = HD // H
+    dt = h.dtype
+    if precision is None:
+        precision = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+    f32 = jnp.float32
+    gb32 = gbar.astype(f32)
+    s2 = jnp.sum(gb32.reshape(n, H, D) * out.astype(f32).reshape(n, H, D),
+                 axis=-1)                                      # [N, H]
+    rden = 1.0 / jnp.maximum(den.astype(f32), 1e-20)           # [N, H]
+    msrc = jnp.max((a_s if a_s_bound is None else a_s_bound).astype(f32),
+                   axis=0, keepdims=True)                      # [1, H]
+
+    def dpack_pad(n_pad: int):
+        dp = jnp.zeros((n_pad, HD + 3 * H), dt)
+        dp = dp.at[:n, :HD].set(gbar.astype(dt))
+        dp = dp.at[:n, HD:HD + H].set(a_d.astype(dt))
+        dp = dp.at[:n, HD + H:HD + 2 * H].set(rden.astype(dt))
+        return dp.at[:n, HD + 2 * H:].set(s2.astype(dt))
+
+    def hpack_pad(n_pad: int):
+        hp = jnp.zeros((n_pad, HD + H), dt)
+        hp = hp.at[:n, :HD].set(h.astype(dt))
+        return hp.at[:n, HD:].set(a_s.astype(dt))
+
+    def run(tgx: TiledGraph, col_panel, row_panel, kernel, out_w: int):
+        R, C, ET, T = (tgx.block_rows, tgx.block_cols, tgx.tile_edges,
+                       tgx.n_tiles)
+        colw = col_panel.shape[1]
+        roww = row_panel.shape[1]
+        kfn = functools.partial(kernel, R=R, C=C, ET=ET, H=H, HD=HD,
+                                slope=float(slope), precision=precision)
+
+        def call(tile_rb, tile_cb, srcl, dstl, wgt, rb0, n_rb):
+            Tc = int(tile_rb.shape[0])
+            cost = pl.CostEstimate(
+                flops=2 * Tc * ET * (C + 2 * R) * max(HD + 3 * H, 128),
+                bytes_accessed=(col_panel.size + row_panel.size)
+                * col_panel.dtype.itemsize,
+                transcendentals=Tc * ET * H,
+            )
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(Tc,),
+                in_specs=[
+                    pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
+                    pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
+                    pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
+                    pl.BlockSpec((C, colw),
+                                 lambda t, rb, cb: (jnp.maximum(cb[t], 0), 0)),
+                    pl.BlockSpec((R, roww),
+                                 lambda t, rb, cb: (rb[t] + rb0, 0)),
+                    pl.BlockSpec((1, H), lambda t, rb, cb: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (R, out_w), lambda t, rb, cb: (rb[t], 0)),
+                scratch_shapes=[pltpu.VMEM((R, out_w), jnp.float32)],
+            )
+            return pl.pallas_call(
+                kfn, grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((n_rb * R, out_w), jnp.float32),
+                cost_estimate=cost, interpret=interpret,
+            )(tile_rb, tile_cb, srcl[:, None, :], dstl[:, None, :],
+              wgt[:, None, :], col_panel, row_panel, msrc)
+
+        if T <= max_tiles_per_call or tgx.row_first_host is None:
+            return call(tgx.tile_rb, tgx.tile_cb, tgx.src_local,
+                        tgx.dst_local, tgx.weight, 0, tgx.n_row_blocks)
+        parts = []
+        for t0, t1, rb0, rb1 in _stripe_chunks(
+                tgx.row_first_host, T, max_tiles_per_call):
+            parts.append(call(
+                tgx.tile_rb[t0:t1] - rb0, tgx.tile_cb[t0:t1],
+                tgx.src_local[t0:t1], tgx.dst_local[t0:t1],
+                tgx.weight[t0:t1], rb0, rb1 - rb0))
+        return jnp.concatenate(parts, axis=0)
+
+    # kernel 1 (forward tiling, rows = dst): dad
+    dad = run(tg, hpack_pad(tg.n_col_blocks * tg.block_cols),
+              dpack_pad(tg.n_row_blocks * tg.block_rows),
+              _gat_bwd_dad_kernel, H)[:n]
+    # kernel 2 (transposed tiling, rows = src): [das ‖ dh]
+    sd = run(tg_t, dpack_pad(tg_t.n_col_blocks * tg_t.block_cols),
+             hpack_pad(tg_t.n_row_blocks * tg_t.block_rows),
+             _gat_bwd_dsrc_kernel, H + HD)[:n]
+    das = sd[:, :H]
+    dh = sd[:, H:]
+    return dh.astype(h.dtype), das.astype(a_s.dtype), dad.astype(a_d.dtype)
+
+
+# Fused tile-domain backward toggle (A/B escape hatch: the r3 per-head
+# [E]-pipeline backward remains available by setting this False)
+FUSED_BWD = True
+
+
 def gat_attention(
     tg: TiledGraph,
     h_src: jax.Array,
@@ -874,11 +1182,27 @@ def gat_attention(
     the gap offline instead."""
     scalable = g is not None and tg_t is not None and ev_perm_t is not None
     assert not guard_shift or g is not None, "guard_shift needs g"
+    # fused tile-domain backward: needs plain fwd + transposed tilings and
+    # the kernel (not guarded-XLA) forward so the saved den matches
+    fused = (scalable and FUSED_BWD and not guard_shift
+             and type(tg) is TiledGraph and type(tg_t) is TiledGraph)
 
     def run_kernel(h, s, d, w=None):
         return _gat_forward(tg, h, s, d, w_asrc=w,
                             negative_slope=negative_slope,
                             interpret=interpret)
+
+    def run_fused_fwd(h, s, d, w=None):
+        """Forward through the raw (num ‖ den) kernel output; returns
+        (y, den) so the fused backward can reuse the denominator."""
+        HDv = h.shape[1]
+        raw = _gat_forward(tg, h, s, d, w_asrc=w,
+                           negative_slope=negative_slope,
+                           interpret=interpret, normalize=False)
+        den = raw[:, HDv:]
+        y = raw[:, :HDv] / jnp.maximum(
+            jnp.repeat(den, HDv // den.shape[1], axis=1), 1e-20)
+        return y, den
 
     def run_guarded(h, s, d, w=None):
         if not guard_shift:
@@ -898,10 +1222,37 @@ def gat_attention(
             return run_guarded(h, None, d, w)
 
         def fwdw(h, w, d):
+            if fused:
+                y, den = run_fused_fwd(h, None, d, w)
+                return y, (h, w, d, y, den)
             y = fw(h, w, d)
             return y, ((h, w, d, y) if scalable else (h, w, d))
 
         def bwdw(res, gy):
+            if fused:
+                h, w, d, y, den = res
+                # two a_s twins: the XLA one the forward's msrc bound saw
+                # (DEFAULT precision) and the in-kernel derive one the
+                # logits saw (HIGHEST when f32 — see _gat_bwd_fused doc)
+                a_sx = jnp.dot(h, w.astype(h.dtype),
+                               preferred_element_type=jnp.float32)
+                kprec = (jax.lax.Precision.HIGHEST
+                         if h.dtype == jnp.float32
+                         else jax.lax.Precision.DEFAULT)
+                a_sk = jnp.dot(h, w.astype(h.dtype),
+                               preferred_element_type=jnp.float32,
+                               precision=kprec)
+                dh, das, dad = _gat_bwd_fused(
+                    tg, tg_t, h, a_sk, d, den, y, gy,
+                    negative_slope, interpret, a_s_bound=a_sx)
+                dh = (dh.astype(jnp.float32)
+                      + jnp.dot(das.astype(jnp.float32),
+                                w.astype(jnp.float32).T,
+                                precision=kprec)).astype(h.dtype)
+                dw = jnp.dot(h.astype(jnp.float32).T,
+                             das.astype(jnp.float32),
+                             precision=kprec).astype(w.dtype)
+                return dh, dw, dad.astype(d.dtype)
             if scalable:
                 h, w, d, y = res
                 a_s = jnp.dot(h.astype(jnp.float32), w.astype(jnp.float32))
@@ -930,10 +1281,18 @@ def gat_attention(
         return run_guarded(h, s, d)
 
     def fwd(h, s, d):
+        if fused:
+            y, den = run_fused_fwd(h, s, d)
+            return y, (h, s, d, y, den)
         y = f(h, s, d)
         return y, ((h, s, d, y) if scalable else (h, s, d))
 
     def bwd(res, gy):
+        if fused:
+            h, s, d, y, den = res
+            dh, das, dad = _gat_bwd_fused(tg, tg_t, h, s, d, den, y, gy,
+                                          negative_slope, interpret)
+            return dh, das.astype(s.dtype), dad.astype(d.dtype)
         if scalable:
             h, s, d, y = res
             return _gat_bwd_scalable(g, tg, tg_t, ev_perm_t, h, s, d, y,

@@ -1,26 +1,16 @@
 import sys; sys.path.insert(0, "/root/repo")
-"""MINIMAL REPRO of the full-batch GAT train-step device fault (r3).
+"""2-layer full-batch GAT train step at scale — r3's fault repro, now a
+REGRESSION CHECK (round 4).
 
-Facts established by bisection (all at E=90M, reference Reddit dims):
-  * forward alone, backward alone, ONE layer fwd+bwd (plain AND w_asrc),
-    and TWO chained FORWARDS each run fine;
-  * TWO chained attention layers + value_and_grad fault with
-    UNAVAILABLE: TPU device error AFTER compiling (16.9 GB fits);
-  * the same 2-layer step works at E=60M.
+r3 bisected a fault at E >= ~90M to "two fwd+bwd pairs in one program"
+and suspected a per-executable semaphore/DMA budget.  Round 4 ruled that
+out (scripts/long_program_probe.py): the device enforces a ~60 s
+PER-PROGRAM WALL-CLOCK limit, and the r3 backward (per-head [E]-pipeline,
+50.8 s/step at 60M) simply crossed it at 90M.  With the fused
+tile-domain backward (ops/gat.py _gat_bwd_fused) the same 2-layer step
+runs at 90M and at the full 114.5M.
 
-Prime suspect: a per-executable runtime resource limit (semaphores / DMA
-queues) — at 90M the program holds ~40 pallas_call instances (per layer:
-~4 fwd multi-call chunks + 4 per-head sddmm calls x their splits + 4
-per-head spmm_T calls) vs ~30 at 60M.  jax.checkpoint on a layer trips
-UnexpectedTracerError (the gat custom_vjp closes over the tiling
-tracers; arg-thread them like dist._spmm_local_kernel to enable remat).
-Fusing the 4 per-head sddmm calls back into one heads=H call (-12
-calls) was TRIED and does NOT fix the fault — the call-count theory is
-weakened; chunking the [E] alpha pipeline (caps live edge state) or
-enabling remat via arg-threaded custom_vjp tilings are the remaining
-levers.
-
-Usage: python scripts/gat_scale_repro.py [E]   (90M reproduces, 60M passes)
+Usage: python scripts/gat_scale_repro.py [E]   (expected: prints loss, OK)
 """
 import numpy as np
 import jax

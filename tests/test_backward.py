@@ -208,11 +208,69 @@ def test_gat_grad_scalable_vs_reference(rng):
         return jnp.vdot(out, gy)
 
     def loss_rw(hh, ww, dd):
-        a_s2 = jnp.dot(hh, ww)
+        # HIGHEST: the derive kernel computes hs@w in full f32, while this
+        # JAX's DEFAULT f32 matmul rounds through bf16 — the reference twin
+        # must match the kernel's (more accurate) logits
+        a_s2 = jnp.dot(hh, ww, precision=jax.lax.Precision.HIGHEST)
         return jnp.vdot(gat_mod._gat_reference(tg, hh, a_s2, dd, 0.2), gy)
 
     gkw = jax.grad(loss_kw, argnums=(0, 1, 2))(h, w_as, a_d)
     grw = jax.grad(loss_rw, argnums=(0, 1, 2))(h, w_as, a_d)
     for a, b in zip(gkw, grw):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_gat_grad_fused_split_and_legacy_agree(rng):
+    """Round-4 fused tile-domain backward: the multi-call split path is
+    exact, and the legacy per-head [E]-pipeline backward (FUSED_BWD=False)
+    still matches the reference on the same inputs."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import (
+        gat as gat_mod)
+    hg = _rand_graph(rng, n=260, e=1800, add_self_loops=True)
+    hgt, perm = transpose_host_graph(hg)
+    g = hg.to_device()
+    tg = tile_graph(hg, block_rows=128, block_cols=128, tile_edges=64,
+                    unit_weight=True)
+    tg_t = tile_graph(hgt, block_rows=128, block_cols=128, tile_edges=64,
+                      unit_weight=True)
+    permd = jnp.asarray(perm)
+    H, D = 4, 8
+    h = jnp.asarray(rng.standard_normal((hg.n_node, H * D)), jnp.float32)
+    a_s = jnp.asarray(rng.standard_normal((hg.n_node, H)), jnp.float32)
+    a_d = jnp.asarray(rng.standard_normal((hg.n_node, H)), jnp.float32)
+    gy = jnp.asarray(rng.standard_normal((hg.n_node, H * D)), jnp.float32)
+
+    # split path == single-call path (panel alignment across stripe chunks)
+    HD = H * D
+    raw = gat_mod._gat_forward(tg, h, a_s, a_d, normalize=False,
+                               interpret=True)
+    den = raw[:, HD:]
+    y = raw[:, :HD] / jnp.maximum(jnp.repeat(den, D, axis=1), 1e-20)
+    full = gat_mod._gat_bwd_fused(tg, tg_t, h, a_s, a_d, den, y, gy, 0.2,
+                                  interpret=True)
+    split = gat_mod._gat_bwd_fused(tg, tg_t, h, a_s, a_d, den, y, gy, 0.2,
+                                   interpret=True, max_tiles_per_call=5)
+    for a, b in zip(full, split):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+    # legacy path stays correct when toggled back on
+    def loss_k(hh, ss, dd):
+        out = gat_mod.gat_attention(tg, hh, ss, dd, heads=H,
+                                    interpret=True, g=g, tg_t=tg_t,
+                                    ev_perm_t=permd)
+        return jnp.vdot(out, gy)
+
+    def loss_ref(hh, ss, dd):
+        return jnp.vdot(gat_mod._gat_reference(tg, hh, ss, dd, 0.2), gy)
+
+    gat_mod.FUSED_BWD = False
+    try:
+        gk = jax.grad(loss_k, argnums=(0, 1, 2))(h, a_s, a_d)
+    finally:
+        gat_mod.FUSED_BWD = True
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(h, a_s, a_d)
+    for a, b in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
