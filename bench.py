@@ -107,8 +107,91 @@ def main():
         "unit": "us",
         "vs_baseline": round(BASELINE_US / us, 3),
         **roof,
-    }))
+    }), flush=True)
+
+
+def reddit_line():
+    """Second JSON line (VERDICT r3 next-5): the north-star Reddit-dims
+    SpMM throughput — full 114.6M-edge synthetic community graph, hybrid
+    dense+grouped-tail path, the exact discipline of scripts/reddit_bench.py.
+    vs_baseline compares against the ROUND-3 driver-recorded record
+    (1.209 Gedge/s, results/SUMMARY.md) so regressions are visible in
+    BENCH_r*.json; the reference itself cannot run this config at all (it
+    preprocesses Reddit at 25% of rows and only simulates —
+    preprocessing_forReditFlickr.py:10-13)."""
+    import time
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.data.datasets \
+        import synthetic_coo
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+        HostGraph, hybrid_graph, reorder_nodes)
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import (
+        dense as D, spmm as spmm_mod)
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.utils.benchmark \
+        import time_layer_device
+
+    N, E, F = 232965, 114_615_892, 128
+    R3_RECORD = 1.209   # Gedge/s, round-3 SUMMARY headline
+
+    cache = f"/tmp/reddit_cache_{E}_c.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        hg = HostGraph(senders=z["s"], receivers=z["r"], edge_mask=z["m"],
+                       edge_weight=z["w"], n_node=N, n_edge=int(z["ne"]))
+    else:
+        s, r, labels = synthetic_coo(N, E, seed=1, communities=1000,
+                                     p_in=0.7)
+        hg = gta.build_host_graph(s, r, N, add_self_loops=True,
+                                  symmetric_norm=True)
+        hg, _ = reorder_nodes(hg, "hubs+labels", labels=labels)
+        np.savez(cache, s=hg.senders, r=hg.receivers, m=hg.edge_mask,
+                 w=hg.edge_weight, ne=hg.n_edge)
+
+    thr = D.spmm_dense_threshold(256, 256, fudge=0.5)
+    hyb = hybrid_graph(hg, block_rows=256, block_cols=256, tile_edges=128,
+                       min_nnz=thr, supergroup=16, values_dtype=np.int8,
+                       sparse_block_rows=512, sparse_block_cols=512,
+                       tail_format="grouped", tail_group=16)
+    deg_in = np.bincount(hg.receivers[: hg.n_edge], minlength=N)
+    deg_out = np.bincount(hg.senders[: hg.n_edge], minlength=N)
+    rs = jax.device_put(jnp.asarray(
+        1.0 / np.sqrt(np.maximum(deg_in, 1)), jnp.float32))
+    cs = jax.device_put(jnp.asarray(
+        1.0 / np.sqrt(np.maximum(deg_out, 1)), jnp.float32))
+    x = jax.device_put(
+        jax.random.normal(jax.random.key(0), (N, F), jnp.bfloat16))
+
+    def hybrid_fn(p, gg, xx):
+        bg, tg, r_, c_ = gg
+        y = spmm_mod.spmm(tg, xx)
+        if bg is not None:
+            yd = D.spmm_dense(bg, xx, row_scale=r_, col_scale=c_)
+            y = y + yd[: y.shape[0]]
+        return y[:N]
+
+    gg = (hyb.dense, hyb.tiles, rs, cs)
+    t = time_layer_device(hybrid_fn, None, gg, x, k_small=1, k_big=7,
+                          reps=2)
+    ges = hg.n_edge / t / 1e9
+    print(json.dumps({
+        "metric": "reddit_spmm_throughput",
+        "value": round(ges, 3),
+        "unit": "Gedge/s",
+        "vs_baseline": round(ges / R3_RECORD, 3),
+        "detail": f"{t*1e3:.1f} ms for {hg.n_edge} edges, F={F} bf16, "
+                  "hybrid int8-dense + grouped tail",
+    }), flush=True)
 
 
 if __name__ == "__main__":
     main()
+    try:
+        reddit_line()
+    except Exception as e:   # the Cora headline must survive any failure here
+        print(json.dumps({"metric": "reddit_spmm_throughput",
+                          "error": f"{type(e).__name__}: {e}"[:200]}),
+              flush=True)

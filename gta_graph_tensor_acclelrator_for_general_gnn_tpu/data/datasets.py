@@ -59,7 +59,8 @@ class Dataset:
 
 
 def synthetic_coo(n_node: int, n_edge: int, seed: int = 0, alpha: float = 0.8,
-                  communities: int = 0, p_in: float = 0.7):
+                  communities: int = 0, p_in: float = 0.7,
+                  sender_alpha: float = 0.0):
     """Power-law-ish COO edge list (no self loops, possibly multi-edges for
     very large E).  Degree skew mimics real social/citation graphs so load
     balance behaviour is representative.
@@ -71,7 +72,14 @@ def synthetic_coo(n_node: int, n_edge: int, seed: int = 0, alpha: float = 0.8,
     round-1 behaviour: uniform senders, the adversarial no-locality case.
     With communities the return is (senders, receivers, com_of) — the
     labels stand in for the metis/louvain clustering pass a production
-    pipeline runs on real data before block-sparse execution."""
+    pipeline runs on real data before block-sparse execution.
+
+    ``sender_alpha`` > 0 draws CROSS-community senders from a zipf-like
+    popularity of that exponent instead of uniformly.  Real social graphs
+    have power-law OUT-degree too (a few prolific posters produce most
+    cross-subreddit edges); the uniform default is the adversarial
+    no-sender-locality case, under which every shard pair's halo saturates
+    at full-batch density (results/reddit_partition.json plan notes)."""
     rng = np.random.default_rng(seed)
     # Zipf-like node popularity for destinations, milder for sources
     p = (np.arange(1, n_node + 1, dtype=np.float64)) ** (-alpha)
@@ -88,8 +96,15 @@ def synthetic_coo(n_node: int, n_edge: int, seed: int = 0, alpha: float = 0.8,
         rc = com_of[receivers]
         # pick a uniform member of the receiver's community
         off = (rng.random(n_edge) * np.maximum(sizes[rc], 1)).astype(np.int64)
-        senders = np.where(intra, order[starts[rc] + off],
-                           rng.integers(0, n_node, size=n_edge))
+        if sender_alpha > 0:
+            ps = (np.arange(1, n_node + 1, dtype=np.float64)
+                  ) ** (-sender_alpha)
+            ps /= ps.sum()
+            perm_s = rng.permutation(n_node)
+            cross = perm_s[rng.choice(n_node, size=n_edge, p=ps)]
+        else:
+            cross = rng.integers(0, n_node, size=n_edge)
+        senders = np.where(intra, order[starts[rc] + off], cross)
     else:
         senders = rng.integers(0, n_node, size=n_edge)
     keep = senders != receivers

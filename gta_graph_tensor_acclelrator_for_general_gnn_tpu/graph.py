@@ -1151,7 +1151,8 @@ def cluster_labels(g: HostGraph, max_iter: int = 20, seed: int = 0):
     return compact.astype(np.int32)
 
 
-def reorder_nodes(g: HostGraph, method: str = "degree", labels=None):
+def reorder_nodes(g: HostGraph, method: str = "degree", labels=None,
+                  perm=None):
     """Relabel nodes to densify adjacency blocks (returns (HostGraph, perm),
     where perm[new_id] = old_id; apply ``x[perm]`` to node features).
 
@@ -1197,6 +1198,10 @@ def reorder_nodes(g: HostGraph, method: str = "degree", labels=None):
         return reorder_nodes(g, "hubs+labels", labels=found)
     elif method == "none":
         perm = np.arange(g.n_node, dtype=np.int64)
+    elif method == "perm":
+        # caller-supplied relabelling (e.g. parallel.community_partition_order)
+        assert perm is not None and len(perm) == g.n_node
+        perm = np.asarray(perm, np.int64)
     else:
         raise ValueError(f"unknown reorder method {method!r}")
     inv = np.empty_like(perm)

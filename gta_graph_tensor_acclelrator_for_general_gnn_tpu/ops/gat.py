@@ -53,6 +53,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -1186,123 +1187,130 @@ def gat_attention(
     # the kernel (not guarded-XLA) forward so the saved den matches
     fused = (scalable and FUSED_BWD and not guard_shift
              and type(tg) is TiledGraph and type(tg_t) is TiledGraph)
+    fn = _gat_vjp(float(negative_slope), bool(interpret),
+                  w_asrc is not None, scalable, fused, bool(guard_shift))
+    sw = w_asrc if w_asrc is not None else a_src
+    return fn(h_src, sw, a_dst, tg, tg_t, g, ev_perm_t)
 
-    def run_kernel(h, s, d, w=None):
-        return _gat_forward(tg, h, s, d, w_asrc=w,
-                            negative_slope=negative_slope,
+
+def _zero_cot(tree):
+    """Cotangents for non-differentiable pytree args of the gat custom_vjp
+    (tilings, graph, perm): float0 for integer/bool leaves, zeros for float
+    leaves (DCE'd under jit — nothing consumes them)."""
+    import jax.dtypes as _jdt
+
+    def z(x):
+        if x is None:
+            return None
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact):
+            return jnp.zeros_like(x)
+        return np.zeros(jnp.shape(x), _jdt.float0)
+    return jax.tree.map(z, tree)
+
+
+@functools.lru_cache(maxsize=None)
+def _gat_vjp(slope: float, interpret: bool, wmode: bool, scalable: bool,
+             fused: bool, guard: bool):
+    """Module-level custom_vjp for :func:`gat_attention`, built per static
+    config.  The tilings / graph / transpose perm are THREADED AS ARGUMENTS
+    (pytrees) instead of closed over — closing over traced arrays breaks
+    ``jax.checkpoint`` (UnexpectedTracerError / constant-handler TypeError,
+    the r3 remat blocker).  Their cotangents are structural zeros."""
+
+    def run_kernel(tg, h, s, d, w):
+        return _gat_forward(tg, h, s, d, w_asrc=w, negative_slope=slope,
                             interpret=interpret)
 
-    def run_fused_fwd(h, s, d, w=None):
-        """Forward through the raw (num ‖ den) kernel output; returns
-        (y, den) so the fused backward can reuse the denominator."""
-        HDv = h.shape[1]
-        raw = _gat_forward(tg, h, s, d, w_asrc=w,
-                           negative_slope=negative_slope,
-                           interpret=interpret, normalize=False)
-        den = raw[:, HDv:]
-        y = raw[:, :HDv] / jnp.maximum(
-            jnp.repeat(den, HDv // den.shape[1], axis=1), 1e-20)
-        return y, den
-
-    def run_guarded(h, s, d, w=None):
-        if not guard_shift:
-            return run_kernel(h, s, d, w)
+    def primal(h, sw, d, tg, g):
+        w, s = (sw, None) if wmode else (None, sw)
+        if not guard:
+            return run_kernel(tg, h, s, d, w)
         sv = (jnp.dot(h.astype(jnp.float32), w.astype(jnp.float32))
               if w is not None else s)
         gap = gat_shift_gap(g, sv)
         return jax.lax.cond(
             gap < SHIFT_GAP_SAFE,
-            lambda hh: run_kernel(hh, s, d, w),
-            lambda hh: _gat_reference(tg, hh, sv, d, negative_slope),
+            lambda hh: run_kernel(tg, hh, s, d, w),
+            lambda hh: _gat_reference(tg, hh, sv, d, slope),
             h)
 
-    if w_asrc is not None:
-        @jax.custom_vjp
-        def fw(h, w, d):
-            return run_guarded(h, None, d, w)
-
-        def fwdw(h, w, d):
-            if fused:
-                y, den = run_fused_fwd(h, None, d, w)
-                return y, (h, w, d, y, den)
-            y = fw(h, w, d)
-            return y, ((h, w, d, y) if scalable else (h, w, d))
-
-        def bwdw(res, gy):
-            if fused:
-                h, w, d, y, den = res
-                # two a_s twins: the XLA one the forward's msrc bound saw
-                # (DEFAULT precision) and the in-kernel derive one the
-                # logits saw (HIGHEST when f32 — see _gat_bwd_fused doc)
-                a_sx = jnp.dot(h, w.astype(h.dtype),
-                               preferred_element_type=jnp.float32)
-                kprec = (jax.lax.Precision.HIGHEST
-                         if h.dtype == jnp.float32
-                         else jax.lax.Precision.DEFAULT)
-                a_sk = jnp.dot(h, w.astype(h.dtype),
-                               preferred_element_type=jnp.float32,
-                               precision=kprec)
-                dh, das, dad = _gat_bwd_fused(
-                    tg, tg_t, h, a_sk, d, den, y, gy,
-                    negative_slope, interpret, a_s_bound=a_sx)
-                dh = (dh.astype(jnp.float32)
-                      + jnp.dot(das.astype(jnp.float32),
-                                w.astype(jnp.float32).T,
-                                precision=kprec)).astype(h.dtype)
-                dw = jnp.dot(h.astype(jnp.float32).T,
-                             das.astype(jnp.float32),
-                             precision=kprec).astype(w.dtype)
-                return dh, dw, dad.astype(d.dtype)
-            if scalable:
-                h, w, d, y = res
-                a_s = jnp.dot(h.astype(jnp.float32), w.astype(jnp.float32))
-                dh, das, dad = _gat_bwd_scalable(
-                    g, tg, tg_t, ev_perm_t, h, a_s, d, y, gy,
-                    negative_slope, interpret)
-                # chain a_src = h @ w
-                dh = (dh.astype(jnp.float32)
-                      + jnp.dot(das.astype(jnp.float32),
-                                w.astype(jnp.float32).T)).astype(h.dtype)
-                dw = jnp.dot(h.astype(jnp.float32).T,
-                             das.astype(jnp.float32)).astype(w.dtype)
-                return dh, dw, dad
-            _, vjp = jax.vjp(
-                lambda h, w, d: _gat_reference(
-                    tg, h, jnp.dot(h.astype(jnp.float32),
-                                   w.astype(jnp.float32)),
-                    d, negative_slope), *res)
-            return vjp(gy)
-
-        fw.defvjp(fwdw, bwdw)
-        return fw(h_src, w_asrc, a_dst)
-
     @jax.custom_vjp
-    def f(h, s, d):
-        return run_guarded(h, s, d)
+    def f(h, sw, d, tg, tg_t, g, perm_t):
+        return primal(h, sw, d, tg, g)
 
-    def fwd(h, s, d):
+    def fwd(h, sw, d, tg, tg_t, g, perm_t):
         if fused:
-            y, den = run_fused_fwd(h, s, d)
-            return y, (h, s, d, y, den)
-        y = f(h, s, d)
-        return y, ((h, s, d, y) if scalable else (h, s, d))
+            # raw (num ‖ den) kernel output: den rides to the backward
+            HDv = h.shape[1]
+            w, s = (sw, None) if wmode else (None, sw)
+            raw = _gat_forward(tg, h, s, d, w_asrc=w, negative_slope=slope,
+                               interpret=interpret, normalize=False)
+            den = raw[:, HDv:]
+            y = raw[:, :HDv] / jnp.maximum(
+                jnp.repeat(den, HDv // den.shape[1], axis=1), 1e-20)
+            return y, (h, sw, d, y, den, tg, tg_t, g, perm_t)
+        y = primal(h, sw, d, tg, g)
+        return y, (h, sw, d, y, None, tg, tg_t, g, perm_t)
 
     def bwd(res, gy):
+        h, sw, d, y, den, tg, tg_t, g, perm_t = res
+        aux = (_zero_cot(tg), _zero_cot(tg_t), _zero_cot(g),
+               _zero_cot(perm_t))
+        if fused and wmode:
+            w = sw
+            # two a_s twins: the XLA one the forward's msrc bound saw
+            # (DEFAULT precision) and the in-kernel derive one the logits
+            # saw (HIGHEST when f32 — see _gat_bwd_fused doc)
+            a_sx = jnp.dot(h, w.astype(h.dtype),
+                           preferred_element_type=jnp.float32)
+            kprec = (jax.lax.Precision.HIGHEST if h.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+            a_sk = jnp.dot(h, w.astype(h.dtype),
+                           preferred_element_type=jnp.float32,
+                           precision=kprec)
+            dh, das, dad = _gat_bwd_fused(
+                tg, tg_t, h, a_sk, d, den, y, gy, slope, interpret,
+                a_s_bound=a_sx)
+            dh = (dh.astype(jnp.float32)
+                  + jnp.dot(das.astype(jnp.float32),
+                            w.astype(jnp.float32).T,
+                            precision=kprec)).astype(h.dtype)
+            dw = jnp.dot(h.astype(jnp.float32).T, das.astype(jnp.float32),
+                         precision=kprec).astype(w.dtype)
+            return (dh, dw, dad.astype(d.dtype)) + aux
         if fused:
-            h, s, d, y, den = res
-            dh, das, dad = _gat_bwd_fused(tg, tg_t, h, s, d, den, y, gy,
-                                          negative_slope, interpret)
-            return dh, das.astype(s.dtype), dad.astype(d.dtype)
+            dh, das, dad = _gat_bwd_fused(tg, tg_t, h, sw, d, den, y, gy,
+                                          slope, interpret)
+            return (dh, das.astype(sw.dtype), dad.astype(d.dtype)) + aux
+        if scalable and wmode:
+            w = sw
+            a_s = jnp.dot(h.astype(jnp.float32), w.astype(jnp.float32))
+            dh, das, dad = _gat_bwd_scalable(
+                g, tg, tg_t, perm_t, h, a_s, d, y, gy, slope, interpret)
+            dh = (dh.astype(jnp.float32)
+                  + jnp.dot(das.astype(jnp.float32),
+                            w.astype(jnp.float32).T)).astype(h.dtype)
+            dw = jnp.dot(h.astype(jnp.float32).T,
+                         das.astype(jnp.float32)).astype(w.dtype)
+            return (dh, dw, dad) + aux
         if scalable:
-            h, s, d, y = res
-            return _gat_bwd_scalable(g, tg, tg_t, ev_perm_t, h, s, d, y,
-                                     gy, negative_slope, interpret)
-        _, vjp = jax.vjp(
-            lambda h, s, d: _gat_reference(tg, h, s, d, negative_slope), *res)
-        return vjp(gy)
+            dh, das, dad = _gat_bwd_scalable(
+                g, tg, tg_t, perm_t, h, sw, d, y, gy, slope, interpret)
+            return (dh, das, dad) + aux
+        if wmode:
+            _, vjp = jax.vjp(
+                lambda h_, w_, d_: _gat_reference(
+                    tg, h_, jnp.dot(h_.astype(jnp.float32),
+                                    w_.astype(jnp.float32)),
+                    d_, slope), h, sw, d)
+        else:
+            _, vjp = jax.vjp(
+                lambda h_, s_, d_: _gat_reference(tg, h_, s_, d_, slope),
+                h, sw, d)
+        return tuple(vjp(gy)) + aux
 
     f.defvjp(fwd, bwd)
-    return f(h_src, a_src, a_dst)
+    return f
 
 
 # ---------------------------------------------------------------------------

@@ -1,4 +1,5 @@
-from .partition import PartitionedGraph, partition_graph, pad_nodes
+from .partition import (PartitionedGraph, community_partition_order,
+                        partition_graph, pad_nodes)
 from .mesh2d import (CHIP_AXIS, HOST_AXIS, PartitionedGraph2D,
                      partition_graph_2d, remote_table_2d)
 from .dist import (

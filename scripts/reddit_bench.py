@@ -26,7 +26,7 @@ from gta_graph_tensor_acclelrator_for_general_gnn_tpu.utils.benchmark import (
     time_layer_device)
 
 N = 232965
-_VALUE_FLAGS = {"--rb"}          # flags that consume the next token
+_VALUE_FLAGS = {"--rb", "--thr-g", "--et", "--df"}   # flags that consume the next token
 _pos, _skip = [], False
 for _a in sys.argv[1:]:
     if _skip:
@@ -248,7 +248,11 @@ if "--gat" in sys.argv:
     # transposed dense kernel (values_layout 'cr'): per-head matmuls
     # stream D sublanes, so the FLOP-balance threshold drops and the
     # dense fraction grows
-    thr_g = D.gat_dense_threshold_t(RB, CB, H, HD // H)
+    # --thr-g N overrides the FLOP-balance threshold: measured r2/r3 rates
+    # (dense ~0.41 us/block at 256^2 int8 'cr', tail ~6 ns/edge) put the
+    # real breakeven near 70 nnz/block, ~10x below the FLOP model — the
+    # tail tiles run at ~7x less useful FLOP/s than the model assumes
+    thr_g = _flag("--thr-g", 0) or D.gat_dense_threshold_t(RB, CB, H, HD // H)
     # memory: reuse budget; attention needs rb-major dense order
     thr_g = max(thr_g,
                 int(bn_sorted[max_blocks - 1]) + 1

@@ -56,6 +56,57 @@ for D in (8,):
           flush=True)
     del part
 
+# --- round-4: COMMUNITY partition (VERDICT r3 missing #2) -----------------
+# label-free production path: LPA discovers communities, communities pack
+# onto shards edge-balanced (parallel.community_partition_order), the
+# relabelled graph partitions by contiguous range as before.
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+    cluster_labels, reorder_nodes)
+
+lab_cache = f"/tmp/reddit_lpa_{E}.npy"
+t0 = time.time()
+if os.path.exists(lab_cache):
+    labels = np.load(lab_cache)
+    print(f"LPA cache load {time.time()-t0:.0f}s "
+          f"k={int(labels.max())+1}", flush=True)
+else:
+    labels = cluster_labels(hg)
+    np.save(lab_cache, labels)
+    print(f"LPA clustering {time.time()-t0:.0f}s "
+          f"k={int(labels.max())+1}", flush=True)
+
+for D in (8,):
+    t0 = time.time()
+    perm_c, _ = parallel.community_partition_order(hg, labels, D)
+    hg_c, _ = reorder_nodes(hg, "perm", perm=perm_c)
+    part = parallel.partition_graph(hg_c, D)
+    rep = part.comm_report(F)
+    rep["build_s"] = round(time.time() - t0, 1)
+    rep["n_shards"] = D
+    rep["halo_mib_per_layer"] = round(rep["halo_bytes"] / 2**20, 2)
+    rep["hub_mib_per_layer"] = round(rep["hub_bytes"] / 2**20, 2)
+    # edge balance (EL/ER are max-padded: the widest shard sets the cost)
+    el = np.asarray(part.el_mask).sum(1)
+    er = np.asarray(part.er_mask).sum(1)
+    rep["edge_balance"] = round(float(el.max() + er.max())
+                                / (float(el.mean() + er.mean()) or 1), 3)
+    # halo-width saturation note: at full-batch Reddit density each shard
+    # pair sees ~18 cross-edge draws per candidate sender, so the per-pair
+    # unique-sender halo saturates at ~n_local REGARDLESS of assignment
+    # (measured: zipf sender_alpha=1.0 changes nothing).  The community
+    # plan's win is the local fraction (remote-gather compute and the ER
+    # max-pad halve) and edge balance; full-batch boundary exchange at this
+    # density is inherently ~full-replication — an ICI-scale volume, with
+    # DCN kept small by the 2-D plan's dedup.
+    rep["halo_saturated"] = bool(rep["halo_width"] >= part.n_local - 8)
+    out[f"plan_community_{D}"] = rep
+    print(f"community D={D}: halo_width={rep['halo_width']} "
+          f"hub_cap={rep['hub_cap']} local={rep['local_edges_frac']:.3f} "
+          f"halo {rep['halo_mib_per_layer']} MiB + hubs "
+          f"{rep['hub_mib_per_layer']} MiB /layer "
+          f"balance {rep['edge_balance']} ({rep['build_s']}s)", flush=True)
+    del part
+
 for dh, dc in ((2, 4),):
     t0 = time.time()
     part2 = parallel.partition_graph_2d(hg, dh, dc)
@@ -68,6 +119,21 @@ for dh, dc in ((2, 4),):
     print(f"2-D ({dh}x{dc}): halo_in={rep2['halo_in']} "
           f"halo_out={rep2['halo_out']} hub_cap={rep2['hub_cap']} "
           f"local={rep2['local_edges_frac']:.3f} "
+          f"ICI {rep2['ici_mib_per_layer']} MiB + DCN "
+          f"{rep2['dcn_mib_per_layer']} MiB /layer ({rep2['build_s']}s)",
+          flush=True)
+    del part2
+
+for dh, dc in ((2, 4),):
+    t0 = time.time()
+    part2 = parallel.partition_graph_2d(hg_c, dh, dc)
+    rep2 = part2.comm_report(F)
+    rep2["build_s"] = round(time.time() - t0, 1)
+    rep2["mesh"] = [dh, dc]
+    rep2["ici_mib_per_layer"] = round(rep2["ici_bytes"] / 2**20, 2)
+    rep2["dcn_mib_per_layer"] = round(rep2["dcn_bytes"] / 2**20, 2)
+    out[f"plan_2d_community_{dh}x{dc}"] = rep2
+    print(f"2-D community ({dh}x{dc}): local={rep2['local_edges_frac']:.3f} "
           f"ICI {rep2['ici_mib_per_layer']} MiB + DCN "
           f"{rep2['dcn_mib_per_layer']} MiB /layer ({rep2['build_s']}s)",
           flush=True)
