@@ -626,4 +626,9 @@ def make_sharded_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
 
-    return jax.jit(step, donate_argnums=0)
+    # on TPU: async-collective + latency-hiding options so the halo
+    # all_to_all / hub all_gather / grad psum ride under local compute
+    # (measured schedule evidence: scripts/overlap_check.py)
+    from .overlap import overlap_compiler_options
+    return jax.jit(step, donate_argnums=0,
+                   compiler_options=overlap_compiler_options())
