@@ -149,17 +149,30 @@ class GraphCost:
         return run_nnz_hist(self.g, br, bc)
 
     def onehot_ns(self, tc: S.TileConfig, feat_width: int,
-                  dtype_bytes: int = 2) -> float:
+                  dtype_bytes: int = 2, include_ramp: bool = True) -> float:
         from ..graph import tile_time_model_ns
         hist = self._hist(tc.block_rows, tc.block_cols)
         if len(hist) == 0:
             return 0.0
         return tile_time_model_ns(
             hist, tc.tile_edges, tc.block_rows, tc.block_cols,
-            feat_width=max(feat_width, 1), x_bytes=dtype_bytes)
+            feat_width=max(feat_width, 1), x_bytes=dtype_bytes,
+            include_ramp=include_ramp)
+
+    def ramp_ns(self, tc: S.TileConfig, feat_width: int = 128) -> float:
+        """Short-grid pipeline ramp (graph.grid_ramp_ns) — a PER-CALL cost:
+        multi-pass chain factors (GAT / pair-agg) must add it once,
+        unscaled."""
+        from ..graph import grid_ramp_ns
+        hist = self._hist(tc.block_rows, tc.block_cols)
+        if len(hist) == 0:
+            return 0.0
+        tiles = float(np.ceil(hist / tc.tile_edges).sum())
+        return grid_ramp_ns(len(hist), tiles, feat_width)
 
     def hybrid_ns(self, tc: S.TileConfig, feat_width: int,
-                  dense_threshold: int, dtype_bytes: int = 2) -> float:
+                  dense_threshold: int, dtype_bytes: int = 2,
+                  include_ramp: bool = True) -> float:
         from ..graph import tile_time_model_ns
         hist = self._hist(tc.block_rows, tc.block_cols)
         if len(hist) == 0:
@@ -178,7 +191,8 @@ class GraphCost:
         if len(tail):
             t += tile_time_model_ns(
                 tail, tc.tile_edges, tc.block_rows, tc.block_cols,
-                feat_width=f, x_bytes=dtype_bytes)
+                feat_width=f, x_bytes=dtype_bytes,
+                include_ramp=include_ramp)
         return t
 
     @functools.lru_cache(maxsize=64)
@@ -277,9 +291,12 @@ def block_ns(
         return cost.onehot_ns(tc, max(2 * fw, 8), dtype_bytes)
     if kind == "pair_agg":
         # two gather matmuls + scatter(s) + (for MAX) the segmented scan:
-        # ~2x the single-pass one-hot cost, +60% when MAX is wanted
+        # ~2x the single-pass one-hot cost, +60% when MAX is wanted.
+        # The per-call ramp is added ONCE, unscaled (graph.grid_ramp_ns)
         factor = 2.0 + (0.6 if ir.MAX in plan.gathers else 0.0)
-        return factor * cost.onehot_ns(tc, plan.width, dtype_bytes)
+        return (factor * cost.onehot_ns(tc, plan.width, dtype_bytes,
+                                        include_ramp=False)
+                + cost.ramp_ns(tc, plan.width))
 
     # GAT chain variants
     if kind == "gat_layer":
@@ -289,7 +306,8 @@ def block_ns(
                   and graph.by_id[o].extra["weight"][0] == plan.w_name)
         hd = mm.out_width
         base = (c.layer_kernel_factor * c.gat_pass_factor
-                * cost.onehot_ns(tc, hd, dtype_bytes))
+                * cost.onehot_ns(tc, hd, dtype_bytes, include_ramp=False)
+                + cost.ramp_ns(tc, hd))
         mxu = c.mxu_tflops_bf16 if dtype_bytes <= 2 else c.mxu_tflops_f32
         for o in block:
             op = graph.by_id[o]
@@ -302,10 +320,15 @@ def block_ns(
         thr = dense_mod.gat_dense_threshold(
             tc.block_rows, tc.block_cols, plan.heads,
             hd // max(plan.heads, 1))
-        return c.gat_pass_factor * cost.hybrid_ns(tc, hd, thr, dtype_bytes)
+        return (c.gat_pass_factor
+                * cost.hybrid_ns(tc, hd, thr, dtype_bytes,
+                                 include_ramp=False)
+                + cost.ramp_ns(tc, hd))
     if kind == "gat_stream":
         return c.gat_pass_factor * cost.stream_ns(tc, hd, dtype_bytes)
-    return c.gat_pass_factor * cost.onehot_ns(tc, hd, dtype_bytes)
+    return (c.gat_pass_factor
+            * cost.onehot_ns(tc, hd, dtype_bytes, include_ramp=False)
+            + cost.ramp_ns(tc, hd))
 
 
 def schedule_ns(
@@ -319,6 +342,57 @@ def schedule_ns(
     constants)."""
     return sum(block_ns(graph, b, tc, cost, dtype_bytes)
                for b, tc in zip(sched.blocks, sched.tiles))
+
+
+def spearman_rank(a: Sequence[float], b: Sequence[float]) -> float:
+    ra = np.argsort(np.argsort(a)).astype(float)
+    rb = np.argsort(np.argsort(b)).astype(float)
+    ra -= ra.mean()
+    rb -= rb.mean()
+    d = (ra * ra).sum() ** 0.5 * (rb * rb).sum() ** 0.5
+    return float((ra * rb).sum() / d) if d else 0.0
+
+
+def rank_check(memo_csv: str, graph_name: str, graph: ir.OpGraph,
+               host_graph, dtype_bytes: int = 2) -> Optional[dict]:
+    """Validate the model's ranking against the memoised v6 measured
+    latencies (tune.search CSV memo — the reference's C15 regression log).
+    Returns {rows, spearman, argmin_regret} or None when the memo has no
+    v6 entries for ``graph_name``.  CI floor: tests/test_latency_model.py
+    (drift in the fitted constants fails there first)."""
+    import csv
+    import os
+
+    if not os.path.exists(memo_csv):
+        return None
+    cost = GraphCost(host_graph)
+    rows = []
+    with open(memo_csv) as f:
+        for rec in csv.reader(f):
+            if len(rec) != 2 or not rec[0].startswith("v6|"):
+                continue
+            _, name, key = rec[0].split("|", 2)
+            if name != graph_name:
+                continue
+            try:
+                sched = S.Schedule.from_key(key)
+            except Exception:
+                continue
+            modelled = schedule_ns(graph, sched, cost, dtype_bytes) / 1e3
+            rows.append((float(rec[1]) * 1e6, modelled, key))
+    if not rows:
+        return None
+    rows.sort()
+    meas = [r[0] for r in rows]
+    mod = [r[1] for r in rows]
+    pick = int(np.argmin(mod))
+    return {
+        "rows": rows,
+        "spearman": spearman_rank(meas, mod),
+        # measured latency of the modelled pick over the measured best:
+        # the quantity that decides whether compile-only picking regresses
+        "argmin_regret": meas[pick] / meas[0],
+    }
 
 
 def min_latency_schedule(

@@ -409,11 +409,29 @@ class MultiTiledGraph:
         return sum(p.n_tiles * p.tile_edges for p in self.parts)
 
 
+def grid_ramp_ns(n_runs: int, n_tiles: float,
+                 feat_width: int = 128) -> float:
+    """SHORT-GRID ramp (r4 refit on the Cora memo v6 residuals): grids of
+    tens of tiles never reach DMA/compute steady state — each x-panel
+    switch costs ~700 ns extra and each tile ~120 ns on top of the
+    large-grid constants (lstsq over 7 measured GCN-Cora schedules, RMS
+    3.3 us).  Fades hyperbolically so the Reddit-scale fits (where the
+    314 ns/tile constant was measured at T ~ 5e4) are untouched: at
+    T = 51k the ramp adds ~16 ns/tile.  A PER-CALL cost: multi-pass
+    chains (GAT/pair-agg factors) must NOT scale it."""
+    # panel-switch cost: scales with the panel width up to one 128-lane
+    # group (the fit data is F=128; sub-128 widths switch proportionally
+    # cheaper, wider panels' extra bytes are already in the panel term)
+    per_run = 700.0 * min(max(feat_width, 1), 128) / 128.0
+    return (n_runs * per_run + n_tiles * 120.0) / (1.0 + n_tiles / 1024.0)
+
+
 def tile_time_model_ns(run_nnz: np.ndarray, tile_edges: int,
                        block_rows: int, block_cols: int,
                        *, feat_width: int = 128, x_bytes: int = 2,
                        grid_const_ns: float = 314.0,
-                       slot_ns: float = 2.77) -> float:
+                       slot_ns: float = 2.77,
+                       include_ramp: bool = True) -> float:
     """Modelled one-hot kernel time for packing the given (rb, cb) run-size
     distribution at one tile capacity (v5e fit, scripts/class_sweep.py +
     tail_geometry.py):
@@ -439,7 +457,9 @@ def tile_time_model_ns(run_nnz: np.ndarray, tile_edges: int,
         # ~200 ns extra (measured: Reddit-tail 512x512/128 and 1024x256/128
         # both read +~200 ns/tile over the small-call fit)
         per_tile += 200.0
-    return float(len(run_nnz) * panel + n_tiles * per_tile)
+    ramp = (grid_ramp_ns(len(run_nnz), n_tiles, feat_width)
+            if include_ramp else 0.0)
+    return float(len(run_nnz) * panel + n_tiles * per_tile + ramp)
 
 
 def best_tile_capacity(run_nnz: np.ndarray, block_rows: int, block_cols: int,
