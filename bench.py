@@ -187,11 +187,85 @@ def reddit_line():
     }), flush=True)
 
 
+def reddit_gat_line():
+    """Third JSON line (round 4): full-Reddit GAT attention throughput —
+    hybrid 'cr' int8 dense blocks + the r4 TRANSPOSED grouped chain tail
+    (interleaved-repeat head expansion, G16/512^2/ET128) at the measured
+    dense/tail breakeven threshold.  vs_baseline compares against the
+    round-3 record (0.733 Gedge/s, results/SUMMARY.md)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+        HostGraph, hybrid_graph)
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import (
+        dense as D)
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops.gat import (
+        _gat_forward)
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.utils.benchmark \
+        import time_layer_device
+
+    N, E, F = 232965, 114_615_892, 128
+    H, HD = 4, 128
+    R3_RECORD = 0.733   # Gedge/s, round-3 SUMMARY GAT record
+
+    cache = f"/tmp/reddit_cache_{E}_c.npz"
+    z = np.load(cache)   # reddit_line built it
+    hg = HostGraph(senders=z["s"], receivers=z["r"], edge_mask=z["m"],
+                   edge_weight=z["w"], n_node=N, n_edge=int(z["ne"]))
+
+    # measured-rate breakeven (~0.41us dense 'cr' block vs ~3.3ns/edge
+    # grouped-T tail); the 5 GiB dense-values budget clamp
+    thr_g = 128
+    hyb = hybrid_graph(hg, block_rows=256, block_cols=256, tile_edges=128,
+                       min_nnz=thr_g, unit_weight=True, block_layout="cr",
+                       values_dtype=np.int8,
+                       sparse_block_rows=512, sparse_block_cols=512,
+                       tail_format="grouped", tail_group=16)
+    x = jax.device_put(
+        jax.random.normal(jax.random.key(0), (N, F), jnp.bfloat16))
+    w_a = jax.device_put(jax.random.normal(jax.random.key(5), (HD, H),
+                                           jnp.bfloat16) * 0.1)
+    a_d = jax.device_put(jax.random.normal(jax.random.key(6), (N, H),
+                                           jnp.float32))
+
+    def gat_fn(p, gg, xx):
+        bg, tg, wv = gg
+        a_s = jnp.dot(xx, wv, preferred_element_type=jnp.float32)
+        msrc = jnp.max(a_s, axis=0, keepdims=True)
+        acc = _gat_forward(tg, xx, None, a_d.astype(jnp.bfloat16),
+                           w_asrc=wv, normalize=False, msrc=msrc)
+        if bg is not None:
+            accd = D.gat_dense_partial(bg, xx, a_s, a_d, msrc)
+            acc = acc + accd[: acc.shape[0]]
+        num, den = acc[:, :HD], acc[:, HD:]
+        return num / jnp.repeat(jnp.maximum(den, 1e-20), HD // H, axis=1)
+
+    gg = (hyb.dense, hyb.tiles, w_a)
+    t = time_layer_device(gat_fn, None, gg, x, k_small=1, k_big=5, reps=2)
+    ges = hg.n_edge / t / 1e9
+    print(json.dumps({
+        "metric": "reddit_gat_throughput",
+        "value": round(ges, 3),
+        "unit": "Gedge/s",
+        "vs_baseline": round(ges / R3_RECORD, 3),
+        "detail": f"{t*1e3:.1f} ms for {hg.n_edge} edges, H={H} HD={HD} "
+                  "bf16, hybrid cr-dense + grouped-T tail thr128",
+    }), flush=True)
+
+
 if __name__ == "__main__":
     main()
     try:
         reddit_line()
     except Exception as e:   # the Cora headline must survive any failure here
         print(json.dumps({"metric": "reddit_spmm_throughput",
+                          "error": f"{type(e).__name__}: {e}"[:200]}),
+              flush=True)
+    try:
+        reddit_gat_line()
+    except Exception as e:
+        print(json.dumps({"metric": "reddit_gat_throughput",
                           "error": f"{type(e).__name__}: {e}"[:200]}),
               flush=True)

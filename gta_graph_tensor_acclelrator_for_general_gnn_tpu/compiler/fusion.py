@@ -33,7 +33,8 @@ from .schedule import Schedule, TileConfig
 
 # bump when kernel implementations change: memoised tuner latencies are
 # keyed on (KERNEL_VERSION, schedule) so stale measurements never resurface
-KERNEL_VERSION = 7  # v7: grouped tail, dead-tile skip, pair-agg kernel
+KERNEL_VERSION = 8  # v8: interleaved-repeat head expansion (r4) — GAT
+                    # kernel latencies changed; HD==H memo entries stay valid
 
 
 @dataclasses.dataclass

@@ -109,14 +109,12 @@ def _gat_kernel(
     def _reset():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # head -> feature expansion: B[h, f] = 1 iff f // (HD//H) == h.
-    # head_dim == 1 (e.g. the reference's layer3 config) makes B the
-    # identity — skip both expansion matmuls entirely.  Built outside the
-    # dead-tile skip because _publish's normalize branch needs it too.
-    if HD != H:
-        brow = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 0)
-        bcol = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 1) // (HD // H)
-        B = (brow == bcol).astype(jnp.float32)
+    # head -> feature expansion: a LANE TILE-REPEAT (feature i gets head
+    # i % H).  The caller interleaves the h/w feature layout to match and
+    # un-interleaves the num output — replaces the r1-r3 HIGHEST-precision
+    # one-hot expansion matmul, which measured ~1.6x the WHOLE kernel in
+    # the grouped A/B (scripts/gat_chain_ablate.py v3).  head_dim == 1
+    # makes the expansion the identity.
 
     # cb == -1 marks DEAD padding tiles (shard_tiles skew padding): skip
     # all three matmul passes; the x-panel index map clamps to block 0
@@ -171,8 +169,7 @@ def _gat_kernel(
         if HD == H:
             p_full = p
         else:
-            p_full = jnp.dot(p, B, preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)  # [ET, HD]
+            p_full = pltpu.repeat(p, HD // H, axis=1)             # [ET, HD]
 
         # pass 3: ONE transposed-contraction scatter of [num ‖ den] —
         # operands cast to the input dtype (bf16 keeps the MXU single-pass;
@@ -190,9 +187,7 @@ def _gat_kernel(
             if HD == H:
                 den_full = den
             else:
-                den_full = jnp.dot(den, B,
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
+                den_full = pltpu.repeat(den, HD // H, axis=1)
             o_ref[:] = acc_ref[:, :HD] / den_full
         else:
             # hybrid mode: emit raw [num ‖ den] partials (the dense-block
@@ -287,12 +282,9 @@ def _gat_kernel_t(
         if HD == H:
             p_full = p
         else:
-            brow = jax.lax.broadcasted_iota(
-                jnp.int32, (HD, H), 0) // (HD // H)
-            bcol = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 1)
-            Bt = (brow == bcol).astype(jnp.float32)           # [HD, H]
-            p_full = jnp.dot(Bt, p, preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)  # [HD, ET]
+            # sublane tile-repeat expansion (interleaved feature layout,
+            # see _gat_kernel) — exact f32, no HIGHEST-precision dot
+            p_full = pltpu.repeat(p, HD // H, axis=0)         # [HD, ET]
 
         v = jnp.concatenate([p_full * hs, p], axis=0).astype(dt)
         acc_ref[:] += jax.lax.dot_general(
@@ -307,13 +299,7 @@ def _gat_kernel_t(
             if HD == H:
                 den_full = den
             else:
-                brow = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 0) \
-                    // (HD // H)
-                bcol = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 1)
-                Bt = (brow == bcol).astype(jnp.float32)
-                den_full = jnp.dot(Bt, den,
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
+                den_full = pltpu.repeat(den, HD // H, axis=0)
             o_ref[:] = acc_ref[:HD, :] / den_full
         else:
             o_ref[:] = acc_ref[:]
@@ -323,21 +309,43 @@ def _gat_kernel_t(
 NARROW_T = 64
 
 
-def _gat_grouped_kernel(
+# (the round-3 WIDE grouped GAT kernel was deleted in r4: it paid the
+# narrow-lane pad tax on every per-head operand and measured 1.7x
+# slower than _gat_grouped_kernel_t at tail density — gat_grouped_ab)
+def _gat_grouped_kernel_t(
     grp_ref, cb_ref,
-    src_ref, dst_ref, wgt_ref, hcat_ref, adst_ref, msrc_ref, w_ref,
+    src_ref, dst_ref, wgt_ref, hcat_ref, w_ref, adst_ref, msrc_ref,
     o_ref,
     *, block_rows: int, block_cols: int, tile_edges: int, group: int,
-    HD: int, H: int, slope: float, precision,
+    HD: int, H: int, slope: float, precision, unit_weight: bool,
 ):
-    """Stripe-group chunked GAT attention partials (the round-3 grouped
-    format applied to the fused chain): one chunk = ``group`` sub-tiles of
-    one (stripe-group, col-block), derive variant (a_src = hs @ w
-    in-kernel), shift-bound softmax, [num ‖ den] accumulator resident for
-    the whole stripe.  normalize=False semantics only (hybrid callers
-    combine and normalise outside)."""
+    """TRANSPOSED stripe-group chunked GAT partials (round 4).
+
+    The round-3 grouped GAT kernel (_gat_grouped_kernel) kept the WIDE
+    [edges, feat] orientation, so every narrow per-head operand paid the
+    128-lane tax the per-tile transposed kernel exists to avoid: the a_dst
+    gather runs H=4 lanes of 128 (32x pad waste), the scatter pads HD+H=132
+    lanes to 256, and the whole exp chain idles 31/32 lanes — measured only
+    +7% over per-tile (ROADMAP r3 §2).  This variant keeps the chunk
+    structure (one hcat panel DMA + one grid step per G sub-tiles, narrow
+    R+C one-hot width) but lays every per-edge array as [feat, edges] like
+    _gat_kernel_t:
+
+        hs  = hcat_t[HD, C] @ oh_src_t[C, G*ET]          # one wide pass
+        a_s = w^T @ hs                                   # [H, G*ET], derive
+        per sub-tile g (static unroll):
+          a_d = ads_t[:, gR:gR+R] @ oh_dst_t_g           # [H, ET]
+          p   = exp(leaky(a_s_g + a_d) - bound)          # [H, ET] full lanes
+          o[:, gR:gR+R] += [B^T p * hs_g ; p] @ oh_dst_t_g^T
+
+    Per edge slot the matmul work is C*HD + R*(HD+H) MACs + (C+R) one-hot
+    compares — the same asymptotics as the grouped SpMM kernel plus the
+    tiny [H,*] head chain, instead of the wide variant's 2.5x pad blowup.
+    Derive-only (a_src = hs @ w in-kernel), normalize=False semantics.
+    """
     c = pl.program_id(1)
     G, ET, R, C = group, tile_edges, block_rows, block_cols
+    GET = G * ET
     dt = hcat_ref.dtype
 
     prev_grp = jnp.where(c == 0, -1, grp_ref[jnp.maximum(c - 1, 0)])
@@ -346,48 +354,54 @@ def _gat_grouped_kernel(
     def _zero():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    src = src_ref[0].astype(jnp.int32)                        # [G, ET]
-    dst = dst_ref[0].astype(jnp.int32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (G, ET, C), 2)
-    oh_src = (src[..., None] == cols).astype(dt).reshape(G * ET, C)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (G, ET, R), 2)
-    oh_dst = (dst[..., None] == rows).astype(dt)              # [G, ET, R]
+    src = src_ref[0].astype(jnp.int32).reshape(GET)           # [GET]
+    src_b = jax.lax.broadcast_in_dim(src, (C, GET), (1,))
+    oh_src_t = (src_b == jax.lax.broadcasted_iota(
+        jnp.int32, (C, GET), 0)).astype(dt)                   # [C, GET]
 
-    hs = jnp.dot(oh_src, hcat_ref[:], preferred_element_type=jnp.float32,
-                 precision=precision)                         # [G*ET, HD]
-    a_s = jnp.dot(hs.astype(dt), w_ref[:],
-                  preferred_element_type=jnp.float32,
-                  precision=precision)                        # [G*ET, H]
-    ads3 = adst_ref[:].reshape(G, R, H)
-    a_d = jax.lax.dot_general(
-        oh_dst, ads3.astype(dt), (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=precision)
+    hs = jnp.dot(hcat_ref[:], oh_src_t,
+                 preferred_element_type=jnp.float32,
+                 precision=precision)                         # [HD, GET]
+    a_s = jax.lax.dot_general(
+        w_ref[:], hs.astype(dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision)                                  # [H, GET]
 
     def leaky(v):
         return jnp.where(v >= 0, v, slope * v)
 
-    e = leaky(a_s.reshape(G, ET, H) + a_d)
-    bound = leaky(msrc_ref[0, :][None, None, :] + a_d)
-    dmat = jax.lax.broadcast_in_dim(dst, (G, ET, H), (0, 1))
-    p = jnp.where(dmat < R, jnp.exp(jnp.minimum(e - bound, 60.0)), 0.0)
-    wmat = jax.lax.broadcast_in_dim(
-        wgt_ref[0].astype(jnp.float32), (G, ET, H), (0, 1))
-    p = (p * wmat).reshape(G * ET, H)                # term multiplicity
-
-    if HD == H:
-        p_full = p
-    else:
-        brow = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 0)
-        bcol = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 1) // (HD // H)
-        B = (brow == bcol).astype(jnp.float32)
-        p_full = jnp.dot(p, B, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)  # [G*ET, HD]
-
-    v = jnp.concatenate([p_full * hs, p], axis=1).astype(dt)
-    acc = jax.lax.dot_general(
-        oh_dst, v.reshape(G, ET, HD + H), (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=precision)
-    o_ref[:] += acc.reshape(G * R, HD + H)
+    for g in range(G):
+        dstg = dst_ref[0, g].astype(jnp.int32)                # [ET]
+        dst_b = jax.lax.broadcast_in_dim(dstg, (R, ET), (1,))
+        oh_dst_t = (dst_b == jax.lax.broadcasted_iota(
+            jnp.int32, (R, ET), 0)).astype(dt)                # [R, ET]
+        a_d = jnp.dot(adst_ref[:, g * R:(g + 1) * R], oh_dst_t,
+                      preferred_element_type=jnp.float32,
+                      precision=precision)                    # [H, ET]
+        e = leaky(a_s[:, g * ET:(g + 1) * ET] + a_d)
+        bound = leaky(msrc_ref[:, 0][:, None] + a_d)          # [H, ET]
+        dmat = jax.lax.broadcast_in_dim(dstg, (H, ET), (1,))
+        p = jnp.where(dmat < R, jnp.exp(jnp.minimum(e - bound, 60.0)), 0.0)
+        if not unit_weight:
+            wmat = jax.lax.broadcast_in_dim(
+                wgt_ref[0, g].astype(jnp.float32), (H, ET), (1,))
+            p = p * wmat                               # term multiplicity
+        if HD == H:
+            p_full = p
+        else:
+            # head->feature expansion as a SUBLANE TILE-REPEAT: feature
+            # row i gets head i % H — exact (f32 copy, no dot) and ~1.6x
+            # the whole kernel vs the old HIGHEST-precision K=H MXU dot
+            # (scripts/gat_chain_ablate.py v3: 111.2 -> 70.4 ms).  The
+            # caller INTERLEAVES the h/w_asrc feature layout to match and
+            # un-interleaves the num output (head-major <-> head-minor).
+            p_full = pltpu.repeat(p, HD // H, axis=0)     # [HD, ET]
+        v = jnp.concatenate(
+            [p_full * hs[:, g * ET:(g + 1) * ET], p], axis=0).astype(dt)
+        o_ref[:, g * R:(g + 1) * R] += jax.lax.dot_general(
+            v, oh_dst_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)                              # [HD+H, R]
 
 
 def _gat_grouped_raw(
@@ -403,7 +417,10 @@ def _gat_grouped_raw(
     max_chunks_per_call: int = 65536,
 ) -> jax.Array:
     """Grouped-chunk GAT partials: [n_node, HD+H] = [num ‖ den] under the
-    ``msrc`` shift bound (normalize=False semantics)."""
+    ``msrc`` shift bound (normalize=False semantics) — the transposed
+    interleaved-repeat kernel (_gat_grouped_kernel_t), the r4 production
+    GAT tail (1.56x per-tile / 1.69x the deleted r3 wide grouped kernel
+    at Reddit-tail density, scripts/gat_grouped_ab.py)."""
     from .spmm import _stripe_chunks
     H = a_dst.shape[1]
     HD = h_src.shape[1]
@@ -419,10 +436,27 @@ def _gat_grouped_raw(
     ads = jnp.zeros((n_rows, H), a_dst.dtype).at[: a_dst.shape[0]].set(
         a_dst)
     kernel = functools.partial(
-        _gat_grouped_kernel, block_rows=R, block_cols=C, tile_edges=ET,
-        group=G, HD=HD, H=H, slope=negative_slope, precision=precision)
+        _gat_grouped_kernel_t, block_rows=R, block_cols=C,
+        tile_edges=ET, group=G, HD=HD, H=H, slope=negative_slope,
+        precision=precision, unit_weight=tg.weight_all_unit)
+    # head-MINOR (interleaved) feature layout: feature i belongs to
+    # head i % H, so the kernel's tile-repeat expansion of p lines up
+    # with hs rows; num columns are un-interleaved after the call
+    D_ = HD // H
+    if HD != H:
+        idx = np.arange(HD)
+        perm = (idx % H) * D_ + idx // H      # new feature -> old
+        inv = (idx % D_) * H + idx // D_      # old feature -> new
+        unperm_cols = np.concatenate([inv, HD + np.arange(H)])
+        hcat = hcat[:, perm]
+        w_asrc_k = w_asrc[perm, :]
+    else:
+        unperm_cols = None
+        w_asrc_k = w_asrc
+    hcat_t = hcat.T
+    ads_t = ads.astype(jnp.float32).T
 
-    def call(chunk_grp, chunk_cb, srcl, dstl, wv, n_grp, ads_part):
+    def call_t(chunk_grp, chunk_cb, srcl, dstl, wv, n_grp, ads_t_part):
         NC = int(chunk_grp.shape[0])
         edge_spec = pl.BlockSpec((1, G, ET),
                                  lambda fi, c, grp, cb: (c, 0, 0))
@@ -431,44 +465,49 @@ def _gat_grouped_raw(
             grid=(1, NC),
             in_specs=[
                 edge_spec, edge_spec, edge_spec,
-                pl.BlockSpec((C, HD), lambda fi, c, grp, cb: (cb[c], 0)),
-                pl.BlockSpec((GR, H), lambda fi, c, grp, cb: (grp[c], 0)),
-                pl.BlockSpec((1, H), lambda fi, c, grp, cb: (0, 0)),
+                pl.BlockSpec((HD, C), lambda fi, c, grp, cb: (0, cb[c])),
                 pl.BlockSpec((HD, H), lambda fi, c, grp, cb: (0, 0)),
+                pl.BlockSpec((H, GR), lambda fi, c, grp, cb: (0, grp[c])),
+                pl.BlockSpec((H, 1), lambda fi, c, grp, cb: (0, 0)),
             ],
             out_specs=pl.BlockSpec(
-                (GR, HD + H), lambda fi, c, grp, cb: (grp[c], 0)),
+                (HD + H, GR), lambda fi, c, grp, cb: (0, grp[c])),
         )
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n_grp * GR, HD + H),
+            out_shape=jax.ShapeDtypeStruct((HD + H, n_grp * GR),
                                            jnp.float32),
             cost_estimate=pl.CostEstimate(
-                flops=2 * NC * G * ET * (C + 2 * R) * (HD + H),
+                flops=2 * NC * G * ET * (C * HD + R * (HD + H)) // max(ET, 1),
                 bytes_accessed=NC * (C * HD + GR * H) * dt.itemsize,
                 transcendentals=NC * G * ET * H,
             ),
             interpret=interpret,
         )(chunk_grp, chunk_cb, srcl, dstl, wv,
-          hcat, ads_part, msrc.astype(jnp.float32), w_asrc.astype(dt))
+          hcat_t, w_asrc_k.astype(dt), ads_t_part,
+          msrc.astype(jnp.float32).T)
+
+    def _unperm(out):
+        # un-interleave the num columns (head-minor -> head-major)
+        return out if unperm_cols is None else out[:, unperm_cols]
 
     NC = tg.n_chunks
     if NC <= max_chunks_per_call or tg.grp_first_chunk_host is None:
-        acc = call(tg.chunk_grp, tg.chunk_cb, tg.src_local, tg.dst_local,
-                   tg.weight, tg.n_groups, ads)
-    else:
-        parts = []
-        for c0, c1, g0, g1 in _stripe_chunks(
-                tg.grp_first_chunk_host, NC, max_chunks_per_call):
-            # chunk_grp is rebased by -g0, so the a_dst panel must be sliced
-            # to the same group window — its BlockSpec indexes (grp[c], 0)
-            parts.append(call(
-                tg.chunk_grp[c0:c1] - g0, tg.chunk_cb[c0:c1],
-                tg.src_local[c0:c1], tg.dst_local[c0:c1],
-                tg.weight[c0:c1], g1 - g0, ads[g0 * GR:g1 * GR]))
-        acc = jnp.concatenate(parts, axis=0)
-    return acc[: tg.n_node]
+        acc = call_t(tg.chunk_grp, tg.chunk_cb, tg.src_local,
+                     tg.dst_local, tg.weight, tg.n_groups, ads_t)
+        return _unperm(acc.T[: tg.n_node])
+    parts = []
+    for c0, c1, g0, g1 in _stripe_chunks(
+            tg.grp_first_chunk_host, NC, max_chunks_per_call):
+        # chunk_grp is rebased by -g0, so the a_dst panel must be sliced
+        # to the same group window — its BlockSpec indexes (grp[c], 0)
+        parts.append(call_t(
+            tg.chunk_grp[c0:c1] - g0, tg.chunk_cb[c0:c1],
+            tg.src_local[c0:c1], tg.dst_local[c0:c1],
+            tg.weight[c0:c1], g1 - g0,
+            ads_t[:, g0 * GR:g1 * GR]))
+    return _unperm(jnp.concatenate(parts, axis=1).T[: tg.n_node])
 
 
 def _gat_forward(
@@ -557,14 +596,28 @@ def _gat_forward(
             f"transposed GAT dataflow needs block_rows % 128 == 0, got {R}")
     n_cols = tg.n_col_blocks * C
     n_rows = tg.n_row_blocks * R
+    # head-MINOR (interleaved) feature layout for the kernels' tile-repeat
+    # head expansion: feature i belongs to head i % H (see _gat_kernel);
+    # num output columns are un-interleaved below
+    if HD != H:
+        _i = np.arange(HD)
+        perm = (_i % H) * (HD // H) + _i // H     # new feature -> old
+        inv = (_i % (HD // H)) * H + _i // (HD // H)
+    else:
+        perm = inv = None
     if derive:
         hcat = jnp.zeros((n_cols, HD), h_src.dtype)
         hcat = hcat.at[: h_src.shape[0]].set(h_src)
+        if perm is not None:
+            hcat = hcat[:, perm]
         wk = w_asrc.astype(h_src.dtype)
+        if perm is not None:
+            wk = wk[perm, :]
     else:
         # packed pass-1 operand [h ‖ a_src]
         hcat = jnp.zeros((n_cols, HD + H), h_src.dtype)
-        hcat = hcat.at[: h_src.shape[0], :HD].set(h_src)
+        hcat = hcat.at[: h_src.shape[0], :HD].set(
+            h_src if perm is None else h_src[:, perm])
         hcat = hcat.at[: a_src.shape[0], HD:].set(a_src.astype(h_src.dtype))
     ads = jnp.zeros((n_rows, H), a_dst.dtype).at[: a_dst.shape[0]].set(a_dst)
     if msrc is None:
@@ -681,8 +734,16 @@ def _gat_forward(
                 tg.weight[t0:t1], rb0, rb1 - rb0))
         out = jnp.concatenate(parts, axis=1 if narrow else 0)
     if narrow:
-        return out.T[: tg.n_node]
-    return out[: tg.n_node]
+        out = out.T[: tg.n_node]
+    else:
+        out = out[: tg.n_node]
+    if inv is not None:
+        # un-interleave the num columns (head-minor -> head-major); the
+        # den tail (normalize=False) is per-head, layout unchanged
+        cols = (inv if out_w == HD
+                else np.concatenate([inv, HD + np.arange(H)]))
+        out = out[:, cols]
+    return out
 
 
 def _gat_reference(tg: TiledGraph, h_src, a_src, a_dst, negative_slope):
@@ -928,8 +989,11 @@ def _gat_bwd_dad_kernel(
             wgt_ref[0, 0, :].astype(jnp.float32), (ET, H), (0,))
         alpha = p * wmat * rden_e                             # [ET, H]
 
-        # t_e: per-head <gbar_d, h_s> — head-sum via the 0/1 matrix Bt
-        brow = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 0) // D
+        # t_e: per-head <gbar_d, h_s> — head-sum via the 0/1 matrix Bt.
+        # INTERLEAVED feature layout (head of feature i = i % H — the
+        # caller permutes the h/gbar panel columns) so the dsrc kernel's
+        # alpha expansion is a lane tile-repeat instead of a HIGHEST dot
+        brow = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 0) % H
         bcol = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 1)
         Bt = (brow == bcol).astype(jnp.float32)               # [HD, H]
         te = jnp.dot(gbar_e * hs, Bt,
@@ -1007,9 +1071,9 @@ def _gat_bwd_dsrc_kernel(
             wgt_ref[0, 0, :].astype(jnp.float32), (ET, H), (0,))
         alpha = p * wmat * rden_e                             # [ET, H]
 
-        brow = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 0) // D
+        brow = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 0) % H
         bcol = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 1)
-        Bt = (brow == bcol).astype(jnp.float32)               # [HD, H]
+        Bt = (brow == bcol).astype(jnp.float32)   # interleaved head map
         te = jnp.dot(gbar_e * hs, Bt,
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)     # [ET, H]
@@ -1017,10 +1081,9 @@ def _gat_bwd_dsrc_kernel(
         dl = alpha * (te - s2e)
         dz = dl * jnp.where(lraw >= 0, 1.0, slope)            # [ET, H]
 
-        # alpha expanded head->feat (exact copy per head: 0/1 matmul)
-        afull = jnp.dot(alpha, Bt.T,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)  # [ET, HD]
+        # alpha expanded head->feat: lane tile-repeat on the interleaved
+        # layout (feature i gets head i % H) — exact f32 copy, no dot
+        afull = pltpu.repeat(alpha, D, axis=1)                # [ET, HD]
         vals = jnp.concatenate([dz, afull * gbar_e], axis=1).astype(dt)
         acc_ref[:] += jax.lax.dot_general(
             oh_row, vals, (((0,), (0,)), ((), ())),
@@ -1065,16 +1128,29 @@ def _gat_bwd_fused(tg: TiledGraph, tg_t: TiledGraph, h, a_s, a_d, den, out,
     msrc = jnp.max((a_s if a_s_bound is None else a_s_bound).astype(f32),
                    axis=0, keepdims=True)                      # [1, H]
 
+    # head-MINOR (interleaved) feature layout (head of feature i = i % H):
+    # lets the dsrc kernel expand alpha with a lane tile-repeat instead of
+    # a HIGHEST-precision dot; dh columns are un-interleaved on return
+    if HD != H:
+        _i = np.arange(HD)
+        _perm = (_i % H) * D + _i // H            # new feature -> old
+        _inv = (_i % D) * H + _i // D             # old feature -> new
+    else:
+        _perm = _inv = None
+
+    def _il(x):
+        return x if _perm is None else x[:, _perm]
+
     def dpack_pad(n_pad: int):
         dp = jnp.zeros((n_pad, HD + 3 * H), dt)
-        dp = dp.at[:n, :HD].set(gbar.astype(dt))
+        dp = dp.at[:n, :HD].set(_il(gbar.astype(dt)))
         dp = dp.at[:n, HD:HD + H].set(a_d.astype(dt))
         dp = dp.at[:n, HD + H:HD + 2 * H].set(rden.astype(dt))
         return dp.at[:n, HD + 2 * H:].set(s2.astype(dt))
 
     def hpack_pad(n_pad: int):
         hp = jnp.zeros((n_pad, HD + H), dt)
-        hp = hp.at[:n, :HD].set(h.astype(dt))
+        hp = hp.at[:n, :HD].set(_il(h.astype(dt)))
         return hp.at[:n, HD:].set(a_s.astype(dt))
 
     def run(tgx: TiledGraph, col_panel, row_panel, kernel, out_w: int):
@@ -1139,6 +1215,8 @@ def _gat_bwd_fused(tg: TiledGraph, tg_t: TiledGraph, h, a_s, a_d, den, out,
              _gat_bwd_dsrc_kernel, H + HD)[:n]
     das = sd[:, :H]
     dh = sd[:, H:]
+    if _inv is not None:
+        dh = dh[:, _inv]                # un-interleave back to head-major
     return dh.astype(h.dtype), das.astype(a_s.dtype), dad.astype(a_d.dtype)
 
 

@@ -57,13 +57,17 @@ CONFIGS = [
     ("per-tile 512x1024/ET256 t_derive", "per-tile",
      lambda: tile_graph(hg, block_rows=512, block_cols=1024,
                         tile_edges=256, unit_weight=True)),
-    ("grouped 512^2/ET128/G8", "grouped",
+    ("grouped-T 512^2/ET128/G8 (r4)", "grouped",
      lambda: tile_graph_grouped(hg, block_rows=512, block_cols=512,
                                 tile_edges=128, group=8,
                                 unit_weight=True)),
-    ("grouped 512^2/ET128/G16", "grouped",
+    ("grouped-T 512^2/ET128/G16 (r4)", "grouped",
      lambda: tile_graph_grouped(hg, block_rows=512, block_cols=512,
                                 tile_edges=128, group=16,
+                                unit_weight=True)),
+    ("grouped-T 512x1024/ET128/G8", "grouped",
+     lambda: tile_graph_grouped(hg, block_rows=512, block_cols=1024,
+                                tile_edges=128, group=8,
                                 unit_weight=True)),
 ]
 

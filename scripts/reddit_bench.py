@@ -276,12 +276,21 @@ if "--gat" in sys.argv:
     DF = (sys.argv[sys.argv.index("--df") + 1] if "--df" in sys.argv
           else "transposed_derive")
     ET_FORCE = _flag("--et", 0)
-    # the grouped GAT kernel is EXPERIMENTAL (--grouped-gat; G16 at
-    # HD=128/H=4 exceeds scoped VMEM): --grouped alone keeps the GAT tail
-    # on the production per-tile transposed_derive path
-    GROUPED_GAT = "--grouped-gat" in sys.argv
+    # r4: the TRANSPOSED grouped GAT chain kernel (interleaved-repeat head
+    # expansion) is the production tail — measured ~2x the per-tile
+    # transposed_derive at tail density (scripts/gat_chain_ablate.py v3 +
+    # gat_grouped_ab).  --per-tile-gat keeps the old path for A/B.
+    GROUPED_GAT = "--per-tile-gat" not in sys.argv
     if GROUPED_GAT:
         geos = [(512, 512)]
+        # measured-rate dense/tail breakeven: dense 'cr' int8 ~0.41us per
+        # 256^2 block vs grouped-T tail ~3.3 ns/edge -> ~125 nnz/block
+        # (the FLOP-model threshold is ~10x higher because it assumes the
+        # tail runs at full useful-FLOP rate)
+        thr_g = _flag("--thr-g", 0) or 128
+        thr_g = max(thr_g,
+                    int(bn_sorted[max_blocks - 1]) + 1
+                    if len(bn_sorted) > max_blocks else 0)
     for TRr, TCc in geos:
         ET_g = (128 if GROUPED_GAT
                 else (ET_FORCE or best_tile_edges(thr_g, TRr, TCc)))
@@ -292,7 +301,7 @@ if "--gat" in sys.argv:
             values_dtype=np.int8 if INT8 else ml_dtypes.bfloat16,
             sparse_block_rows=TRr, sparse_block_cols=TCc,
             tail_format="grouped" if GROUPED_GAT else "tiles",
-            tail_group=8)
+            tail_group=16 if GROUPED_GAT else 8)
         nbg = hyb_g.dense.n_blocks if hyb_g.dense else 0
         print(f"gat split {time.time()-t0:.0f}s thr={thr_g} "
               f"tail {TRr}x{TCc}/ET{ET_g}: dense {hyb_g.n_dense_edges} in "

@@ -31,7 +31,9 @@ def _rand_graph(rng, n=700, e=5000, **kw):
 
 def test_gat_grouped_split_panel_alignment(rng):
     """Split-path (max_chunks_per_call < n_chunks) must equal single-call:
-    the rebased chunk_grp indexes a SLICED a_dst panel (ADVICE high)."""
+    the rebased chunk_grp indexes a SLICED a_dst panel (ADVICE high).
+    (The r3 wide grouped kernel this bug was found in is deleted; the r4
+    transposed kernel's split slices ads_t the same way.)"""
     hg = _rand_graph(rng, n=900, e=7000)
     H, HD = 4, 32
     h = jnp.asarray(rng.standard_normal((hg.n_node, HD)), jnp.float32)
@@ -46,6 +48,38 @@ def test_gat_grouped_split_panel_alignment(rng):
                                    max_chunks_per_call=4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_gat_grouped_transposed_weighted_and_headdim1(rng):
+    """The r4 transposed grouped GAT kernel against the per-tile reference:
+    non-unit edge weights (term multiplicity must be applied) and the
+    HD == H (head_dim 1) degenerate expansion."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+        tile_graph)
+    for H, HD, unit in ((4, 32, False), (4, 4, True)):
+        hg = _rand_graph(rng, n=700, e=5000)
+        if not unit:
+            hg = dataclasses.replace(
+                hg, edge_weight=(rng.integers(1, 4, hg.senders.shape[0])
+                                 .astype(np.float32) * hg.edge_mask))
+        h = jnp.asarray(rng.standard_normal((hg.n_node, HD)), jnp.float32)
+        w_a = jnp.asarray(rng.standard_normal((HD, H)) * 0.3, jnp.float32)
+        a_d = jnp.asarray(rng.standard_normal((hg.n_node, H)), jnp.float32)
+        msrc = jnp.max(h @ w_a, axis=0, keepdims=True)
+        tgg = tile_graph_grouped(hg, block_rows=128, block_cols=128,
+                                 tile_edges=64, group=4, unit_weight=unit)
+        assert tgg.weight_all_unit == unit
+        tgu = tile_graph(hg, block_rows=128, block_cols=128, tile_edges=64,
+                         unit_weight=unit)
+        acc = gat_mod._gat_forward(tgg, h, None, a_d, w_asrc=w_a,
+                                   normalize=False, msrc=msrc,
+                                   interpret=True)
+        ref = gat_mod._gat_forward(tgu, h, None, a_d, w_asrc=w_a,
+                                   normalize=False, msrc=msrc,
+                                   interpret=True, dataflow="wide")
+        np.testing.assert_allclose(np.asarray(acc), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"H={H} HD={HD} unit={unit}")
 
 
 def test_pair_agg_split_panel_alignment(rng, monkeypatch):
