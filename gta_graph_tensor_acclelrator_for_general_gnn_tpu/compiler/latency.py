@@ -290,13 +290,27 @@ def block_ns(
         fw = graph.width_of(plan.src_op)
         return cost.onehot_ns(tc, max(2 * fw, 8), dtype_bytes)
     if kind == "pair_agg":
-        # two gather matmuls + scatter(s) + (for MAX) the segmented scan:
-        # ~2x the single-pass one-hot cost, +60% when MAX is wanted.
-        # The per-call ramp is added ONCE, unscaled (graph.grid_ramp_ns)
-        factor = 2.0 + (0.6 if ir.MAX in plan.gathers else 0.0)
-        return (factor * cost.onehot_ns(tc, plan.width, dtype_bytes,
-                                        include_ramp=False)
-                + cost.ramp_ns(tc, plan.width))
+        # two gather matmuls + scatter(s): 2.2x the one-hot unit, FLAT
+        # across aggregator sets (r4 on-chip fit: DGN[sum] wants 2.57,
+        # PNA[sum,max,mean] wants 1.75 — the MAX-scan surcharge is not
+        # resolvable above the ~13% run noise, so no surcharge).  The
+        # per-call ramp is added ONCE, unscaled, and the edge/node MMs the
+        # matcher distributes into u/v ((XW)[s] ≡ X[s]W) are real runtime
+        # matmuls priced like the xla MM term (no dispatch const: they
+        # fuse into the operand build).
+        t = (2.2 * cost.onehot_ns(tc, plan.width, dtype_bytes,
+                                  include_ramp=False)
+             + cost.ramp_ns(tc, plan.width))
+        mxu = (c.mxu_tflops_bf16 if dtype_bytes <= 2
+               else c.mxu_tflops_f32)
+        for o in block:
+            op = graph.by_id[o]
+            if op.compute == ir.MM and op.extra.get("weight"):
+                _, iw, ow = op.extra["weight"]
+                flops = 2.0 * cost.stats.n_node * iw * ow
+                byts = (cost.stats.n_node * (iw + ow) + iw * ow)                     * dtype_bytes
+                t += max(flops / (mxu * 1e3), byts / c.hbm_gbps)
+        return t
 
     # GAT chain variants
     if kind == "gat_layer":

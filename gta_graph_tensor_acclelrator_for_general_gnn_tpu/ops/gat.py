@@ -109,12 +109,17 @@ def _gat_kernel(
     def _reset():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # head -> feature expansion: a LANE TILE-REPEAT (feature i gets head
-    # i % H).  The caller interleaves the h/w feature layout to match and
-    # un-interleaves the num output — replaces the r1-r3 HIGHEST-precision
-    # one-hot expansion matmul, which measured ~1.6x the WHOLE kernel in
-    # the grouped A/B (scripts/gat_chain_ablate.py v3).  head_dim == 1
-    # makes the expansion the identity.
+    # head -> feature expansion: B[h, f] = 1 iff f // (HD//H) == h, as a
+    # HIGHEST-precision 0/1 matmul.  The WIDE kernel keeps the dot: here
+    # the expansion would be a LANE-axis tile-repeat, which Mosaic lowers
+    # as a slow lane interleave (measured 2x the whole Cora chain —
+    # scripts/gat_pick_ab probe r4); the SUBLANE repeat only pays in the
+    # transposed kernels (_gat_kernel_t / _gat_grouped_kernel_t).
+    # head_dim == 1 makes B the identity — skip both expansion matmuls.
+    if HD != H:
+        brow = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 0)
+        bcol = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 1) // (HD // H)
+        B = (brow == bcol).astype(jnp.float32)
 
     # cb == -1 marks DEAD padding tiles (shard_tiles skew padding): skip
     # all three matmul passes; the x-panel index map clamps to block 0
@@ -169,7 +174,8 @@ def _gat_kernel(
         if HD == H:
             p_full = p
         else:
-            p_full = pltpu.repeat(p, HD // H, axis=1)             # [ET, HD]
+            p_full = jnp.dot(p, B, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)  # [ET, HD]
 
         # pass 3: ONE transposed-contraction scatter of [num ‖ den] —
         # operands cast to the input dtype (bf16 keeps the MXU single-pass;
@@ -187,7 +193,9 @@ def _gat_kernel(
             if HD == H:
                 den_full = den
             else:
-                den_full = pltpu.repeat(den, HD // H, axis=1)
+                den_full = jnp.dot(den, B,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
             o_ref[:] = acc_ref[:, :HD] / den_full
         else:
             # hybrid mode: emit raw [num ‖ den] partials (the dense-block
@@ -596,10 +604,12 @@ def _gat_forward(
             f"transposed GAT dataflow needs block_rows % 128 == 0, got {R}")
     n_cols = tg.n_col_blocks * C
     n_rows = tg.n_row_blocks * R
-    # head-MINOR (interleaved) feature layout for the kernels' tile-repeat
-    # head expansion: feature i belongs to head i % H (see _gat_kernel);
-    # num output columns are un-interleaved below
-    if HD != H:
+    # head-MINOR (interleaved) feature layout for the TRANSPOSED kernels'
+    # sublane tile-repeat head expansion: feature i belongs to head i % H
+    # (see _gat_kernel_t); num output columns are un-interleaved below.
+    # The wide kernel keeps the head-major layout + B-dot (lane repeats
+    # are slow, see _gat_kernel).
+    if HD != H and narrow:
         _i = np.arange(HD)
         perm = (_i % H) * (HD // H) + _i // H     # new feature -> old
         inv = (_i % (HD // H)) * H + _i // (HD // H)
@@ -989,11 +999,8 @@ def _gat_bwd_dad_kernel(
             wgt_ref[0, 0, :].astype(jnp.float32), (ET, H), (0,))
         alpha = p * wmat * rden_e                             # [ET, H]
 
-        # t_e: per-head <gbar_d, h_s> — head-sum via the 0/1 matrix Bt.
-        # INTERLEAVED feature layout (head of feature i = i % H — the
-        # caller permutes the h/gbar panel columns) so the dsrc kernel's
-        # alpha expansion is a lane tile-repeat instead of a HIGHEST dot
-        brow = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 0) % H
+        # t_e: per-head <gbar_d, h_s> — head-sum via the 0/1 matrix Bt
+        brow = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 0) // D
         bcol = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 1)
         Bt = (brow == bcol).astype(jnp.float32)               # [HD, H]
         te = jnp.dot(gbar_e * hs, Bt,
@@ -1071,9 +1078,9 @@ def _gat_bwd_dsrc_kernel(
             wgt_ref[0, 0, :].astype(jnp.float32), (ET, H), (0,))
         alpha = p * wmat * rden_e                             # [ET, H]
 
-        brow = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 0) % H
+        brow = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 0) // D
         bcol = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 1)
-        Bt = (brow == bcol).astype(jnp.float32)   # interleaved head map
+        Bt = (brow == bcol).astype(jnp.float32)               # [HD, H]
         te = jnp.dot(gbar_e * hs, Bt,
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)     # [ET, H]
@@ -1081,9 +1088,12 @@ def _gat_bwd_dsrc_kernel(
         dl = alpha * (te - s2e)
         dz = dl * jnp.where(lraw >= 0, 1.0, slope)            # [ET, H]
 
-        # alpha expanded head->feat: lane tile-repeat on the interleaved
-        # layout (feature i gets head i % H) — exact f32 copy, no dot
-        afull = pltpu.repeat(alpha, D, axis=1)                # [ET, HD]
+        # alpha expanded head->feat (exact copy per head: 0/1 matmul —
+        # these wide-layout kernels keep the dot; a LANE tile-repeat
+        # measured 2x slower in the wide forward kernel, see _gat_kernel)
+        afull = jnp.dot(alpha, Bt.T,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # [ET, HD]
         vals = jnp.concatenate([dz, afull * gbar_e], axis=1).astype(dt)
         acc_ref[:] += jax.lax.dot_general(
             oh_row, vals, (((0,), (0,)), ((), ())),
@@ -1128,29 +1138,16 @@ def _gat_bwd_fused(tg: TiledGraph, tg_t: TiledGraph, h, a_s, a_d, den, out,
     msrc = jnp.max((a_s if a_s_bound is None else a_s_bound).astype(f32),
                    axis=0, keepdims=True)                      # [1, H]
 
-    # head-MINOR (interleaved) feature layout (head of feature i = i % H):
-    # lets the dsrc kernel expand alpha with a lane tile-repeat instead of
-    # a HIGHEST-precision dot; dh columns are un-interleaved on return
-    if HD != H:
-        _i = np.arange(HD)
-        _perm = (_i % H) * D + _i // H            # new feature -> old
-        _inv = (_i % D) * H + _i // D             # old feature -> new
-    else:
-        _perm = _inv = None
-
-    def _il(x):
-        return x if _perm is None else x[:, _perm]
-
     def dpack_pad(n_pad: int):
         dp = jnp.zeros((n_pad, HD + 3 * H), dt)
-        dp = dp.at[:n, :HD].set(_il(gbar.astype(dt)))
+        dp = dp.at[:n, :HD].set(gbar.astype(dt))
         dp = dp.at[:n, HD:HD + H].set(a_d.astype(dt))
         dp = dp.at[:n, HD + H:HD + 2 * H].set(rden.astype(dt))
         return dp.at[:n, HD + 2 * H:].set(s2.astype(dt))
 
     def hpack_pad(n_pad: int):
         hp = jnp.zeros((n_pad, HD + H), dt)
-        hp = hp.at[:n, :HD].set(_il(h.astype(dt)))
+        hp = hp.at[:n, :HD].set(h.astype(dt))
         return hp.at[:n, HD:].set(a_s.astype(dt))
 
     def run(tgx: TiledGraph, col_panel, row_panel, kernel, out_w: int):
@@ -1215,8 +1212,6 @@ def _gat_bwd_fused(tg: TiledGraph, tg_t: TiledGraph, h, a_s, a_d, den, out,
              _gat_bwd_dsrc_kernel, H + HD)[:n]
     das = sd[:, :H]
     dh = sd[:, H:]
-    if _inv is not None:
-        dh = dh[:, _inv]                # un-interleave back to head-major
     return dh.astype(h.dtype), das.astype(a_s.dtype), dad.astype(a_d.dtype)
 
 
