@@ -243,11 +243,16 @@ class GraphCost:
     def stream_ns(self, tc: S.TileConfig, feat_width: int,
                   dtype_bytes: int = 2) -> float:
         # chunked lax.scan over edges lowers to the same dynamic take +
-        # segment ops as per-op XLA, plus per-chunk scan overhead
+        # segment ops as per-op XLA, plus per-chunk scan overhead.  The
+        # 1.5x row factor is an r4 calibration: measured stream ~= the
+        # fused per-op XLA path (GCN memo stream rows 170 us vs 108
+        # modelled; GCN-pubmed compiled pick chose stream at 3.86 ms vs
+        # 3.54 ms per-op XLA) — the scan's serialization makes its rows
+        # COST more than the freely-reordered XLA ops, not less.
         chunk = tc.tile_edges * 2048
         chunks = max(-(-self.stats.e_pad // chunk), 1)
         lanes = max(-(-max(feat_width, 1) // 128), 1)
-        per_edge = (self.c.xla_take_row_ns + self.c.xla_segment_row_ns)
+        per_edge = 1.5 * (self.c.xla_take_row_ns + self.c.xla_segment_row_ns)
         return (per_edge * self.stats.e_pad * lanes
                 + chunks * self.c.stream_chunk_ns)
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..graph import MultiTiledGraph, TiledGraph
+from ..graph import GroupedTiledGraph, MultiTiledGraph, TiledGraph
 
 
 def _head_block(heads: int, per_head: int, feat_block: int) -> int:
@@ -60,6 +60,9 @@ def sddmm(
             sddmm(p, x_src, x_dst, heads=heads, feat_block=feat_block,
                   interpret=interpret, precision=precision)
             for p in tg.parts)
+    if isinstance(tg, GroupedTiledGraph):
+        return _sddmm_grouped(tg, x_src, x_dst, heads=heads,
+                              interpret=interpret, precision=precision)
     if precision is None:
         # one-hot operands are bf16-exact; see spmm.py for the policy
         precision = (jax.lax.Precision.HIGHEST if x_src.dtype == jnp.float32
@@ -145,6 +148,117 @@ def sddmm(
                               tg.src_local[t0:t1], tg.dst_local[t0:t1]))
         out = jnp.concatenate(parts, axis=1)
     return out[:, :, 0, :]
+
+
+def _sddmm_grouped(
+    tg: GroupedTiledGraph,
+    x_src: jax.Array,
+    x_dst: jax.Array,
+    *,
+    heads: int = 1,
+    interpret: bool = False,
+    precision=None,
+    max_chunks_per_call: int = 65536,
+) -> jax.Array:
+    """Stripe-group chunked SDDMM in the TRANSPOSED dataflow (round 4):
+    one chunk = ``group`` sub-tiles sharing an x_src column panel; every
+    per-edge array is [feat, edges] so the edge axis rides the 128 lanes.
+    Returns [heads, NC, G*ET] f32 (grouped tile layout; pair with
+    ``tg.edge_id`` to map back to edge order).
+
+        s_t = xs_t[F, C] @ oh_src_t[C, G*ET]         # one wide gather
+        per sub-tile g: d_t[:, g] = xd_t[F, R_g] @ oh_dst_t_g
+        e   = hsel[H, F] @ (s_t * d_t)               # per-head reduce
+
+    Per edge slot: (C+R) one-hot compares + (C+R)*F gather MACs + one
+    [F, ET] multiply + an F-deep head reduction — the grouped SpMM cost
+    plus one VPU pass, vs the per-tile wide kernel's per-tile panel DMAs
+    and HIGHEST-precision head-selector dot."""
+    if precision is None:
+        precision = (jax.lax.Precision.HIGHEST if x_src.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+    f = x_src.shape[1]
+    assert f % heads == 0, (f, heads)
+    G, R, C, ET = tg.group, tg.block_rows, tg.block_cols, tg.tile_edges
+    GR, GET = G * R, G * ET
+    n_cols = tg.n_col_blocks * C
+    n_rows = tg.n_groups * GR
+    dt = x_src.dtype
+    xs = jnp.zeros((n_cols, f), dt).at[: x_src.shape[0]].set(x_src)
+    xd = jnp.zeros((n_rows, f), dt).at[: x_dst.shape[0]].set(
+        x_dst.astype(dt))
+    xs_t, xd_t = xs.T, xd.T
+
+    def kernel(grp_ref, cb_ref, src_ref, dst_ref, xsrc_ref, xdst_ref,
+               o_ref):
+        src = src_ref[0].astype(jnp.int32).reshape(GET)
+        src_b = jax.lax.broadcast_in_dim(src, (C, GET), (1,))
+        oh_src_t = (src_b == jax.lax.broadcasted_iota(
+            jnp.int32, (C, GET), 0)).astype(dt)
+        s = jnp.dot(xsrc_ref[:], oh_src_t,
+                    preferred_element_type=jnp.float32,
+                    precision=precision)                       # [F, GET]
+        dcols = []
+        for g in range(G):
+            dstg = dst_ref[0, g].astype(jnp.int32)
+            dst_b = jax.lax.broadcast_in_dim(dstg, (R, ET), (1,))
+            oh_dst_t = (dst_b == jax.lax.broadcasted_iota(
+                jnp.int32, (R, ET), 0)).astype(dt)
+            dcols.append(jnp.dot(
+                xdst_ref[:, g * R:(g + 1) * R], oh_dst_t,
+                preferred_element_type=jnp.float32,
+                precision=precision))                          # [F, ET]
+        d = jnp.concatenate(dcols, axis=1)                     # [F, GET]
+        prod = (s * d).astype(dt)
+        hrow = jax.lax.broadcasted_iota(jnp.int32, (heads, f), 0)
+        hcol = jax.lax.broadcasted_iota(
+            jnp.int32, (heads, f), 1) // (f // heads)
+        hsel = (hrow == hcol).astype(dt)
+        o_ref[:, 0, :] = jnp.dot(
+            hsel, prod, preferred_element_type=jnp.float32,
+            precision=precision)                               # [H, GET]
+
+    def call(chunk_grp, chunk_cb, srcl, dstl, xd_panel):
+        NC = int(chunk_grp.shape[0])
+        edge_spec = pl.BlockSpec((1, G, ET),
+                                 lambda fi, c, grp, cb: (c, 0, 0))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(1, NC),
+            in_specs=[
+                edge_spec, edge_spec,
+                pl.BlockSpec((f, C), lambda fi, c, grp, cb: (0, cb[c])),
+                pl.BlockSpec((f, GR), lambda fi, c, grp, cb: (0, grp[c])),
+            ],
+            out_specs=pl.BlockSpec(
+                (heads, 1, GET), lambda fi, c, grp, cb: (0, c, 0)),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((heads, NC, GET), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * NC * GET * (C + R) * f,
+                bytes_accessed=NC * (C + GR) * f * dt.itemsize,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(chunk_grp, chunk_cb, srcl, dstl, xs_t, xd_panel)
+
+    from .spmm import _stripe_chunks
+    NC = tg.n_chunks
+    if NC <= max_chunks_per_call or tg.grp_first_chunk_host is None:
+        return call(tg.chunk_grp, tg.chunk_cb, tg.src_local, tg.dst_local,
+                    xd_t)
+    parts = []
+    for c0, c1, g0, g1 in _stripe_chunks(
+            tg.grp_first_chunk_host, NC, max_chunks_per_call):
+        # chunk_grp rebased by -g0: slice the xd panel to the group window
+        parts.append(call(
+            tg.chunk_grp[c0:c1] - g0, tg.chunk_cb[c0:c1],
+            tg.src_local[c0:c1], tg.dst_local[c0:c1],
+            xd_t[:, g0 * GR:g1 * GR]))
+    return jnp.concatenate(parts, axis=1)
 
 
 def tiles_to_edges(tg: TiledGraph, vals: jax.Array, e_pad: int) -> jax.Array:

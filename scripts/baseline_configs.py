@@ -37,11 +37,13 @@ def run(cmd, timeout=1800):
 
 M = "gta_graph_tensor_acclelrator_for_general_gnn_tpu.cli"
 for ds, net in (("citeseer", "GCN"), ("pubmed", "GCN")):
+    # --compiled: the latency-model schedule pick (the production path;
+    # without it `run` measures the per-op XLA lowering)
     js = run([PY, "-m", M, "run", "--dataset", ds, "--network", net,
               "--layers", "2", "--hidden", "128", "--iters", "2092",
-              "--json"])
+              "--compiled", "--json"])
     if js:
-        print(f"{net}-{ds} forward: {js['latency_us']:.1f} us  "
+        print(f"{net}-{ds} forward (compiled): {js['latency_us']:.1f} us  "
               f"{js['edges_per_s']/1e9:.3f} Gedge/s", flush=True)
     js = run([PY, "-m", M, "train", "--dataset", ds, "--network", net,
               "--layers", "2", "--hidden", "128", "--epochs", "100",

@@ -296,3 +296,32 @@ def test_gat_grouped_partials_match_per_tile(rng):
                                dataflow="wide")
     np.testing.assert_allclose(np.asarray(acc), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_sddmm_parity(rng):
+    """The r4 transposed grouped SDDMM against the per-edge oracle: every
+    live slot's per-head dot matches; padding slots are exact zeros."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import (
+        sddmm as sddmm_mod)
+    hg = _rand_graph(rng, add_self_loops=False, symmetric_norm=False)
+    heads, f = 4, 64
+    tg = tile_graph_grouped(hg, block_rows=128, block_cols=128,
+                            tile_edges=64, group=4, unit_weight=True)
+    xs = jnp.asarray(rng.standard_normal((hg.n_node, f)), jnp.float32)
+    xd = jnp.asarray(rng.standard_normal((hg.n_node, f)), jnp.float32)
+    out = np.asarray(sddmm_mod.sddmm(tg, xs, xd, heads=heads,
+                                     interpret=True))   # [H, NC, G*ET]
+    NC, G, ET = tg.n_chunks, tg.group, tg.tile_edges
+    out = out.reshape(heads, NC, G, ET)
+    dst_l = np.asarray(tg.dst_local)
+    eid = np.asarray(tg.edge_id)
+    live = dst_l < tg.block_rows
+    # oracle per-edge per-head dots
+    s_e = np.asarray(xs)[hg.senders[: hg.n_edge]]
+    d_e = np.asarray(xd)[hg.receivers[: hg.n_edge]]
+    prod = (s_e * d_e).reshape(-1, heads, f // heads).sum(-1)  # [E, H]
+    for h in range(heads):
+        got = out[h][live]
+        want = prod[eid[live], h]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    assert np.abs(out[:, ~live]).max() == 0.0
