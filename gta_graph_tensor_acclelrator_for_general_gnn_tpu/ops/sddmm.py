@@ -214,7 +214,7 @@ def _sddmm_grouped(
         hcol = jax.lax.broadcasted_iota(
             jnp.int32, (heads, f), 1) // (f // heads)
         hsel = (hrow == hcol).astype(dt)
-        o_ref[:, 0, :] = jnp.dot(
+        o_ref[:, 0, 0, :] = jnp.dot(
             hsel, prod, preferred_element_type=jnp.float32,
             precision=precision)                               # [H, GET]
 
@@ -230,13 +230,17 @@ def _sddmm_grouped(
                 pl.BlockSpec((f, C), lambda fi, c, grp, cb: (0, cb[c])),
                 pl.BlockSpec((f, GR), lambda fi, c, grp, cb: (0, grp[c])),
             ],
+            # [H, NC, 1, GET] output: the last two block dims must be
+            # (8k, 128k) or equal to the array dims on TPU (same trick as
+            # the per-tile kernel's [H, T, 1, ET])
             out_specs=pl.BlockSpec(
-                (heads, 1, GET), lambda fi, c, grp, cb: (0, c, 0)),
+                (heads, 1, 1, GET), lambda fi, c, grp, cb: (0, c, 0, 0)),
         )
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((heads, NC, GET), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((heads, NC, 1, GET),
+                                           jnp.float32),
             cost_estimate=pl.CostEstimate(
                 flops=2 * NC * GET * (C + R) * f,
                 bytes_accessed=NC * (C + GR) * f * dt.itemsize,
@@ -249,7 +253,7 @@ def _sddmm_grouped(
     NC = tg.n_chunks
     if NC <= max_chunks_per_call or tg.grp_first_chunk_host is None:
         return call(tg.chunk_grp, tg.chunk_cb, tg.src_local, tg.dst_local,
-                    xd_t)
+                    xd_t)[:, :, 0, :]
     parts = []
     for c0, c1, g0, g1 in _stripe_chunks(
             tg.grp_first_chunk_host, NC, max_chunks_per_call):
@@ -258,7 +262,7 @@ def _sddmm_grouped(
             tg.chunk_grp[c0:c1] - g0, tg.chunk_cb[c0:c1],
             tg.src_local[c0:c1], tg.dst_local[c0:c1],
             xd_t[:, g0 * GR:g1 * GR]))
-    return jnp.concatenate(parts, axis=1)
+    return jnp.concatenate(parts, axis=1)[:, :, 0, :]
 
 
 def tiles_to_edges(tg: TiledGraph, vals: jax.Array, e_pad: int) -> jax.Array:

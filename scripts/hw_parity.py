@@ -214,6 +214,40 @@ check("spmm_grouped/f32",
       jax.jit(lambda: spmm_g._spmm_grouped_raw(tg_g, x))(),
       spmm_g._spmm_grouped_reference(tg_g, x)[:n], 1e-4)
 
+# r4 transposed grouped GAT chain (interleaved-repeat head expansion)
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import (
+    gat as gat_hw)
+tg_gat = tile_graph_grouped(hg, block_rows=512, block_cols=512,
+                            tile_edges=128, group=8, unit_weight=True)
+H_g, HD_g = 4, F
+h_g = jax.device_put(
+    jax.random.normal(jax.random.key(22), (n, HD_g), jnp.float32))
+wa_g = jax.device_put(
+    jax.random.normal(jax.random.key(23), (HD_g, H_g), jnp.float32) * 0.2)
+ad_g = jax.device_put(
+    jax.random.normal(jax.random.key(24), (n, H_g), jnp.float32))
+ms_g = jnp.max(h_g @ wa_g, axis=0, keepdims=True)
+tgu_gat = tile_graph(hg, block_rows=512, block_cols=512, tile_edges=128,
+                     unit_weight=True)
+check("gat_grouped_t/f32",
+      jax.jit(lambda: gat_hw._gat_forward(
+          tg_gat, h_g, None, ad_g, w_asrc=wa_g, normalize=False,
+          msrc=ms_g))(),
+      gat_hw._gat_forward(tgu_gat, h_g, None, ad_g, w_asrc=wa_g,
+                          normalize=False, msrc=ms_g, interpret=True,
+                          dataflow="wide"), 1e-4)
+
+# r4 transposed grouped SDDMM
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import (
+    sddmm as sddmm_hw)
+out_sg = np.asarray(jax.jit(lambda: sddmm_hw.sddmm(
+    tg_gat, h_g, ad_g @ jnp.ones((H_g, F), jnp.float32) * 0.1 + h_g,
+    heads=4))())
+ref_sg = np.asarray(sddmm_hw.sddmm(
+    tg_gat, h_g, ad_g @ jnp.ones((H_g, F), jnp.float32) * 0.1 + h_g,
+    heads=4, interpret=True))
+check("sddmm_grouped/f32", out_sg, ref_sg, 1e-4)
+
 # sparse-input MM
 from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import sinput
 xs = (rng.random((n, 200)) < 0.03).astype(np.float32) * \
