@@ -329,10 +329,12 @@ def _gat_dense_kernel_t(
 
     for h in range(H):
         a_s = asrc_ref[h, :][:, None].astype(jnp.float32)      # [C, 1]
-        a_d = jax.lax.broadcast_in_dim(
-            adst_ref[h, :].astype(jnp.float32), (C, R), (1,))  # [C, R]
-        e = leaky(a_s + a_d)
-        bound = leaky(msrc_ref[h, 0] + a_d)
+        # a_d and the bound are ROW vectors [1, R]: computing them on the
+        # [C, R] broadcast wasted 2-3 full-size VPU passes per head (the
+        # exp chain is what binds the dense part, results/SUMMARY.md r4)
+        a_dr = adst_ref[h, :][None, :].astype(jnp.float32)     # [1, R]
+        e = leaky(a_s + a_dr)                                  # [C, R]
+        bound = leaky(msrc_ref[h, 0] + a_dr)                   # [1, R]
         p_t = mask_t * jnp.exp(jnp.minimum(e - bound, 60.0))   # [C, R]
         pc = p_t.astype(dt)
         acc_ref[h * D:(h + 1) * D, :] += jnp.dot(
