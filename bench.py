@@ -17,7 +17,11 @@ huge, so naive timing loops measure dispatch rate, not the device).
 vs_baseline = reference_us / measured_us  (>1 means faster than the
 simulated accelerator the reference proposes).
 
-Prints exactly ONE JSON line.
+Output contract: JSON-lines — one object per line, the HEADLINE line
+first (GAT-Cora layer3 vs the reference's 81.66 µs), then the full-Reddit
+SpMM and GAT lines; on failure a line with an "error" key is emitted for
+the failing metric.  Consumers must parse line-by-line, not a single
+object.
 """
 import json
 import os

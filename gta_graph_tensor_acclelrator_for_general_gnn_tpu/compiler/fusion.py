@@ -33,8 +33,10 @@ from .schedule import Schedule, TileConfig
 
 # bump when kernel implementations change: memoised tuner latencies are
 # keyed on (KERNEL_VERSION, schedule) so stale measurements never resurface
-KERNEL_VERSION = 8  # v8: interleaved-repeat head expansion (r4) — GAT
-                    # kernel latencies changed; HD==H memo entries stay valid
+KERNEL_VERSION = 9  # v9 (r5): gat_hybrid builds 'cr' dense blocks at the
+                    # transposed threshold (+ kernel backward).  The bump
+                    # orphans ALL v8 memo entries (keys embed the version;
+                    # no selective retention) — they are re-measured.
 
 
 @dataclasses.dataclass
@@ -245,10 +247,10 @@ def lower_schedule(
         return tiled[key]
 
     def get_hybrid(tc: TileConfig, unit_weight: bool, min_nnz: int,
-                   hg: Optional[HostGraph] = None):
+                   hg: Optional[HostGraph] = None, layout: str = "rc"):
         hg = hg if hg is not None else host_graph
         key = (id(hg), tc.block_rows, tc.block_cols, tc.tile_edges,
-               unit_weight, min_nnz)
+               unit_weight, min_nnz, layout)
         if key not in hybrids:
             hybrids[key] = hybrid_graph(
                 hg,
@@ -257,6 +259,7 @@ def lower_schedule(
                 tile_edges=tc.tile_edges,
                 min_nnz=min_nnz,
                 unit_weight=unit_weight,
+                block_layout=layout,
             )
         return hybrids[key]
 
@@ -286,11 +289,17 @@ def lower_schedule(
                           if host_graph_t is not None else None))
         elif kind == "gat_hybrid":
             hd = graph.width_of(plan.h_op)
-            thr = dense_mod.gat_dense_threshold(
+            # 'cr' (pre-transposed) blocks: the transposed dense attention
+            # kernel streams H*D sublanes instead of H*R (gat_dense_partial_t)
+            # AND is the layout the dense backward kernels require
+            thr = dense_mod.gat_dense_threshold_t(
                 tc.block_rows, tc.block_cols, plan.heads,
                 hd // plan.heads)
-            plans.append((kind, block, tc, plan, get_hybrid(tc, True, thr),
-                          None))
+            plans.append((kind, block, tc, plan,
+                          get_hybrid(tc, True, thr, layout="cr"),
+                          get_hybrid(tc, True, thr, host_graph_t,
+                                     layout="cr")
+                          if host_graph_t is not None else None))
         elif kind in ("spmm", "spmm_grouped"):
             uw = not plan.weighted
             plans.append((kind, block, tc, plan, get_tiled(tc, uw),
@@ -402,7 +411,7 @@ def lower_schedule(
                     kin(ref(plan.asrc_op)),
                     kin(ref(plan.adst_op)),
                     negative_slope=plan.negative_slope,
-                    interpret=interpret)
+                    interpret=interpret, hyb_t=tg_t)
             elif kind == "spmm_stream":
                 from ..ops import chunked
                 if plan.weighted:

@@ -159,12 +159,18 @@ class GraphCost:
             feat_width=max(feat_width, 1), x_bytes=dtype_bytes,
             include_ramp=include_ramp)
 
-    def ramp_ns(self, tc: S.TileConfig, feat_width: int = 128) -> float:
+    def ramp_ns(self, tc: S.TileConfig, feat_width: int = 128,
+                dense_threshold: int = 0) -> float:
         """Short-grid pipeline ramp (graph.grid_ramp_ns) — a PER-CALL cost:
         multi-pass chain factors (GAT / pair-agg) must add it once,
-        unscaled."""
+        unscaled.  ``dense_threshold`` restricts the histogram to the runs
+        a hybrid split leaves in the sparse tail — dense-absorbed runs pay
+        no panel-switch/tile ramp, so hybrid candidates must not be charged
+        for them (they were, over-penalising hybrid at small scales)."""
         from ..graph import grid_ramp_ns
         hist = self._hist(tc.block_rows, tc.block_cols)
+        if dense_threshold > 0:
+            hist = hist[hist < dense_threshold]
         if len(hist) == 0:
             return 0.0
         tiles = float(np.ceil(hist / tc.tile_edges).sum())
@@ -336,13 +342,15 @@ def block_ns(
         return base
     hd = graph.width_of(plan.h_op)
     if kind == "gat_hybrid":
-        thr = dense_mod.gat_dense_threshold(
+        # threshold_t: the lowering builds 'cr' blocks for the transposed
+        # dense attention kernel (fusion.py gat_hybrid plan)
+        thr = dense_mod.gat_dense_threshold_t(
             tc.block_rows, tc.block_cols, plan.heads,
             hd // max(plan.heads, 1))
         return (c.gat_pass_factor
                 * cost.hybrid_ns(tc, hd, thr, dtype_bytes,
                                  include_ramp=False)
-                + cost.ramp_ns(tc, hd))
+                + cost.ramp_ns(tc, hd, dense_threshold=thr))
     if kind == "gat_stream":
         return c.gat_pass_factor * cost.stream_ns(tc, hd, dtype_bytes)
     return (c.gat_pass_factor

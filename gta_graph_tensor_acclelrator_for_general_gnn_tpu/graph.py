@@ -830,6 +830,12 @@ class HybridGraph:
     tiles: TiledGraph
     n_dense_edges: int = dataclasses.field(metadata=dict(static=True))
     n_sparse_edges: int = dataclasses.field(metadata=dict(static=True))
+    # separable edge-weight recovery for INTEGRAL (count) dense blocks:
+    # w_e = row_scale[receiver] * col_scale[sender] (e.g. symmetric norm).
+    # None = dense values already carry the weights.  The edge tail always
+    # carries real weights; these feed ops.dense.spmm_dense only.
+    row_scale: Optional[jax.Array] = None
+    col_scale: Optional[jax.Array] = None
 
 
 def block_nnz(g, block_rows: int, block_cols: int) -> np.ndarray:

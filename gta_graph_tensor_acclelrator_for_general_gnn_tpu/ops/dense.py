@@ -491,6 +491,237 @@ def gat_dense_partial(
 
 
 # ---------------------------------------------------------------------------
+# dense masked attention BACKWARD: per-block gradient kernels (round 5)
+#
+# The r4 hybrid forward (dense 'cr' blocks + one-hot tail) had no kernel
+# backward — training fell back to the XLA segment recompute, which
+# materialises [E, ...] edge tensors and runs ~44x slower per edge than the
+# forward (VERDICT r4 weak-1).  These kernels give the dense part an exact
+# VJP built from transposed dense matmuls, mirroring the fused tile-domain
+# backward of the one-hot path (ops/gat.py _gat_bwd_fused).
+#
+# Math (per head; p the forward's shift-bound softmax term of cell (r, c),
+# alpha = p * count / den[r], s2[r] = <gbar_r, out_r>):
+#   te[r,c]  = <gbar_r, h_c>                     (dense matmul per block)
+#   dz[r,c]  = alpha (te - s2[r]) * leaky'(a_s[c] + a_d[r])
+#   dad[r]   = sum_c dz            <- kernel A over bg   (rb-major blocks)
+#   das[c]   = sum_r dz            <- kernel B over bg_t (the SAME blocks
+#   dh[c]    = sum_r alpha gbar_r     sorted by ORIGINAL col block: the
+#                                     dense split of the transposed graph)
+# Both kernels recompute p exactly as the forward kernel computed it (same
+# shift bound msrc, same count weighting), so gradients match autodiff of
+# the XLA reference to roundoff.  Replaces the reference's per-tile replay
+# cost model (vTCAD/code/simulator.py:281-355 — which never had a backward).
+# ---------------------------------------------------------------------------
+
+
+def _gat_dense_bwd_dad_kernel(
+    rb_ref, cb_ref,
+    m_ref, xt_ref, gbt_ref, asrc_ref, dpad_ref, msrc_ref,
+    o_ref,
+    *, R: int, C: int, H: int, HD: int, slope: float, precision,
+):
+    """dad over the rb-major dense blocks ('cr' values [C, R]).
+
+    Panels arrive transposed: xt [HD, C] (h by col block), gbt [HD, R]
+    (gbar by row block), dpad [3H, R] = [a_d ‖ 1/den ‖ s2] rows.  Output
+    [H, R] accumulates per row stripe (consecutive rb blocks)."""
+    b = pl.program_id(0)
+    prev_rb = jnp.where(b == 0, -1, rb_ref[jnp.maximum(b - 1, 0)])
+
+    @pl.when(rb_ref[b] != prev_rb)
+    def _zero():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    mask_t = m_ref[0].astype(jnp.float32)                     # [C, R]
+    D = HD // H
+
+    def leaky(v):
+        return jnp.where(v >= 0, v, slope * v)
+
+    for h in range(H):
+        a_s = asrc_ref[h, :][:, None].astype(jnp.float32)      # [C, 1]
+        a_dr = dpad_ref[h, :][None, :].astype(jnp.float32)     # [1, R]
+        rden = dpad_ref[H + h, :][None, :].astype(jnp.float32)
+        s2r = dpad_ref[2 * H + h, :][None, :].astype(jnp.float32)
+        lraw = a_s + a_dr                                      # [C, R]
+        bound = leaky(msrc_ref[h, 0] + a_dr)                   # [1, R]
+        p = mask_t * jnp.exp(jnp.minimum(leaky(lraw) - bound, 60.0))
+        alpha = p * rden
+        te = jax.lax.dot_general(
+            xt_ref[h * D:(h + 1) * D, :], gbt_ref[h * D:(h + 1) * D, :],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)                               # [C, R]
+        dz = alpha * (te - s2r) * jnp.where(lraw >= 0, 1.0, slope)
+        o_ref[h:h + 1, :] += jnp.sum(dz, axis=0, keepdims=True)
+
+
+def _gat_dense_bwd_src_kernel(
+    rb_ref, cb_ref,
+    m_ref, gbt_ref, dpad_ref, xt_ref, asrc_ref, msrc_ref,
+    o_ref,
+    *, R: int, C: int, H: int, HD: int, slope: float, precision,
+):
+    """[das ‖ dh] over the TRANSPOSED dense split bg_t ('cr' values).
+
+    A 'cr' block of the transposed graph is the ORIGINAL block in [r, c]
+    orientation (axis0 = original receiver local, axis1 = original sender
+    local), with blocks sorted by original col block — so the [H+HD, cols]
+    accumulator stays resident per source stripe.  Panels: gbt [HD, Cb] /
+    dpad [3H, Cb] by original ROW block (= this graph's col block), xt
+    [HD, Rb] / asrc [H, Rb] by original col block (= this graph's rows)."""
+    b = pl.program_id(0)
+    prev_rb = jnp.where(b == 0, -1, rb_ref[jnp.maximum(b - 1, 0)])
+
+    @pl.when(rb_ref[b] != prev_rb)
+    def _zero():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    mask = m_ref[0].astype(jnp.float32)               # [Cb, Rb] = [r, c]
+    dt = xt_ref.dtype
+    D = HD // H
+
+    def leaky(v):
+        return jnp.where(v >= 0, v, slope * v)
+
+    for h in range(H):
+        a_dc = dpad_ref[h, :][:, None].astype(jnp.float32)     # [r, 1]
+        rden = dpad_ref[H + h, :][:, None].astype(jnp.float32)
+        s2c = dpad_ref[2 * H + h, :][:, None].astype(jnp.float32)
+        a_sr = asrc_ref[h, :][None, :].astype(jnp.float32)     # [1, c]
+        lraw = a_dc + a_sr                                     # [r, c]
+        bound = leaky(msrc_ref[h, 0] + a_dc)                   # [r, 1]
+        p = mask * jnp.exp(jnp.minimum(leaky(lraw) - bound, 60.0))
+        alpha = p * rden                                       # [r, c]
+        te = jax.lax.dot_general(
+            gbt_ref[h * D:(h + 1) * D, :], xt_ref[h * D:(h + 1) * D, :],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)                               # [r, c]
+        dz = alpha * (te - s2c) * jnp.where(lraw >= 0, 1.0, slope)
+        o_ref[h:h + 1, :] += jnp.sum(dz, axis=0, keepdims=True)
+        o_ref[H + h * D:H + (h + 1) * D, :] += jnp.dot(
+            gbt_ref[h * D:(h + 1) * D, :], alpha.astype(dt),
+            preferred_element_type=jnp.float32, precision=precision)
+
+
+def gat_dense_bwd(
+    bg: DenseBlockGraph,
+    bg_t: DenseBlockGraph,
+    h_src: jax.Array,
+    a_src: jax.Array,
+    a_dst: jax.Array,
+    den: jax.Array,
+    out: jax.Array,
+    gbar: jax.Array,
+    *,
+    negative_slope: float = 0.2,
+    interpret: bool = False,
+    precision=None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Dense-block attention gradients (dh, das, dad) — see module block
+    comment.  ``den`` is the COMBINED forward denominator [N, H] (dense +
+    tail partials), ``out`` the combined normalized output, so the returned
+    pieces are exactly the dense edges' share of the full gradient; the
+    tail kernels' share (ops/gat.py _gat_bwd_fused) adds elementwise.
+
+    ``bg`` must be the rb-major 'cr' dense split; ``bg_t`` the dense split
+    of the TRANSPOSED host graph built with the same (square) grid and
+    threshold — its blocks are the same edge set sorted by original col
+    block (graph.hybrid_graph over transpose_host_graph's output)."""
+    assert bg.values_layout == "cr" and bg_t.values_layout == "cr", (
+        bg.values_layout, bg_t.values_layout)
+    assert bg.supergroup == 0 and bg_t.supergroup == 0
+    H = a_dst.shape[1]
+    HD = h_src.shape[1]
+    D = HD // H
+    n = bg.n_node
+    dt = h_src.dtype
+    if precision is None:
+        precision = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+    f32 = jnp.float32
+    gb32 = gbar.astype(f32)
+    s2 = jnp.sum(gb32.reshape(n, H, D) * out.astype(f32).reshape(n, H, D),
+                 axis=-1)                                      # [N, H]
+    rden = 1.0 / jnp.maximum(den.astype(f32), 1e-20)
+    msrc_t = jnp.max(a_src.astype(f32), axis=0)[:, None]       # [H, 1]
+
+    def padT(v, n_pad, cast=None):
+        w = v.shape[1]
+        o = jnp.zeros((w, n_pad), cast or v.dtype)
+        return o.at[:, : v.shape[0]].set(v.T.astype(cast or v.dtype))
+
+    def dpadT(n_pad):
+        # [a_d ‖ 1/den ‖ s2] rows, f32 (tiny: 3H x n)
+        return jnp.concatenate(
+            [padT(a_dst, n_pad, f32), padT(rden, n_pad, f32),
+             padT(s2, n_pad, f32)], axis=0)
+
+    def run(bgx, kernel, in_panels, out_w):
+        R, C = bgx.block_rows, bgx.block_cols
+        B = bgx.n_blocks
+        mvals = (bgx.values if jnp.issubdtype(bgx.values.dtype, jnp.integer)
+                 else bgx.values.astype(dt))
+        kfn = functools.partial(kernel, R=R, C=C, H=H, HD=HD,
+                                slope=float(negative_slope),
+                                precision=precision)
+        specs = [pl.BlockSpec((1, C, R), lambda b, rb, cb: (b, 0, 0))]
+        for arr, by_rb in in_panels:
+            w = arr.shape[0]
+            if by_rb:
+                specs.append(pl.BlockSpec(
+                    (w, R), lambda b, rb, cb: (0, rb[b])))
+            else:
+                specs.append(pl.BlockSpec(
+                    (w, C), lambda b, rb, cb: (0, cb[b])))
+        specs.append(pl.BlockSpec((H, 1), lambda b, rb, cb: (0, 0)))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=specs,
+            out_specs=pl.BlockSpec((out_w, R), lambda b, rb, cb: (0, rb[b])),
+        )
+        acc = pl.pallas_call(
+            kfn, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (out_w, bgx.n_row_blocks * R), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * R * C * (HD + out_w),
+                bytes_accessed=mvals.size * mvals.dtype.itemsize * 2,
+                transcendentals=B * H * R * C,
+            ),
+            interpret=interpret,
+        )(bgx.blk_rb, bgx.blk_cb, mvals,
+          *[a for a, _ in in_panels], msrc_t)
+        sel = jnp.repeat(bgx.row_mask, R)[None, :]
+        return jnp.where(sel, acc, 0.0)
+
+    # kernel A (bg, rb-major): dad.  Panel widths follow bg's grid: the
+    # 'cr' block is [C, R], so col-side panels span C, row-side span R.
+    ncol = bg.n_col_blocks * bg.block_cols
+    nrow = bg.n_row_blocks * bg.block_rows
+    dad_t = run(bg, _gat_dense_bwd_dad_kernel,
+                [(padT(h_src, ncol), False), (padT(gbar.astype(dt), nrow), True),
+                 (padT(a_src, ncol, f32), False), (dpadT(nrow), True)],
+                H)
+    dad = dad_t.T[:n]
+
+    # kernel B (bg_t, original-col-major): [das ‖ dh].  bg_t's rows span
+    # original senders, its cols span original receivers.
+    ncol_t = bg_t.n_col_blocks * bg_t.block_cols
+    nrow_t = bg_t.n_row_blocks * bg_t.block_rows
+    sd_t = run(bg_t, _gat_dense_bwd_src_kernel,
+               [(padT(gbar.astype(dt), ncol_t), False), (dpadT(ncol_t), False),
+                (padT(h_src, nrow_t), True), (padT(a_src, nrow_t, f32), True)],
+               H + HD)
+    das = sd_t[:H].T[:n]
+    dh = sd_t[H:].T[:n]
+    return dh.astype(h_src.dtype), das, dad
+
+
+# ---------------------------------------------------------------------------
 # hybrid wrappers (dense blocks + one-hot edge tiles), with custom VJPs
 # ---------------------------------------------------------------------------
 
@@ -588,19 +819,33 @@ def _gat_reference_g(g, h, a_src, a_dst, slope, weighted: bool = True):
 
 
 def gat_hybrid(hyb, g, h_src, a_src, a_dst, *, negative_slope: float = 0.2,
-               interpret: bool = False):
+               interpret: bool = False, hyb_t=None):
     """Density-split GAT attention.  Both kernels accumulate raw
     [num ‖ den] partials under the SAME shift bound (global per-head max of
-    a_src), so the combine is one add + divide.  Backward = autodiff of the
-    full-graph XLA segment formulation."""
-    from .gat import _gat_forward
+    a_src), so the combine is one add + divide.
+
+    Backward: with ``hyb_t`` (the hybrid split of the TRANSPOSED host
+    graph, same grid/threshold — graph.hybrid_graph over
+    transpose_host_graph) the gradient runs entirely in kernels: the tail
+    through the fused tile-domain backward (ops/gat.py _gat_bwd_fused)
+    and the dense blocks through :func:`gat_dense_bwd`; both use the
+    combined den/out so their per-edge shares add exactly.  Without it,
+    autodiff of the full-graph XLA segment formulation (materialises
+    [E, ...] — fatal at full-batch Reddit scale)."""
+    from .gat import _gat_bwd_fused, _gat_forward
+    from ..graph import TiledGraph as _TG
 
     H = a_dst.shape[1]
     HD = h_src.shape[1]
     D = HD // H
+    kernel_bwd = (
+        hyb_t is not None
+        and type(hyb.tiles) is _TG and type(hyb_t.tiles) is _TG
+        and (hyb.dense is None) == (hyb_t.dense is None)
+        and (hyb.dense is None or (hyb.dense.values_layout == "cr"
+                                   and hyb_t.dense.values_layout == "cr")))
 
-    @jax.custom_vjp
-    def f(h, s, d):
+    def raw(h, s, d):
         msrc = jnp.max(s.astype(jnp.float32), axis=0, keepdims=True)
         acc = _gat_forward(hyb.tiles, h, s, d,
                            negative_slope=negative_slope,
@@ -610,22 +855,46 @@ def gat_hybrid(hyb, g, h_src, a_src, a_dst, *, negative_slope: float = 0.2,
                                      negative_slope=negative_slope,
                                      interpret=interpret)
             acc = acc + accd[: acc.shape[0]]
+        return acc
+
+    @jax.custom_vjp
+    def f(h, s, d):
+        acc = raw(h, s, d)
         num, den = acc[:, :HD], acc[:, HD:]
         return num / jnp.repeat(jnp.maximum(den, 1e-20), D, axis=1)
 
     def fwd(h, s, d):
-        return f(h, s, d), (h, s, d)
+        if not kernel_bwd:
+            return f(h, s, d), (h, s, d, None, None)
+        acc = raw(h, s, d)
+        num, den = acc[:, :HD], acc[:, HD:]
+        y = num / jnp.repeat(jnp.maximum(den, 1e-20), D, axis=1)
+        return y, (h, s, d, y, den)
 
     def bwd(res, gbar):
-        # weighted=False: the forward kernels run strictly unit-weight
-        # (hybrid attention graphs are built unit_weight=True), so the
-        # backward twin must differentiate the unweighted softmax even
-        # when the full graph g carries sym-norm edge weights
-        _, vjp = jax.vjp(
-            lambda h, s, d: _gat_reference_g(g, h, s, d, negative_slope,
-                                             weighted=False),
-            *res)
-        return vjp(gbar.astype(jnp.float32))
+        h, s, d, y, den = res
+        if not kernel_bwd:
+            # weighted=False: the forward kernels run strictly unit-weight
+            # (hybrid attention graphs are built unit_weight=True), so the
+            # backward twin must differentiate the unweighted softmax even
+            # when the full graph g carries sym-norm edge weights
+            _, vjp = jax.vjp(
+                lambda h_, s_, d_: _gat_reference_g(
+                    g, h_, s_, d_, negative_slope, weighted=False),
+                h, s, d)
+            return vjp(gbar.astype(jnp.float32))
+        dh, das, dad = _gat_bwd_fused(
+            hyb.tiles, hyb_t.tiles, h, s, d, den, y, gbar,
+            negative_slope, interpret)
+        if hyb.dense is not None:
+            dhd, dasd, dadd = gat_dense_bwd(
+                hyb.dense, hyb_t.dense, h, s, d, den, y, gbar,
+                negative_slope=negative_slope, interpret=interpret)
+            dh = (dh.astype(jnp.float32) + dhd.astype(jnp.float32)).astype(
+                h.dtype)
+            das = das.astype(jnp.float32) + dasd
+            dad = dad.astype(jnp.float32) + dadd
+        return dh, das.astype(s.dtype), dad.astype(d.dtype)
 
     f.defvjp(fwd, bwd)
     return f(h_src, a_src, a_dst)

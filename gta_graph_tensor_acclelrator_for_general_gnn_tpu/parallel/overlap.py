@@ -47,9 +47,18 @@ TPU_OVERLAP_OPTIONS: Dict[str, str] = {
 
 def overlap_compiler_options() -> Optional[Dict[str, str]]:
     """The option dict on a TPU backend, else None (CPU virtual meshes /
-    interpret-mode tests reject TPU-only options)."""
+    interpret-mode tests reject TPU-only options).
+
+    Escape hatch: ``GTA_NO_OVERLAP_OPTIONS=1`` returns None even on TPU —
+    the options fail loudly (INVALID_ARGUMENT at compile) on a libtpu that
+    drops/renames any ``xla_tpu_*`` flag, and this decouples distributed
+    training from flag stability without a code change."""
+    import os
+
     import jax
 
+    if os.environ.get("GTA_NO_OVERLAP_OPTIONS"):
+        return None
     return dict(TPU_OVERLAP_OPTIONS) if jax.default_backend() == "tpu" else None
 
 

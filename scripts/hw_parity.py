@@ -99,6 +99,27 @@ check("gat_chain/bf16",
 check("gat_hybrid/f32",
       jax.jit(lambda: D.gat_hybrid(hyb, gu, x, a_s, a_d))(), gat_ref, 1e-4)
 
+# r5 hybrid KERNEL backward (dense-block VJP kernels + fused tile-domain
+# tail) vs autodiff of the XLA segment oracle, Mosaic-compiled
+from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+    transpose_host_graph)
+hg_T, _ = transpose_host_graph(hg)
+hyb_bk = hybrid_graph(hg, block_rows=128, block_cols=128, tile_edges=256,
+                      min_nnz=180, unit_weight=True, block_layout="cr")
+hyb_bk_t = hybrid_graph(hg_T, block_rows=128, block_cols=128, tile_edges=256,
+                        min_nnz=180, unit_weight=True, block_layout="cr")
+gk_h, gk_s, gk_d = jax.jit(jax.grad(
+    lambda hh, ss, dd: jnp.sum(D.gat_hybrid(
+        hyb_bk, gu, hh, ss, dd, hyb_t=hyb_bk_t) ** 2),
+    argnums=(0, 1, 2)))(x, a_s, a_d)
+gr_h, gr_s, gr_d = jax.jit(jax.grad(
+    lambda hh, ss, dd: jnp.sum(
+        D._gat_reference_g(gu, hh, ss, dd, 0.2, weighted=False) ** 2),
+    argnums=(0, 1, 2)))(x, a_s, a_d)
+check("gat_hybrid_bwd_dh/f32", gk_h, gr_h, 1e-4)
+check("gat_hybrid_bwd_das/f32", gk_s, gr_s, 1e-4)
+check("gat_hybrid_bwd_dad/f32", gk_d, gr_d, 1e-4)
+
 sd_ref = jax.jit(lambda: (P.scatter_to_edges(a_s, g, "C")
                           + P.scatter_to_edges(a_d, g, "R"))
                  * g.edge_mask[:, None].astype(jnp.float32))()

@@ -552,3 +552,91 @@ def test_gat_hybrid_multiedge_overflow_exact(rng):
     ref = D._gat_reference_g(g, h, a_s, a_d, 0.2, weighted=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def _hyb_pair(hg, **kw):
+    """Forward hybrid + transposed twin (the kernel-backward pair)."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+        transpose_host_graph)
+    hg_t, _ = transpose_host_graph(hg)
+    kw.setdefault("block_layout", "cr")
+    kw.setdefault("unit_weight", True)
+    return (hybrid_graph(hg, **kw), hybrid_graph(hg_t, **kw))
+
+
+def test_gat_hybrid_kernel_backward_parity(rng):
+    """The r5 kernel backward (fused tile-domain tail + dense-block VJP
+    kernels) matches autodiff of the XLA segment oracle for ALL THREE
+    inputs (h, a_src, a_dst) on a genuine dense/tail split."""
+    hg, g = _graphs(rng, n=96, e=900)
+    hyb, hyb_t = _hyb_pair(hg, block_rows=32, block_cols=32, tile_edges=64,
+                           min_nnz=105)
+    assert hyb.n_dense_edges and hyb.n_sparse_edges
+    H, HD = 2, 8
+    h = jnp.asarray(rng.normal(size=(hg.n_node, HD)).astype(np.float32))
+    a_s = jnp.asarray(rng.normal(size=(hg.n_node, H)).astype(np.float32))
+    a_d = jnp.asarray(rng.normal(size=(hg.n_node, H)).astype(np.float32))
+    # forward parity first (the 'cr' + hyb_t path)
+    out = D.gat_hybrid(hyb, g, h, a_s, a_d, interpret=True, hyb_t=hyb_t)
+    ref = D._gat_reference_g(g, h, a_s, a_d, 0.2, weighted=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    w = jnp.asarray(rng.normal(size=(HD, 3)).astype(np.float32))
+
+    def loss(fn):
+        def inner(hh, ss, dd):
+            y = fn(hh, ss, dd)
+            return jnp.sum(jnp.tanh(y @ w) ** 2)
+        return inner
+
+    gk = jax.grad(loss(lambda *a: D.gat_hybrid(
+        hyb, g, *a, interpret=True, hyb_t=hyb_t)), argnums=(0, 1, 2))(
+            h, a_s, a_d)
+    gr = jax.grad(loss(lambda *a: D._gat_reference_g(
+        g, *a, 0.2, weighted=False)), argnums=(0, 1, 2))(h, a_s, a_d)
+    for name, k, r in zip(("dh", "das", "dad"), gk, gr):
+        np.testing.assert_allclose(np.asarray(k), np.asarray(r),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_gat_hybrid_kernel_backward_all_dense(rng):
+    """Kernel backward with an all-dense split (no tail edges)."""
+    hg, g = _graphs(rng, n=64, e=600)
+    hyb, hyb_t = _hyb_pair(hg, block_rows=32, block_cols=32, tile_edges=64,
+                           min_nnz=1)
+    assert hyb.n_sparse_edges == 0
+    H, HD = 2, 8
+    h = jnp.asarray(rng.normal(size=(hg.n_node, HD)).astype(np.float32))
+    a_s = jnp.asarray(rng.normal(size=(hg.n_node, H)).astype(np.float32))
+    a_d = jnp.asarray(rng.normal(size=(hg.n_node, H)).astype(np.float32))
+    f = lambda v: jnp.sum(D.gat_hybrid(hyb, g, v, a_s, a_d,
+                                       interpret=True, hyb_t=hyb_t) ** 2)
+    fr = lambda v: jnp.sum(D._gat_reference_g(g, v, a_s, a_d, 0.2,
+                                              weighted=False) ** 2)
+    np.testing.assert_allclose(np.asarray(jax.grad(f)(h)),
+                               np.asarray(jax.grad(fr)(h)),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_gat_hybrid_kernel_backward_int8_multiedge(rng):
+    """Kernel backward stays exact when int8 dense blocks carry pair
+    multiplicities and the tail holds merged residual copies."""
+    s, r = small_graph(rng, n=64, e=700, multi_edges=True)
+    s = np.concatenate([s, np.full(180, 7, np.int32)])
+    r = np.concatenate([r, np.full(180, 9, np.int32)])
+    hg = build_host_graph(s, r, 64, edge_pad_multiple=128)
+    g = hg.to_device()
+    hyb, hyb_t = _hyb_pair(hg, block_rows=32, block_cols=32, tile_edges=64,
+                           min_nnz=20, values_dtype=np.int8)
+    H, HD = 2, 8
+    h = jnp.asarray(rng.normal(size=(64, HD)).astype(np.float32))
+    a_s = jnp.asarray(rng.normal(size=(64, H)).astype(np.float32))
+    a_d = jnp.asarray(rng.normal(size=(64, H)).astype(np.float32))
+    gk = jax.grad(lambda v: jnp.sum(D.gat_hybrid(
+        hyb, g, v, a_s, a_d, interpret=True, hyb_t=hyb_t) ** 2),
+    )(h)
+    gr = jax.grad(lambda v: jnp.sum(D._gat_reference_g(
+        g, v, a_s, a_d, 0.2, weighted=False) ** 2))(h)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                               rtol=2e-3, atol=2e-3)
