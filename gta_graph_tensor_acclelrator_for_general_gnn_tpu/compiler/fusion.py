@@ -246,21 +246,54 @@ def lower_schedule(
                 )
         return tiled[key]
 
-    def get_hybrid(tc: TileConfig, unit_weight: bool, min_nnz: int,
-                   hg: Optional[HostGraph] = None, layout: str = "rc"):
+    def get_hybrid(tc: TileConfig, unit_weight: bool, kind: str,
+                   heads: int = 1, head_dim: int = 128,
+                   hg: Optional[HostGraph] = None):
+        """The production density-split build (the recipe the Reddit bench
+        converged on, ops.dense.auto_hybrid): int8 count blocks on a
+        256-square dense grid (budget-capped threshold), edge tail at the
+        schedule's tile geometry.  Weighted SpMM keeps exactness via
+        separable scales when the weights are the symmetric norm, else
+        falls back to f32 weight blocks."""
+        import dataclasses as _dc
+
+        import numpy as _np
+
+        from ..graph import separable_weight_scales
+        from ..ops import dense as dense_mod
+
         hg = hg if hg is not None else host_graph
-        key = (id(hg), tc.block_rows, tc.block_cols, tc.tile_edges,
-               unit_weight, min_nnz, layout)
+        key = (id(hg), tc.key(), unit_weight, kind, heads, head_dim)
         if key not in hybrids:
-            hybrids[key] = hybrid_graph(
+            scales = (None if (unit_weight or kind == "gat")
+                      else separable_weight_scales(hg))
+            int8 = unit_weight or kind == "gat" or scales is not None
+            vb = 1 if int8 else 4
+            # dense grid: the schedule's dense_block knob (square), else
+            # follow the tail geometry (small-graph tuner candidates)
+            drows = tc.dense_block or tc.block_rows
+            dcols = tc.dense_block or tc.block_cols
+            thr = dense_mod.hybrid_threshold(
+                hg, kind, heads=heads, head_dim=head_dim, value_bytes=vb,
+                dense_rows=drows, dense_cols=dcols)
+            hyb = hybrid_graph(
                 hg,
-                block_rows=tc.block_rows,
-                block_cols=tc.block_cols,
+                block_rows=drows,
+                block_cols=dcols,
+                sparse_block_rows=tc.block_rows,
+                sparse_block_cols=tc.block_cols,
                 tile_edges=tc.tile_edges,
-                min_nnz=min_nnz,
+                min_nnz=thr,
                 unit_weight=unit_weight,
-                block_layout=layout,
+                block_layout="cr" if kind == "gat" else "rc",
+                supergroup=0 if kind == "gat" else 16,
+                values_dtype=_np.int8 if int8 else _np.float32,
             )
+            if scales is not None and hyb.dense is not None:
+                hyb = _dc.replace(hyb,
+                                  row_scale=jnp.asarray(scales[0]),
+                                  col_scale=jnp.asarray(scales[1]))
+            hybrids[key] = hyb
         return hybrids[key]
 
     # --- sparse-input first-layer MM (isSinput) --------------------------
@@ -282,23 +315,22 @@ def lower_schedule(
         if kind in ("spmm_stream", "gat_stream"):
             plans.append((kind, block, tc, plan, None, None))
         elif kind == "spmm_hybrid":
-            thr = dense_mod.spmm_dense_threshold(tc.block_rows, tc.block_cols)
             uw = not plan.weighted
-            plans.append((kind, block, tc, plan, get_hybrid(tc, uw, thr),
-                          get_hybrid(tc, uw, thr, host_graph_t)
+            plans.append((kind, block, tc, plan,
+                          get_hybrid(tc, uw, "spmm"),
+                          get_hybrid(tc, uw, "spmm", hg=host_graph_t)
                           if host_graph_t is not None else None))
         elif kind == "gat_hybrid":
+            # 'cr' (pre-transposed) int8 blocks: the transposed dense
+            # attention kernel streams H*D sublanes instead of H*R
+            # (gat_dense_partial_t) AND is the layout the dense backward
+            # kernels require; the transposed twin enables the kernel VJP
             hd = graph.width_of(plan.h_op)
-            # 'cr' (pre-transposed) blocks: the transposed dense attention
-            # kernel streams H*D sublanes instead of H*R (gat_dense_partial_t)
-            # AND is the layout the dense backward kernels require
-            thr = dense_mod.gat_dense_threshold_t(
-                tc.block_rows, tc.block_cols, plan.heads,
-                hd // plan.heads)
             plans.append((kind, block, tc, plan,
-                          get_hybrid(tc, True, thr, layout="cr"),
-                          get_hybrid(tc, True, thr, host_graph_t,
-                                     layout="cr")
+                          get_hybrid(tc, True, "gat", plan.heads,
+                                     hd // plan.heads),
+                          get_hybrid(tc, True, "gat", plan.heads,
+                                     hd // plan.heads, hg=host_graph_t)
                           if host_graph_t is not None else None))
         elif kind in ("spmm", "spmm_grouped"):
             uw = not plan.weighted

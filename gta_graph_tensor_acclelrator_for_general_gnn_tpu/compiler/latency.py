@@ -168,32 +168,69 @@ class GraphCost:
         no panel-switch/tile ramp, so hybrid candidates must not be charged
         for them (they were, over-penalising hybrid at small scales)."""
         from ..graph import grid_ramp_ns
-        hist = self._hist(tc.block_rows, tc.block_cols)
         if dense_threshold > 0:
-            hist = hist[hist < dense_threshold]
+            hist = self._tail_hist(tc.block_rows, tc.block_cols,
+                                   tc.dense_block or tc.block_rows,
+                                   tc.dense_block or tc.block_cols,
+                                   dense_threshold)
+        else:
+            hist = self._hist(tc.block_rows, tc.block_cols)
         if len(hist) == 0:
             return 0.0
         tiles = float(np.ceil(hist / tc.tile_edges).sum())
         return grid_ramp_ns(len(hist), tiles, feat_width)
 
+    @functools.lru_cache(maxsize=64)
+    def _tail_hist(self, br: int, bc: int, drows: int, dcols: int,
+                   thr: int) -> np.ndarray:
+        """Run-nnz histogram at the TAIL geometry (br, bc) over exactly
+        the edges the hybrid split leaves sparse (dense grid
+        (drows, dcols), threshold ``thr``) — the lowering decouples the
+        two geometries (fusion.get_hybrid), so the model must too."""
+        from ..graph import _as_host, block_nnz
+        hg = _as_host(self.g)
+        ne = hg.n_edge
+        if ne == 0:
+            return np.zeros(0, np.int64)
+        bn = block_nnz(hg, drows, dcols)
+        ncb_d = bn.shape[1]
+        s = hg.senders[:ne]
+        r = hg.receivers[:ne]
+        keyd = (r // drows).astype(np.int64) * ncb_d + s // dcols
+        tail = bn.reshape(-1)[keyd] < thr
+        ncb = max(-(-hg.n_node // bc), 1)
+        key = ((r[tail] // br).astype(np.int64) * ncb + s[tail] // bc)
+        cnt = np.bincount(key)
+        return cnt[cnt > 0]
+
+    @functools.lru_cache(maxsize=64)
+    def _dense_count(self, drows: int, dcols: int, thr: int):
+        """(n_dense_blocks, n_dense_edges) of the hybrid split."""
+        from ..graph import block_nnz
+        bn = block_nnz(self.g, drows, dcols).reshape(-1)
+        m = bn >= thr
+        return int(m.sum()), int(bn[m].sum())
+
     def hybrid_ns(self, tc: S.TileConfig, feat_width: int,
                   dense_threshold: int, dtype_bytes: int = 2,
-                  include_ramp: bool = True) -> float:
+                  include_ramp: bool = True,
+                  dense_value_bytes: int = 1) -> float:
         from ..graph import tile_time_model_ns
-        hist = self._hist(tc.block_rows, tc.block_cols)
-        if len(hist) == 0:
-            return 0.0
-        dense = hist[hist >= dense_threshold]
-        tail = hist[hist < dense_threshold]
+        drows = tc.dense_block or tc.block_rows
+        dcols = tc.dense_block or tc.block_cols
         c = self.c
-        r, cc = tc.block_rows, tc.block_cols
         f = max(feat_width, 1)
-        # per dense block: int8 A DMA + x panel DMA vs the matmul, plus a
-        # fixed per-block cost (grid step, decode, partial accumulate)
+        nb, _ = self._dense_count(drows, dcols, dense_threshold)
+        # per dense block: A DMA (int8 counts by default) + x panel DMA vs
+        # the matmul, plus a fixed per-block cost (grid step, decode,
+        # partial accumulate)
         mxu = c.mxu_tflops_bf16 if dtype_bytes <= 2 else c.mxu_tflops_f32
-        per_block = max((r * cc + cc * f * dtype_bytes) / c.hbm_gbps,
-                        2.0 * r * cc * f / (mxu * 1e3))
-        t = len(dense) * (per_block + c.dense_block_const_ns)
+        per_block = max((drows * dcols * dense_value_bytes
+                         + dcols * f * dtype_bytes) / c.hbm_gbps,
+                        2.0 * drows * dcols * f / (mxu * 1e3))
+        t = nb * (per_block + c.dense_block_const_ns)
+        tail = self._tail_hist(tc.block_rows, tc.block_cols,
+                               drows, dcols, dense_threshold)
         if len(tail):
             t += tile_time_model_ns(
                 tail, tc.tile_edges, tc.block_rows, tc.block_cols,
@@ -292,7 +329,10 @@ def block_ns(
         return cost.grouped_ns(tc, graph.width_of(plan.in_op), dtype_bytes,
                                weighted=plan.weighted)
     if kind == "spmm_hybrid":
-        thr = dense_mod.spmm_dense_threshold(tc.block_rows, tc.block_cols)
+        thr = dense_mod.hybrid_threshold(
+            cost.g, "spmm",
+            dense_rows=tc.dense_block or tc.block_rows,
+            dense_cols=tc.dense_block or tc.block_cols)
         return cost.hybrid_ns(tc, graph.width_of(plan.in_op), thr,
                               dtype_bytes)
     if kind == "spmm_stream":
@@ -342,11 +382,13 @@ def block_ns(
         return base
     hd = graph.width_of(plan.h_op)
     if kind == "gat_hybrid":
-        # threshold_t: the lowering builds 'cr' blocks for the transposed
-        # dense attention kernel (fusion.py gat_hybrid plan)
-        thr = dense_mod.gat_dense_threshold_t(
-            tc.block_rows, tc.block_cols, plan.heads,
-            hd // max(plan.heads, 1))
+        # int8 'cr' blocks at the transposed-kernel threshold, dense grid
+        # per the schedule's dense_block knob (fusion.py get_hybrid)
+        thr = dense_mod.hybrid_threshold(
+            cost.g, "gat", heads=plan.heads,
+            head_dim=hd // max(plan.heads, 1),
+            dense_rows=tc.dense_block or tc.block_rows,
+            dense_cols=tc.dense_block or tc.block_cols)
         return (c.gat_pass_factor
                 * cost.hybrid_ns(tc, hd, thr, dtype_bytes,
                                  include_ramp=False)
@@ -381,22 +423,30 @@ def spearman_rank(a: Sequence[float], b: Sequence[float]) -> float:
 
 
 def rank_check(memo_csv: str, graph_name: str, graph: ir.OpGraph,
-               host_graph, dtype_bytes: int = 2) -> Optional[dict]:
-    """Validate the model's ranking against the memoised v6 measured
+               host_graph, dtype_bytes: int = 2,
+               version: Optional[int] = None) -> Optional[dict]:
+    """Validate the model's ranking against the memoised measured
     latencies (tune.search CSV memo — the reference's C15 regression log).
+    Uses the CURRENT KERNEL_VERSION's rows (the model must price what the
+    current lowering runs; older rows measured older implementations).
     Returns {rows, spearman, argmin_regret} or None when the memo has no
-    v6 entries for ``graph_name``.  CI floor: tests/test_latency_model.py
-    (drift in the fitted constants fails there first)."""
+    matching entries for ``graph_name``.  CI floor:
+    tests/test_latency_model.py (drift in the fitted constants fails
+    there first)."""
     import csv
     import os
 
+    if version is None:
+        from .fusion import KERNEL_VERSION
+        version = KERNEL_VERSION
+    prefix = f"v{version}|"
     if not os.path.exists(memo_csv):
         return None
     cost = GraphCost(host_graph)
     rows = []
     with open(memo_csv) as f:
         for rec in csv.reader(f):
-            if len(rec) != 2 or not rec[0].startswith("v6|"):
+            if len(rec) != 2 or not rec[0].startswith(prefix):
                 continue
             _, name, key = rec[0].split("|", 2)
             if name != graph_name:

@@ -56,9 +56,15 @@ class TileConfig:
     block_cols: int = 256
     tile_edges: int = 512
     path: str = PATH_ONEHOT
+    # PATH_HYBRID only: side of the SQUARE dense-block grid, decoupled from
+    # the edge-tail geometry above (0 = dense grid follows block_rows/cols).
+    # Large graphs measure best with a small dense grid (256) and a large
+    # tail (1024^2/512) — the r2-r4 Reddit recipe.
+    dense_block: int = 0
 
-    def key(self) -> Tuple[int, int, int, str]:
-        return (self.block_rows, self.block_cols, self.tile_edges, self.path)
+    def key(self) -> Tuple:
+        base = (self.block_rows, self.block_cols, self.tile_edges, self.path)
+        return base + ((f"d{self.dense_block}",) if self.dense_block else ())
 
     @property
     def kernel(self) -> bool:   # legacy alias
@@ -90,7 +96,12 @@ class Schedule:
         for t in ts.split(";"):
             # maxsplit: the path name may itself contain 'x' ("xla")
             br, bc, te, path = t.split("x", 3)
-            tiles.append(TileConfig(int(br), int(bc), int(te), path))
+            dense = 0
+            if "xd" in path:
+                path, d = path.rsplit("xd", 1)
+                dense = int(d)
+            tiles.append(TileConfig(int(br), int(bc), int(te), path,
+                                    dense_block=dense))
         return cls(blocks=blocks, tiles=tuple(tiles))
 
 

@@ -32,6 +32,12 @@ class HwConfig:
     vmem_regions: Tuple[float, float, float] = (1.0, 0.5, 0.5)  # W, N, E
     tile_palette: Optional[Tuple[tuple, ...]] = None   # None = built-in
     hbm_gbps: float = 819.0
+    # interconnect bandwidths for the scaling model (parallel/scaling.py):
+    # per-chip aggregate one-way ICI egress (v5e: 4 links x ~45 GB/s on the
+    # 2-D torus — public "How to Scale Your Model" v5e numbers) and
+    # per-host DCN egress (~200 Gbps NIC class)
+    ici_gbps: float = 180.0
+    dcn_gbps: float = 25.0
 
     def palette(self):
         from .compiler import schedule as S
@@ -127,4 +133,8 @@ def _load_hw_config_cached(path: str) -> HwConfig:
         kw["tile_palette"] = tuple(tuple(e) for e in data["tile_palette"])
     if "hbm_gbps" in data:
         kw["hbm_gbps"] = float(data["hbm_gbps"])
+    if "ici_gbps" in data:
+        kw["ici_gbps"] = float(data["ici_gbps"])
+    if "dcn_gbps" in data:
+        kw["dcn_gbps"] = float(data["dcn_gbps"])
     return HwConfig(**kw)

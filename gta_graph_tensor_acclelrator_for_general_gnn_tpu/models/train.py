@@ -103,6 +103,7 @@ def train_node_classifier(
     model: Optional[Model] = None,
     schedules=None,
     sinput: bool = True,
+    build_transpose: bool = False,
     verbose: bool = False,
 ) -> Tuple[TrainState, FitResult]:
     """Full-batch training of ``network`` on ``ds``; returns final state +
@@ -110,13 +111,17 @@ def train_node_classifier(
     (tuned Pallas/stream execution) — training works through the fused
     kernels' custom VJPs.  ``sinput`` (with schedules) auto-enables the
     sparse-input first-layer MM when feature density < 0.5 (isSinput);
-    features are constant across a training run, so baking X is sound."""
+    features are constant across a training run, so baking X is sound.
+    ``build_transpose`` (with schedules) also tiles the transposed graph
+    so gradients run the tiled/hybrid kernel backwards instead of the
+    [E, F]-materialising XLA recompute — required at large-graph scale."""
     model = model or build_model(
         network, ds.x.shape[1], ds.n_class,
         hidden=hidden, n_layers=n_layers, heads=heads)
     apply = model.make_apply(compute_dtype, schedules=schedules,
                              host_graph=ds.host_graph if schedules else None,
-                             x_host=ds.x if (schedules and sinput) else None)
+                             x_host=ds.x if (schedules and sinput) else None,
+                             build_transpose=build_transpose)
     params = model.init(jax.random.key(seed))
     tx = optax.adamw(lr, weight_decay=weight_decay)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))

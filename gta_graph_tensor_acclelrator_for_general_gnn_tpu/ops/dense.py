@@ -750,13 +750,21 @@ def spmm_hybrid(hyb, g, x, *, weighted: bool = True,
     over graph.transpose_host_graph's output).  The x-grad then runs the
     same density-split kernels — dx = Aᵀ ȳ — instead of the [E, F]-
     materialising XLA recompute, so full-batch training scales with the
-    forward (the round-3 tiled backward, VERDICT r2 next-3)."""
+    forward (the round-3 tiled backward, VERDICT r2 next-3).
+
+    Separable weights: when ``hyb.row_scale``/``col_scale`` are set
+    (int8 count blocks + w_e = rs[r]*cs[s], e.g. symmetric norm), the
+    dense part streams half the bytes and the scales fuse into the
+    padding copies; a transposed twin built from the transposed graph
+    carries the swapped scales automatically."""
     from . import spmm as spmm_mod
 
     def run(h, v):
         y = spmm_mod.spmm(h.tiles, v, interpret=interpret)
         if h.dense is not None:
-            yd = spmm_dense(h.dense, v, interpret=interpret)
+            yd = spmm_dense(h.dense, v, interpret=interpret,
+                            row_scale=getattr(h, "row_scale", None),
+                            col_scale=getattr(h, "col_scale", None))
             y = y + yd[: y.shape[0]]
         return y
 
@@ -904,6 +912,35 @@ def gat_hybrid(hyb, g, h_src, a_src, a_dst, *, negative_slope: float = 0.2,
 # auto_hybrid: measured-model-driven density split (the bench recipe as a
 # library call)
 # ---------------------------------------------------------------------------
+
+
+DENSE_BLOCK = 256          # measured production dense grid (r2-r4 sweeps)
+DENSE_BUDGET = 2 << 30     # per-direction dense-value byte budget
+
+
+def hybrid_threshold(hg, kind: str, *, heads: int = 1, head_dim: int = 128,
+                     dense_rows: int = DENSE_BLOCK,
+                     dense_cols: int = DENSE_BLOCK,
+                     budget: int = DENSE_BUDGET,
+                     value_bytes: int = 1) -> int:
+    """The nnz/block dense threshold the production hybrid recipe uses:
+    FLOP/bandwidth balance per kind, raised until the dense value store
+    fits ``budget`` bytes.  Shared by the schedule lowering
+    (compiler/fusion.get_hybrid) and the latency model so the model prices
+    exactly the split that runs."""
+    import numpy as np
+    from ..graph import block_nnz
+    rb, cb = dense_rows, dense_cols
+    if kind == "gat":
+        thr = gat_dense_threshold_t(rb, cb, heads, head_dim)
+    else:
+        thr = spmm_dense_threshold(rb, cb,
+                                   fudge=0.5 if value_bytes == 1 else 1.0)
+    bn = np.sort(block_nnz(hg, rb, cb).reshape(-1))[::-1]
+    max_blocks = max(budget // (rb * cb * value_bytes), 1)
+    if len(bn) > max_blocks:
+        thr = max(thr, int(bn[max_blocks - 1]) + 1)
+    return thr
 
 
 def auto_hybrid(

@@ -139,6 +139,26 @@ for dh, dc in ((2, 4),):
           flush=True)
     del part2
 
+# predicted scaling efficiency per plan (parallel/scaling.py): measured
+# single-chip rates + the plan's comm bytes at hwconfig bandwidths,
+# bounded by the measured overlap fraction (results/overlap_hlo.json)
+RATES = {"spmm": 1.206e9, "gat": 1.005e9}     # BENCH_r04 edges/s/chip
+ovf = 0.0
+ov_path = "results/overlap_hlo.json"
+if os.path.exists(ov_path):
+    cfgs = json.load(open(ov_path)).get("configs", {})
+    if "GCN/overlap" in cfgs:
+        ovf = parallel.overlap_fraction(cfgs["GCN/overlap"])
+for name, plan in list(out.items()):
+    if not name.startswith("plan"):
+        continue
+    plan["predicted"] = {
+        op: {k: (round(v, 4) if isinstance(v, float) else v)
+             for k, v in parallel.predicted_scaling(
+                 plan, edges_per_s_chip=rate, n_edge=out["n_edge"],
+                 overlap=ovf).items()}
+        for op, rate in RATES.items()}
+
 os.makedirs("results", exist_ok=True)
 with open("results/reddit_partition.json", "w") as f:
     json.dump(out, f, indent=1)

@@ -58,24 +58,42 @@ heads = 4 if NET == "GAT" else None
 model = build_model(NET, F_IN, N_CLASS, hidden=HIDDEN, n_layers=2,
                     **({"heads": heads} if heads else {}))
 
+PATH = sys.argv[3] if len(sys.argv) > 3 else "hybrid"
+
 t0 = time.time()
 scheds = []
 for graph in model.layers:
     if NET == "GCN":
         part = S.aggregation_partition(graph)
-        # per-tile one-hot at the proven Reddit geometry: the grouped
-        # format degenerates on the dense head (a stripe group pays its
-        # heaviest row block's depth for all G sub-tiles), so full-graph
-        # training uses the uniform per-tile format
-        tcg = S.TileConfig(1024, 1024, 512, S.PATH_ONEHOT)
+        if PATH == "hybrid":
+            # r5: density-split execution with the kernel backward
+            # (int8 256^2 count blocks + separable sym-norm scales; tail
+            # at the proven per-tile geometry; dx = A^T ybar through the
+            # transposed hybrid) — the r4 per-tile path stays reachable
+            # via argv[3]='onehot' for A/B
+            tcg = S.TileConfig(1024, 1024, 512, S.PATH_HYBRID,
+                               dense_block=256)
+            want = "spmm_hybrid"
+        else:
+            tcg = S.TileConfig(1024, 1024, 512, S.PATH_ONEHOT)
+            want = "spmm"
         tiles = tuple(
-            tcg if classify_block(graph, b, tcg)[0] == "spmm"
+            tcg if classify_block(graph, b, tcg)[0] == want
             else S.TileConfig(path=S.PATH_XLA) for b in part)
     else:
         part = S.pattern_partition(graph)
-        tcc = S.TileConfig(512, 1024, 512, S.PATH_ONEHOT)
+        if PATH == "hybrid":
+            # r5: hybrid attention (dense 'cr' int8 blocks + one-hot tail)
+            # with the fused tile-domain tail backward + dense-block VJP
+            # kernels — full-batch training at forward-path rates
+            tcc = S.TileConfig(512, 1024, 512, S.PATH_HYBRID,
+                               dense_block=256)
+            want = ("gat_hybrid",)
+        else:
+            tcc = S.TileConfig(512, 1024, 512, S.PATH_ONEHOT)
+            want = ("gat", "gat_layer")
         tiles = tuple(
-            tcc if classify_block(graph, b, tcc)[0] in ("gat", "gat_layer")
+            tcc if classify_block(graph, b, tcc)[0] in want
             else S.TileConfig(path=S.PATH_XLA) for b in part)
     assert any(t.kernel for t in tiles), part
     scheds.append(S.Schedule(blocks=part, tiles=tuple(tiles)))

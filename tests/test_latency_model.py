@@ -1,6 +1,6 @@
 """CI floor for the compile-only latency model (VERDICT r3 next-8).
 
-Ranks every memoised v6 measured schedule (results/memo_*.csv — the
+Ranks every memoised current-version measured schedule (results/memo_*.csv — the
 calibrated hardware measurements, reference C15 regression log) against the
 closed-form model and enforces:
 
@@ -25,7 +25,7 @@ CASES = [
     ("results/memo_gat_cora_l3.csv", "GAT-original-l3bench",
      dict(network="GAT", in_width=64, out_width=16, heads=16,
           layer_tag="l3bench"),
-     25),
+     20),
 ]
 
 
@@ -43,7 +43,9 @@ def test_latency_model_rank_fidelity(cora, memo, gname, spec, min_rows):
         spec["network"], spec["in_width"], spec["out_width"],
         heads=spec.get("heads", 1), layer_tag=spec["layer_tag"])
     r = L.rank_check(path, gname, graph, cora.host_graph)
-    assert r is not None, f"memo {memo} lost its v6 entries for {gname}"
+    assert r is not None, (
+        f"memo {memo} has no current-version entries for {gname} — "
+        "re-run the tune scripts after a KERNEL_VERSION bump")
     assert len(r["rows"]) >= min_rows, (
         f"memo shrank: {len(r['rows'])} < {min_rows}")
     assert r["spearman"] >= 0.9, (

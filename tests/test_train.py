@@ -47,3 +47,35 @@ def test_train_with_fused_schedule():
     _, res = train_node_classifier(ds, "GCN", hidden=16, epochs=30,
                                    model=model, schedules=scheds)
     assert res.train_acc > 0.6, res
+
+
+@pytest.mark.parametrize("network", ["GCN", "GAT"])
+def test_train_with_hybrid_kernel_backward(network):
+    """Training through the r5 density-split path WITH the transposed
+    twin: gradients run the hybrid kernel backwards (dense-block VJP +
+    fused tile-domain tail), not the XLA [E, F] recompute — the
+    full-batch-Reddit training recipe at tiny scale (interpret mode)."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler import (
+        schedule as S)
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler.fusion \
+        import classify_block
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.models.zoo import (
+        build_model)
+    ds = load_dataset("tiny")
+    model = build_model(network, ds.x.shape[1], ds.n_class, hidden=16,
+                        n_layers=2, heads=2)
+    want = "spmm_hybrid" if network == "GCN" else "gat_hybrid"
+    scheds = []
+    for layer in model.layers:
+        part = (S.aggregation_partition(layer) if network == "GCN"
+                else S.pattern_partition(layer))
+        tc = S.TileConfig(32, 32, 64, S.PATH_HYBRID)
+        tiles = tuple(
+            tc if classify_block(layer, b, tc)[0] == want
+            else S.TileConfig(path=S.PATH_XLA) for b in part)
+        scheds.append(S.Schedule(blocks=part, tiles=tiles))
+    assert any(t.path == S.PATH_HYBRID for s in scheds for t in s.tiles)
+    _, res = train_node_classifier(ds, network, hidden=16, heads=2,
+                                   epochs=30, model=model, schedules=scheds,
+                                   build_transpose=True)
+    assert res.train_acc > 0.6, res
