@@ -89,6 +89,17 @@ def main(argv=None):
                         "regime that mis-measures small graphs up to 4x)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true", help="machine-readable output")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed and train full-batch "
+                        "over the (hosts x local chips) mesh — run one "
+                        "process per host (parallel/multihost.py)")
+    p.add_argument("--coordinator", default=None,
+                   help="multihost coordinator address host:port "
+                        "(auto-detected on Cloud TPU pods)")
+    p.add_argument("--nprocs", type=int, default=None,
+                   help="multihost process count (auto on TPU pods)")
+    p.add_argument("--procid", type=int, default=None,
+                   help="this process's id (auto on TPU pods)")
     args = p.parse_args(argv)
 
     if args.hw_config:
@@ -97,6 +108,15 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+
+    if args.multihost:
+        # before any device use: join (or start) the jax.distributed pod
+        from .parallel.multihost import init_multihost
+        pid, pcount = init_multihost(args.coordinator, args.nprocs,
+                                     args.procid)
+        print(f"multihost: process {pid}/{pcount}, "
+              f"{jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices", flush=True)
 
     from . import build_op_graph, load_dataset
     from .compiler.lower import init_params, lower
@@ -134,7 +154,16 @@ def main(argv=None):
             return [_parse_sched(sp) for sp in spec["layers"]]
         return _parse_sched(spec)
 
-    if args.command == "train":
+    if args.command == "train" and args.multihost:
+        from .parallel.multihost import train_multihost
+        loss, _state = train_multihost(
+            ds, args.network, hidden=args.hidden, n_layers=args.layers,
+            heads=args.heads, epochs=args.epochs, lr=args.lr,
+            compute_dtype=dtype, seed=args.seed, verbose=not args.json)
+        out.update(dict(train_loss=loss, multihost=True,
+                        processes=jax.process_count(),
+                        devices=jax.device_count()))
+    elif args.command == "train":
         from .models.train import train_node_classifier
         sched = load_schedule()
         if sched is not None and not isinstance(sched, list):

@@ -64,3 +64,20 @@ def test_overlap_fraction():
         cfgs = json.load(open(path))["configs"]
         assert overlap_fraction(cfgs["GCN/baseline"]) == 0.0
         assert overlap_fraction(cfgs["GCN/overlap"]) > 0.3
+
+
+def test_multihost_driver_virtual_mesh():
+    """train_multihost (the --multihost entry, parallel/multihost.py)
+    degenerates to 1 host x N virtual chips and trains: the same SPMD
+    code path a real pod runs per process."""
+    import jax
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.data.datasets \
+        import load_dataset
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.parallel import (
+        init_multihost, train_multihost)
+    pid, pcount = init_multihost()       # idempotent single-process init
+    assert (pid, pcount) == (0, 1)
+    ds = load_dataset("tiny")
+    loss, _ = train_multihost(ds, "GCN", hidden=32, epochs=15)
+    import numpy as np
+    assert np.isfinite(loss)
