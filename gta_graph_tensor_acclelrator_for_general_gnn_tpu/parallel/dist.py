@@ -46,39 +46,50 @@ def _sq(a):
     return a[0]
 
 
-def remote_table(x_local: jax.Array, sh, axis=AXIS) -> jax.Array:
+def remote_table(x_local: jax.Array, sh, axis=AXIS,
+                 quantize: bool = False) -> jax.Array:
     """Exchange boundary rows; returns the combined remote source table
     [D*H + D*Kh + 1, F] (halo rows, hub rows, zero dump row).
 
     A :class:`~.mesh2d.PartitionedGraph2D` routes to the hierarchical
-    per-axis exchange (``axis`` is then the (host, chip) tuple)."""
+    per-axis exchange (``axis`` is then the (host, chip) tuple).
+
+    ``quantize``: transmit int8 payloads + per-row scales (parallel/
+    qcomm.py) — halves the bf16 exchange bytes on the saturated-halo
+    regime at <= 0.8%-of-row-max element error."""
     from .mesh2d import (CHIP_AXIS, HOST_AXIS, PartitionedGraph2D,
                          remote_table_2d)
     if isinstance(sh, PartitionedGraph2D):
         ha, ca = (axis if isinstance(axis, (tuple, list))
                   else (HOST_AXIS, CHIP_AXIS))
-        return remote_table_2d(x_local, sh, ha, ca)
+        return remote_table_2d(x_local, sh, ha, ca, quantize=quantize)
+    from .qcomm import q8_all_gather, q8_all_to_all
     send_idx = _sq(sh.send_idx)                       # [D, H]
     send_mask = _sq(sh.send_mask)                     # [D, H]
     send = jnp.take(x_local, send_idx, axis=0)        # [D, H, F]
     send = jnp.where(send_mask[..., None], send, 0.0).astype(x_local.dtype)
-    halo = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+    halo = (q8_all_to_all(send, axis) if quantize
+            else jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0))
     halo = halo.reshape(-1, x_local.shape[-1])        # [D*H, F]
 
     hub_src = jnp.take(x_local, _sq(sh.hub_idx), axis=0)   # [Kh, F]
     hub_src = jnp.where(_sq(sh.hub_mask)[:, None], hub_src, 0.0)
-    hubs = jax.lax.all_gather(hub_src.astype(x_local.dtype), axis)
+    hub_src = hub_src.astype(x_local.dtype)
+    hubs = (q8_all_gather(hub_src, axis) if quantize
+            else jax.lax.all_gather(hub_src, axis))
     hubs = hubs.reshape(-1, x_local.shape[-1])        # [D*Kh, F]
 
     dump = jnp.zeros((1, x_local.shape[-1]), x_local.dtype)
     return jnp.concatenate([halo, hubs, dump], axis=0)
 
 
-def _scatter_c(v_node, sh: PartitionedGraph, axis: str):
+def _scatter_c(v_node, sh: PartitionedGraph, axis: str,
+               quantize: bool = False):
     dump = jnp.zeros((1, v_node.shape[-1]), v_node.dtype)
     loc = jnp.take(jnp.concatenate([v_node, dump], axis=0),
                    _sq(sh.el_src), axis=0)
-    rem = jnp.take(remote_table(v_node, sh, axis), _sq(sh.er_src), axis=0)
+    rem = jnp.take(remote_table(v_node, sh, axis, quantize=quantize),
+                   _sq(sh.er_src), axis=0)
     return (loc, rem)
 
 
@@ -247,6 +258,7 @@ def lower_shard(
     use_kernels: bool = False,
     tiles=None,
     gat_tiles=None,
+    quantize_halo: bool = False,
 ) -> Callable:
     """Lower an OpGraph to a per-shard function ``fn(params, sh, x_local)``
     for use inside shard_map.  Mirrors compiler.lower but with the scatter /
@@ -358,7 +370,8 @@ def lower_shard(
                 # remote partial (XLA): ONE exchange carries [h ‖ a_src]
                 cat = jnp.concatenate(
                     [h.astype(f32), a_s.astype(f32)], axis=1)
-                rem = jnp.take(remote_table(cat, sh, axis),
+                rem = jnp.take(remote_table(cat, sh, axis,
+                                            quantize=quantize_halo),
                                _sq(sh.er_src), axis=0)
                 hr, asr = rem[:, :HD], rem[:, HD:]
                 pad1 = jnp.zeros((1, H), f32)
@@ -388,7 +401,8 @@ def lower_shard(
                     h = h.astype(compute_dtype)
                 y_loc = _spmm_local_kernel(h, sh, tiles_in)
                 # remote half via the XLA segment path
-                vr = jnp.take(remote_table(h, sh, axis),
+                vr = jnp.take(remote_table(h, sh, axis,
+                                           quantize=quantize_halo),
                               _sq(sh.er_src), axis=0)
                 if weighted:
                     vr = vr * _sq(sh.er_w)[:, None]
@@ -398,7 +412,8 @@ def lower_shard(
                 continue
             ins = [ref(i) for i in op.inputs] if op.inputs else [x]
             if op.kind == ir.SCATTER:
-                v = _scatter_c(ins[0], sh, axis) if op.order == "C" \
+                v = _scatter_c(ins[0], sh, axis, quantize_halo) \
+                    if op.order == "C" \
                     else _scatter_r(ins[0], sh)
             elif op.kind == ir.GATHER:
                 v = _gather(ins[0], sh, op.compute)
@@ -541,6 +556,7 @@ def make_dist_apply(
     use_kernels: bool = False,
     tiles=None,
     gat_tiles=None,
+    quantize_halo: bool = False,
 ) -> Callable:
     """Build the mesh-wide forward ``apply(params, part, x) -> logits``.
 
@@ -550,7 +566,7 @@ def make_dist_apply(
     the same way.
     """
     fns = [lower_shard(g, compute_dtype, axis, use_kernels, tiles,
-                       gat_tiles)
+                       gat_tiles, quantize_halo=quantize_halo)
            for g in layers]
 
     def local_forward(params, sh, x_local, *tile_args):
@@ -605,6 +621,7 @@ def make_sharded_train_step(
     use_kernels: bool = False,
     tiles=None,
     gat_tiles=None,
+    quantize_halo: bool = False,
 ) -> Callable:
     """Full distributed training step: forward via shard_map (halo all_to_all
     + hub all_gather inside), masked CE on the node-sharded logits, grads
@@ -613,7 +630,8 @@ def make_sharded_train_step(
     from ..models.train import TrainState, masked_cross_entropy
 
     fwd = make_dist_apply(layers, mesh, compute_dtype, axis,
-                          use_kernels, tiles, gat_tiles)
+                          use_kernels, tiles, gat_tiles,
+                          quantize_halo=quantize_halo)
 
     def step(state: TrainState, part: PartitionedGraph, x, y, mask):
         def loss_fn(params):

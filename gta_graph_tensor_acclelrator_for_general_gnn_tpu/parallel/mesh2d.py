@@ -284,9 +284,13 @@ def partition_graph_2d(
 
 def remote_table_2d(x_local: jax.Array, sh: PartitionedGraph2D,
                     host_axis: str = HOST_AXIS,
-                    chip_axis: str = CHIP_AXIS) -> jax.Array:
+                    chip_axis: str = CHIP_AXIS,
+                    quantize: bool = False) -> jax.Array:
     """The hierarchical exchange: intra-host all_to_all (ICI), host-axis
-    all_to_all + chip-axis all_gather (DCN once per row), hub all_gather."""
+    all_to_all + chip-axis all_gather (DCN once per row), hub all_gather.
+    ``quantize``: int8 payloads + per-row scales on every hop (the DCN
+    host exchange is where the byte cut matters most)."""
+    from .qcomm import q8_all_gather, q8_all_to_all
     F = x_local.shape[-1]
 
     def sq(a):
@@ -297,23 +301,30 @@ def remote_table_2d(x_local: jax.Array, sh: PartitionedGraph2D,
     sm = sh.send_in_mask[0]
     send_in = jnp.take(x_local, si, axis=0)
     send_in = jnp.where(sm[..., None], send_in, 0.0).astype(x_local.dtype)
-    halo_in = jax.lax.all_to_all(send_in, chip_axis, split_axis=0,
-                                 concat_axis=0).reshape(-1, F)
+    halo_in = (q8_all_to_all(send_in, chip_axis) if quantize
+               else jax.lax.all_to_all(send_in, chip_axis, split_axis=0,
+                                       concat_axis=0)).reshape(-1, F)
 
     so = sh.send_out_idx[0]                             # [Dh, Hout]
     som = sh.send_out_mask[0]
     send_out = jnp.take(x_local, so, axis=0)
     send_out = jnp.where(som[..., None], send_out,
                          0.0).astype(x_local.dtype)
-    recv_out = jax.lax.all_to_all(send_out, host_axis, split_axis=0,
-                                  concat_axis=0)        # [Dh, Hout, F]
-    inter = jax.lax.all_gather(recv_out, chip_axis)     # [Dc, Dh, Hout, F]
+    if quantize:
+        recv_out = q8_all_to_all(send_out, host_axis)   # [Dh, Hout, F]
+        inter = q8_all_gather(recv_out, chip_axis)      # [Dc, Dh, Hout, F]
+    else:
+        recv_out = jax.lax.all_to_all(send_out, host_axis, split_axis=0,
+                                      concat_axis=0)    # [Dh, Hout, F]
+        inter = jax.lax.all_gather(recv_out, chip_axis)
     inter = inter.reshape(-1, F)
 
     hub_src = jnp.take(x_local, sh.hub_idx[0], axis=0)
     hub_src = jnp.where(sh.hub_mask[0][:, None], hub_src, 0.0)
-    hubs = jax.lax.all_gather(hub_src.astype(x_local.dtype),
-                              (host_axis, chip_axis)).reshape(-1, F)
+    hub_src = hub_src.astype(x_local.dtype)
+    hubs = (q8_all_gather(hub_src, (host_axis, chip_axis)) if quantize
+            else jax.lax.all_gather(hub_src, (host_axis, chip_axis)))
+    hubs = hubs.reshape(-1, F)
 
     dump = jnp.zeros((1, F), x_local.dtype)
     return jnp.concatenate([halo_in, inter, hubs, dump], axis=0)

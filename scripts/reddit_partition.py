@@ -158,6 +158,19 @@ for name, plan in list(out.items()):
                  plan, edges_per_s_chip=rate, n_edge=out["n_edge"],
                  overlap=ovf).items()}
         for op, rate in RATES.items()}
+    # int8-quantized exchange (parallel/qcomm.py): payload bytes halve
+    # (per-row f32 scales add 4/F per element ~ 1.6% at F=128, folded in)
+    planq = dict(plan)
+    for k in ("halo_bytes", "hub_bytes", "ici_bytes", "dcn_bytes"):
+        if k in planq:
+            planq[k] = planq[k] * (0.5 + 2.0 / F)
+    plan["halo_bytes_q8"] = int(planq.get("halo_bytes", 0))
+    plan["predicted_q8"] = {
+        op: {k: (round(v, 4) if isinstance(v, float) else v)
+             for k, v in parallel.predicted_scaling(
+                 planq, edges_per_s_chip=rate, n_edge=out["n_edge"],
+                 overlap=ovf).items()}
+        for op, rate in RATES.items()}
 
 os.makedirs("results", exist_ok=True)
 with open("results/reddit_partition.json", "w") as f:

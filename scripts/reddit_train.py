@@ -149,8 +149,8 @@ times = []
 for i in range(4):
     t0 = time.time()
     l, gr = step(p, caps, g_dev, x, y)
-    jax.block_until_ready(l)
-    times.append(time.time() - t0)
+    jax.block_until_ready((l, gr))   # the loss alone can complete before
+    times.append(time.time() - t0)   # the grad tree: block on BOTH
     p = jax.tree.map(lambda a, b: a - 0.5 * b.astype(a.dtype), p, gr)
     losses.append(float(l))
 
