@@ -134,6 +134,15 @@ def load_dataset(
 ) -> Dataset:
     name = name.lower()
     path = os.path.join(root, f"{name}.npz") if root else None
+    if not (path and os.path.exists(path)):
+        # checked-in REAL-graph fixtures (karate, digits — built by
+        # scripts/make_real_fixtures.py from in-image package data) and
+        # any real dataset imported via scripts/import_dataset.py into
+        # the fixtures dir resolve by bare name
+        fpath = os.path.join(os.path.dirname(__file__), "fixtures",
+                             f"{name}.npz")
+        if os.path.exists(fpath):
+            path = fpath
     if path and os.path.exists(path):
         z = np.load(path)
         senders, receivers = z["senders"], z["receivers"]
