@@ -143,6 +143,13 @@ def spmm_dense(
     n_rows = bg.n_row_blocks * R
     f = x.shape[1]
     fb = min(feat_block, _round_up(f, 128))
+    if bg.supergroup > 0:
+        # the superstripe accumulator is [G*R, fb] f32 and Mosaic
+        # double-buffers it: cap fb so 2*G*R*fb*4 stays within ~12 MiB of
+        # the 16 MiB scoped VMEM (wide layers hit this; F=128 never does)
+        fb_cap = max((12 << 20) // (8 * bg.supergroup * R) // 128 * 128,
+                     128)
+        fb = min(fb, fb_cap)
     f_pad = _round_up(f, fb)
     if col_scale is not None:
         x = x * col_scale[:, None].astype(x.dtype)
