@@ -304,6 +304,64 @@ def _gat_dense_kernel(
             p, axis=1, keepdims=True)
 
 
+# r5 exp-panel variant (A/B escape hatch: False = the r4 per-cell exp chain)
+DENSE_EXP_PANEL = True
+
+
+def _gat_dense_kernel_t2(
+    rb_ref, cb_ref,
+    m_ref, xt_ref, asrc_ref, epan_s_ref, epan_d_ref,
+    acc_ref,
+    *, R: int, C: int, H: int, HD: int, precision,
+):
+    """Transposed dense attention with PRECOMPUTED exp panels (r5).
+
+    The per-cell chain was exp-bound (results/SUMMARY.md r4: 0.89 us per
+    256^2 block, the leaky blocks factoring).  But on EACH branch of the
+    leaky it factors exactly:
+
+      e - bound = leaky(a_s + a_d) - leaky(msrc + a_d)
+        a_s+a_d >= 0:  (a_s - msrc)       + (msrc + a_d - bound)
+        a_s+a_d <  0:  slope*(a_s - msrc) + (slope*(msrc + a_d) - bound)
+
+    so with per-NODE panels  E1s[c] = exp(a_s-msrc), E2s[c] =
+    exp(slope*(a_s-msrc)), E1d[r] = exp(msrc+a_d-bound), E2d[r] =
+    exp(slope*(msrc+a_d)-bound)  (every exponent <= 0: no clamp needed),
+
+      p = mask * where(a_s + a_d >= 0, E1s*E1d, E2s*E2d)
+
+    — one compare + select + two multiplies per cell, ZERO per-cell
+    transcendentals.  Exact (not approximate): both expressions equal the
+    r4 kernel's exp(e - bound) value.  Panels are [H, N] XLA precomputes.
+    asrc still rides in for the branch test."""
+    b = pl.program_id(0)
+    prev_rb = jnp.where(b == 0, -1, rb_ref[jnp.maximum(b - 1, 0)])
+
+    @pl.when(rb_ref[b] != prev_rb)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    mask_t = m_ref[0].astype(jnp.float32)                     # [C, R]
+    dt = xt_ref.dtype
+    D = HD // H
+
+    for h in range(H):
+        a_s = asrc_ref[h, :][:, None].astype(jnp.float32)      # [C, 1]
+        a_dr = epan_d_ref[2 * H + h, :][None, :]               # [1, R] raw
+        e1s = epan_s_ref[h, :][:, None]                        # [C, 1]
+        e2s = epan_s_ref[H + h, :][:, None]
+        e1d = epan_d_ref[h, :][None, :]                        # [1, R]
+        e2d = epan_d_ref[H + h, :][None, :]
+        pos = (a_s + a_dr) >= 0                                # [C, R]
+        p_t = mask_t * jnp.where(pos, e1s * e1d, e2s * e2d)    # [C, R]
+        pc = p_t.astype(dt)
+        acc_ref[h * D:(h + 1) * D, :] += jnp.dot(
+            xt_ref[h * D:(h + 1) * D, :], pc,
+            preferred_element_type=jnp.float32, precision=precision)
+        acc_ref[HD + h:HD + h + 1, :] += jnp.sum(
+            p_t, axis=0, keepdims=True)
+
+
 def _gat_dense_kernel_t(
     rb_ref, cb_ref,
     m_ref, xt_ref, asrc_ref, adst_ref, msrc_ref,
@@ -381,25 +439,61 @@ def gat_dense_partial_t(
     xt = xt.at[:, : h_src.shape[0]].set(h_src.T)
     asr_t = jnp.zeros((H, n_cols), jnp.float32)
     asr_t = asr_t.at[:, : a_src.shape[0]].set(a_src.astype(jnp.float32).T)
-    ads_t = jnp.zeros((H, n_rows), jnp.float32)
-    ads_t = ads_t.at[:, : a_dst.shape[0]].set(a_dst.astype(jnp.float32).T)
     mvals = (bg.values if jnp.issubdtype(bg.values.dtype, jnp.integer)
              else bg.values.astype(h_src.dtype))
 
     B = bg.n_blocks
-    kernel = functools.partial(
-        _gat_dense_kernel_t, R=R, C=C, H=H, HD=HD,
-        slope=float(negative_slope), precision=precision)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B,),
-        in_specs=[
+    if DENSE_EXP_PANEL:
+        # per-node exp panels (see _gat_dense_kernel_t2): every exponent
+        # <= 0 on real nodes; PAD entries must be 0 (not exp(-msrc) —
+        # msrc < 0 would make them huge and inf*0 = nan under the mask),
+        # so panels are computed on the real rows and zero-padded
+        f32 = jnp.float32
+        sl = float(negative_slope)
+        a_s32 = a_src.astype(f32)                  # [N, H]
+        a_d32 = a_dst.astype(f32)
+        ms = msrc.astype(f32)                      # [1, H]
+        bound = jnp.where(ms + a_d32 >= 0, ms + a_d32, sl * (ms + a_d32))
+        pans = jnp.concatenate([jnp.exp(a_s32 - ms),
+                                jnp.exp(sl * (a_s32 - ms))], axis=1)
+        pand = jnp.concatenate([jnp.exp(ms + a_d32 - bound),
+                                jnp.exp(sl * (ms + a_d32) - bound),
+                                a_d32], axis=1)
+        epan_s = jnp.zeros((2 * H, n_cols), f32)
+        epan_s = epan_s.at[:, : a_src.shape[0]].set(pans.T)
+        epan_d = jnp.zeros((3 * H, n_rows), f32)
+        epan_d = epan_d.at[:, : a_dst.shape[0]].set(pand.T)
+        kernel = functools.partial(
+            _gat_dense_kernel_t2, R=R, C=C, H=H, HD=HD, precision=precision)
+        in_specs = [
+            pl.BlockSpec((1, C, R), lambda b, rb, cb: (b, 0, 0)),
+            pl.BlockSpec((HD, C), lambda b, rb, cb: (0, cb[b])),
+            pl.BlockSpec((H, C), lambda b, rb, cb: (0, cb[b])),
+            pl.BlockSpec((2 * H, C), lambda b, rb, cb: (0, cb[b])),
+            pl.BlockSpec((3 * H, R), lambda b, rb, cb: (0, rb[b])),
+        ]
+        operands = (mvals, xt, asr_t, epan_s, epan_d)
+        transcendentals = 0
+    else:
+        ads_t = jnp.zeros((H, n_rows), jnp.float32)
+        ads_t = ads_t.at[:, : a_dst.shape[0]].set(
+            a_dst.astype(jnp.float32).T)
+        kernel = functools.partial(
+            _gat_dense_kernel_t, R=R, C=C, H=H, HD=HD,
+            slope=float(negative_slope), precision=precision)
+        in_specs = [
             pl.BlockSpec((1, C, R), lambda b, rb, cb: (b, 0, 0)),
             pl.BlockSpec((HD, C), lambda b, rb, cb: (0, cb[b])),
             pl.BlockSpec((H, C), lambda b, rb, cb: (0, cb[b])),
             pl.BlockSpec((H, R), lambda b, rb, cb: (0, rb[b])),
             pl.BlockSpec((H, 1), lambda b, rb, cb: (0, 0)),
-        ],
+        ]
+        operands = (mvals, xt, asr_t, ads_t, msrc.T)
+        transcendentals = B * H * R * C
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((HD + H, R), lambda b, rb, cb: (0, rb[b])),
     )
     acc = pl.pallas_call(
@@ -410,10 +504,10 @@ def gat_dense_partial_t(
             flops=2 * B * R * C * HD,
             bytes_accessed=(mvals.size * mvals.dtype.itemsize
                             + xt.size * xt.dtype.itemsize),
-            transcendentals=B * H * R * C,
+            transcendentals=transcendentals,
         ),
         interpret=interpret,
-    )(bg.blk_rb, bg.blk_cb, mvals, xt, asr_t, ads_t, msrc.T)
+    )(bg.blk_rb, bg.blk_cb, *operands)
     acc = jnp.where(jnp.repeat(bg.row_mask, R)[None, :], acc, 0.0)
     return acc
 
