@@ -148,6 +148,11 @@ def classify_block(graph: ir.OpGraph, block, tc: TileConfig):
         # the stripe-group chunked kernel exists for plain SpMM only
         return ("spmm_grouped", spmm_plan) if spmm_plan is not None \
             else ("xla", None)
+    if tc.path == S.PATH_DENSEFULL:
+        # full dense adjacency matmul — plain SpMM only (the medium-N
+        # regime); attention keeps the hybrid/block dense kernels
+        return ("spmm_densefull", spmm_plan) if spmm_plan is not None \
+            else ("xla", None)
     if tc.path == S.PATH_STREAM and (spmm_plan or gat_plan):
         return ("spmm_stream" if spmm_plan else "gat_stream",
                 spmm_plan or gat_plan)
@@ -320,6 +325,18 @@ def lower_schedule(
                           get_hybrid(tc, uw, "spmm"),
                           get_hybrid(tc, uw, "spmm", hg=host_graph_t)
                           if host_graph_t is not None else None))
+        elif kind == "spmm_densefull":
+            from ..graph import DENSEFULL_MAX_N, dense_adjacency
+            if host_graph.n_node > DENSEFULL_MAX_N:
+                plans.append(("xla", block, tc, None, None, None))
+            else:
+                key = ("densefull", plan.weighted)
+                if key not in cache:
+                    cache[key] = jnp.asarray(dense_adjacency(
+                        host_graph, weighted=plan.weighted))
+                # jnp.dot is natively differentiable (dx = A^T ybar as a
+                # second dense matmul) — no transposed build needed
+                plans.append((kind, block, tc, plan, cache[key], None))
         elif kind == "gat_hybrid":
             # 'cr' (pre-transposed) int8 blocks: the transposed dense
             # attention kernel streams H*D sublanes instead of H*R
@@ -404,6 +421,15 @@ def lower_schedule(
                 vals[plan.out_op] = seg_out(plan, dense_mod.spmm_hybrid(
                     tg, g, kin(ref(plan.in_op)), weighted=plan.weighted,
                     interpret=interpret, hyb_t=tg_t))
+            elif kind == "spmm_densefull":
+                # tg IS the dense [N_pad, N_pad] adjacency here
+                v = kin(ref(plan.in_op))
+                n = v.shape[0]
+                vp = jnp.zeros((tg.shape[1], v.shape[1]), v.dtype
+                               ).at[:n].set(v)
+                y = jnp.dot(tg.astype(v.dtype), vp,
+                            preferred_element_type=jnp.float32)[:n]
+                vals[plan.out_op] = seg_out(plan, y)
             elif kind == "sddmm":
                 from ..ops import sddmm as sddmm_mod
                 vals[plan.out_op] = sddmm_mod.sddmm_edges(

@@ -335,6 +335,18 @@ def block_ns(
             dense_cols=tc.dense_block or tc.block_cols)
         return cost.hybrid_ns(tc, graph.width_of(plan.in_op), thr,
                               dtype_bytes)
+    if kind == "spmm_densefull":
+        from ..graph import DENSEFULL_MAX_N
+        if cost.stats.n_node > DENSEFULL_MAX_N:
+            return xla_block()      # the lowering falls back to XLA too
+        n_pad = -(-cost.stats.n_node // 256) * 256
+        f = max(graph.width_of(plan.in_op), 1)
+        byts = (n_pad * n_pad * 2.0            # A bf16, read once
+                + 2.0 * n_pad * f * dtype_bytes)
+        flops = 2.0 * n_pad * n_pad * f
+        mxu = c.mxu_tflops_bf16 if dtype_bytes <= 2 else c.mxu_tflops_f32
+        return max(byts / c.hbm_gbps, flops / (mxu * 1e3)) \
+            + c.xla_op_const_ns
     if kind == "spmm_stream":
         return cost.stream_ns(tc, graph.width_of(plan.in_op), dtype_bytes)
     if kind == "sddmm":

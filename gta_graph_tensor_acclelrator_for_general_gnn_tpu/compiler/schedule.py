@@ -35,7 +35,15 @@ PATH_HYBRID = "hybrid"   # density-split: dense blocks on MXU-direct kernels,
 PATH_GROUPED = "grouped" # stripe-group chunked one-hot SpMM (half the
                          # one-hot width at equal utilisation; the round-3
                          # sparse-tail kernel).  SpMM blocks only.
-PATHS = (PATH_XLA, PATH_ONEHOT, PATH_STREAM, PATH_HYBRID, PATH_GROUPED)
+PATH_DENSEFULL = "densefull"  # FULL dense adjacency matmul: y = A @ x with
+                         # A materialised [N_pad, N_pad] bf16 — one big MXU
+                         # op.  The medium-density regime's winner (pubmed
+                         # class: N <= ~32k, E/N ~ 5: one-hot tiles are
+                         # underfilled, XLA gathers row-at-a-time, but a
+                         # 20k^2 matmul runs ~1 ms at full MXU util).
+                         # SpMM blocks only; guarded by a node-count cap.
+PATHS = (PATH_XLA, PATH_ONEHOT, PATH_STREAM, PATH_HYBRID, PATH_GROUPED,
+         PATH_DENSEFULL)
 
 
 @dataclasses.dataclass(frozen=True)

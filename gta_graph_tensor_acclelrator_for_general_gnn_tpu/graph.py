@@ -1069,6 +1069,34 @@ def hybrid_graph(
                        n_sparse_edges=g.n_edge - int(in_dense.sum()))
 
 
+# full-densification cap: above this node count the [N, N] bf16 adjacency
+# exceeds ~8 GB and the blocked hybrid/one-hot paths win
+DENSEFULL_MAX_N = 65536
+
+
+def dense_adjacency(g, *, weighted: bool = True, pad_multiple: int = 256,
+                    dtype=None) -> np.ndarray:
+    """The FULL dense adjacency [N_pad, N_pad] (rows = receivers, cols =
+    senders; summed edge weights, or multi-edge counts when unweighted) —
+    the medium-density regime's aggregation operand: at pubmed scale
+    (N ~ 20k, E/N ~ 5) one big ``A @ x`` MXU matmul beats both the
+    underfilled one-hot tiles and XLA's row-at-a-time gathers.
+    bf16 by default (ml_dtypes); the sym-norm weights ride inside A."""
+    import ml_dtypes
+    g = _as_host(g)
+    assert g.n_node <= DENSEFULL_MAX_N, (
+        f"dense_adjacency at n={g.n_node} would need "
+        f"{(g.n_node / 1024)**2 * 2 / 1024:.1f} GB — use the hybrid path")
+    if dtype is None:
+        dtype = ml_dtypes.bfloat16
+    n_pad = _round_up(g.n_node, pad_multiple)
+    a = np.zeros((n_pad, n_pad), np.float32)
+    ne = g.n_edge
+    w = (g.edge_weight[:ne] if weighted else np.ones(ne, np.float32))
+    np.add.at(a, (g.receivers[:ne], g.senders[:ne]), w)
+    return a.astype(dtype)
+
+
 def separable_weight_scales(g) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """(row_scale, col_scale) with ``w_e == row_scale[receiver] *
     col_scale[sender]`` when the edge weights are the symmetric

@@ -40,6 +40,7 @@ TILE_PALETTE = (
     S.TileConfig(512, 512, 512, S.PATH_HYBRID),
     S.TileConfig(512, 512, 128, S.PATH_GROUPED),  # stripe-group chunked
     S.TileConfig(512, 512, 256, S.PATH_GROUPED),
+    S.TileConfig(path=S.PATH_DENSEFULL),          # full dense A (medium N)
     S.TileConfig(tile_edges=8, path=S.PATH_STREAM),     # 16k-edge chunks
     S.TileConfig(tile_edges=128, path=S.PATH_STREAM),   # 256k-edge chunks
 )

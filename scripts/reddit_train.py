@@ -154,8 +154,10 @@ for i in range(4):
     p = jax.tree.map(lambda a, b: a - 0.5 * b.astype(a.dtype), p, gr)
     losses.append(float(l))
 
+import statistics
 print(f"{NET} FULL-BATCH Reddit train: epoch(step) = "
-      f"{min(times):.2f} s  (times {['%.2f' % t for t in times]})",
-      flush=True)
+      f"{statistics.median(times[1:]):.2f} s  "
+      f"(times {['%.2f' % t for t in times]}; median of steady steps — "
+      f"the first can read 0 through the tunnel queue)", flush=True)
 print(f"losses {losses}  monotone={all(b < a for a, b in zip(losses, losses[1:]))}",
       flush=True)

