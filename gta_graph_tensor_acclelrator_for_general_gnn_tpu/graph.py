@@ -1074,6 +1074,54 @@ def hybrid_graph(
 DENSEFULL_MAX_N = 65536
 
 
+def batch_host_graph(g, batch: int, *, copy_stride: Optional[int] = None
+                     ) -> "HostGraph":
+    """Block-diagonal batching of ``batch`` copies of one graph (the
+    serving shape), with each copy's node range padded to ``copy_stride``
+    (default: next multiple of 1024).
+
+    The alignment is the point: with stride % block == 0 the tiler
+    produces IDENTICAL per-copy tiles — no adjacency block straddles two
+    copies, so the batched graph keeps the B=1 tiling's fill instead of
+    the straddled blocks' (measured collapse: grouped fill 0.18 on
+    unaligned B=64 Cora, scripts/serving_grouped_ab.py).  Features are
+    laid out [batch * copy_stride, F] with per-copy zero padding
+    (:func:`pad_batch_features`)."""
+    g = _as_host(g)
+    stride = copy_stride or _round_up(g.n_node, 1024)
+    ne = g.n_edge
+    off = (np.arange(batch, dtype=np.int64)[:, None] * stride)
+    s = (g.senders[:ne][None, :] + off).reshape(-1)
+    r = (g.receivers[:ne][None, :] + off).reshape(-1)
+    w = np.tile(g.edge_weight[:ne], batch)
+    n_tot = batch * stride
+    e_tot = batch * ne
+    e_pad = _round_up(e_tot, 512)
+    return HostGraph(
+        senders=np.concatenate(
+            [s, np.full(e_pad - e_tot, n_tot, np.int64)]).astype(np.int32),
+        receivers=np.concatenate(
+            [r, np.full(e_pad - e_tot, n_tot, np.int64)]).astype(np.int32),
+        edge_mask=np.concatenate(
+            [np.ones(e_tot, bool), np.zeros(e_pad - e_tot, bool)]),
+        edge_weight=np.concatenate(
+            [w, np.zeros(e_pad - e_tot, np.float32)]).astype(np.float32),
+        n_node=n_tot,
+        n_edge=e_tot,
+    )
+
+
+def pad_batch_features(x: np.ndarray, batch: int, n_node: int,
+                       copy_stride: Optional[int] = None) -> np.ndarray:
+    """[batch, n_node, F] (or [batch*n_node, F]) -> the padded
+    [batch * stride, F] layout :func:`batch_host_graph` expects."""
+    stride = copy_stride or _round_up(n_node, 1024)
+    x = np.asarray(x).reshape(batch, n_node, -1)
+    out = np.zeros((batch, stride, x.shape[-1]), x.dtype)
+    out[:, :n_node] = x
+    return out.reshape(batch * stride, -1)
+
+
 def dense_adjacency(g, *, weighted: bool = True, pad_multiple: int = 256,
                     dtype=None) -> np.ndarray:
     """The FULL dense adjacency [N_pad, N_pad] (rows = receivers, cols =

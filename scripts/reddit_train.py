@@ -159,5 +159,22 @@ print(f"{NET} FULL-BATCH Reddit train: epoch(step) = "
       f"{statistics.median(times[1:]):.2f} s  "
       f"(times {['%.2f' % t for t in times]}; median of steady steps — "
       f"the first can read 0 through the tunnel queue)", flush=True)
+
+if os.environ.get("GTA_TRACE"):
+    # per-kernel timeline of one step (written AFTER the timed region:
+    # profiling adds overhead) — top ops by device time
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.utils.profile \
+        import trace, trace_events
+    tdir = os.environ["GTA_TRACE"]
+    with trace(tdir):
+        l, gr = step(p, caps, g_dev, x, y)
+        jax.block_until_ready((l, gr))
+    evs = trace_events(tdir)
+    tot = sum(e.total_us for e in evs)
+    print(f"trace: {len(evs)} distinct ops, {tot/1e6:.2f} s total",
+          flush=True)
+    for e in sorted(evs, key=lambda v: -v.total_us)[:18]:
+        print(f"  {e.total_us/1e3:9.1f} ms  x{e.count:<5d} {e.name[:70]}",
+              flush=True)
 print(f"losses {losses}  monotone={all(b < a for a, b in zip(losses, losses[1:]))}",
       flush=True)

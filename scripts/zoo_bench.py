@@ -19,7 +19,12 @@ Timing: utils/benchmark.time_layer_device with target_s self-calibration
 (quotable absolutes; see docs/ARCHITECTURE.md "Measurement discipline").
 A discarded warmup family absorbs the first-measurement-high artefact.
 
-Usage: python scripts/zoo_bench.py [net ...]   (default: all seven)
+Round-5: measurements repeat --reps times (default 3) and report the
+MEDIAN — single runs carry ~13% noise, which drowned the r4 residual fit
+(VERDICT r4 weak-5); the final table adds the modelled-vs-measured
+residual per family.
+
+Usage: python scripts/zoo_bench.py [net ...] [--reps N]  (default: all 7)
 """
 import json
 import time
@@ -42,6 +47,10 @@ from gta_graph_tensor_acclelrator_for_general_gnn_tpu.utils.benchmark import (
 
 ALL = ["GCN", "GAT", "SGC", "GraphSAGE", "GIN", "DGN", "PNA"]
 nets = [a for a in sys.argv[1:] if not a.startswith("--")] or ALL
+REPS = 3
+for i, a in enumerate(sys.argv):
+    if a == "--reps":
+        REPS = int(sys.argv[i + 1])
 assert all(n in NETWORKS for n in nets), nets
 
 ds = gta.load_dataset("cora")
@@ -72,10 +81,13 @@ def measure(net, warmup=False):
                         hidden=128, n_layers=2, heads=4)
     params = jax.device_put(model.init(jax.random.key(0)))
 
+    import statistics
     row = {"net": net}
     t0 = time.time()
     fwd = model.make_apply(dtype)
-    lat = time_layer_device(fwd, params, g_dev, x, target_s=0.4, reps=2)
+    lat = statistics.median(
+        time_layer_device(fwd, params, g_dev, x, target_s=0.4, reps=2)
+        for _ in range(1 if warmup else REPS))
     row["xla_us"] = lat * 1e6
     row["xla_wall_s"] = time.time() - t0
 
@@ -102,7 +114,9 @@ def measure(net, warmup=False):
     t0 = time.time()
     try:
         fwd2 = model.make_apply(dtype, schedules=scheds, host_graph=hg)
-        lat2 = time_layer_device(fwd2, params, g_dev, x, target_s=0.4, reps=2)
+        lat2 = statistics.median(
+            time_layer_device(fwd2, params, g_dev, x, target_s=0.4, reps=2)
+            for _ in range(1 if warmup else REPS))
     except Exception as ex:  # Mosaic rejection: report, keep the sweep going
         row["compiled_error"] = f"{type(ex).__name__}: {ex}"[:200]
         lat2 = float("nan")
@@ -118,9 +132,17 @@ def measure(net, warmup=False):
 # discarded warmup (first slope in a process reads ~10-15% high)
 measure(nets[0], warmup=True)
 rows = [measure(n) for n in nets]
-print("\n| net | per-op XLA | compiled (min-latency) | modelled | modelled HBM |")
-print("|---|---|---|---|---|")
+print(f"\n(median of {REPS} repeated measurements per cell)")
+print("| net | per-op XLA | compiled (min-latency) | modelled | residual | modelled HBM |")
+print("|---|---|---|---|---|---|")
 for r in rows:
+    resid = (r.get("modelled_us", float("nan")) / r["compiled_us"] - 1) * 100
+    r["residual_pct"] = resid
     print(f"| {r['net']} | {r['xla_us']:.1f} us | {r['compiled_us']:.1f} us "
           f"| {r.get('modelled_us', float('nan')):.1f} us "
+          f"| {resid:+.1f}% "
           f"| {r['compiled_traffic_mb']:.1f} MB |")
+import os
+os.makedirs("results", exist_ok=True)
+json.dump(rows, open("results/zoo_r5.json", "w"), indent=1)
+print("wrote results/zoo_r5.json")
