@@ -1003,9 +1003,13 @@ def _gat_bwd_dad_kernel(
         brow = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 0) // D
         bcol = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 1)
         Bt = (brow == bcol).astype(jnp.float32)               # [HD, H]
+        # precision follows the compute dtype: for f32 parity HIGHEST;
+        # for bf16 training DEFAULT — the gathered operands are already
+        # bf16-accurate, and tiny-N HIGHEST dots are kernel killers
+        # (ROADMAP r4 fact 2)
         te = jnp.dot(gbar_e * hs, Bt,
                      preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)     # [ET, H]
+                     precision=precision)                     # [ET, H]
 
         dl = alpha * (te - s2e)
         dz = dl * jnp.where(lraw >= 0, 1.0, slope)            # [ET, H]
@@ -1081,9 +1085,13 @@ def _gat_bwd_dsrc_kernel(
         brow = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 0) // D
         bcol = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 1)
         Bt = (brow == bcol).astype(jnp.float32)               # [HD, H]
+        # precision follows the compute dtype: for f32 parity HIGHEST;
+        # for bf16 training DEFAULT — the gathered operands are already
+        # bf16-accurate, and tiny-N HIGHEST dots are kernel killers
+        # (ROADMAP r4 fact 2)
         te = jnp.dot(gbar_e * hs, Bt,
                      preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)     # [ET, H]
+                     precision=precision)                     # [ET, H]
 
         dl = alpha * (te - s2e)
         dz = dl * jnp.where(lraw >= 0, 1.0, slope)            # [ET, H]
@@ -1091,9 +1099,10 @@ def _gat_bwd_dsrc_kernel(
         # alpha expanded head->feat (exact copy per head: 0/1 matmul —
         # these wide-layout kernels keep the dot; a LANE tile-repeat
         # measured 2x slower in the wide forward kernel, see _gat_kernel)
-        afull = jnp.dot(alpha, Bt.T,
+        afull = jnp.dot(alpha.astype(dt) if dt != jnp.float32
+                        else alpha, Bt.T,
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)  # [ET, HD]
+                        precision=precision)                  # [ET, HD]
         vals = jnp.concatenate([dz, afull * gbar_e], axis=1).astype(dt)
         acc_ref[:] += jax.lax.dot_general(
             oh_row, vals, (((0,), (0,)), ((), ())),

@@ -42,7 +42,7 @@ def bench(name, fn, *args, kb=2100):
 
 for dsname in (("pubmed", "flickr") if which == "both" else (which,)):
     ds = gta.load_dataset(dsname)
-    hg, _ = reorder_nodes(ds.host_graph, "hubs")
+    hg, _ = reorder_nodes(ds.host_graph, "degree")
     g = hg.to_device()
     n, e = hg.n_node, hg.n_edge
     print(f"{dsname}: n={n} e={e} F={F}", flush=True)
