@@ -304,8 +304,14 @@ def _gat_dense_kernel(
             p, axis=1, keepdims=True)
 
 
-# r5 exp-panel variant (A/B escape hatch: False = the r4 per-cell exp chain)
-DENSE_EXP_PANEL = True
+# r5 exp-panel variant — MEASURED SLOWER, default OFF.  The factorisation
+# is exact and removes every per-cell transcendental, but Mosaic lowers
+# the [C,1] x [1,R] outer-product broadcasts worse than the fused exp
+# chain: Reddit dense part 43.7 ms vs 20.3 (2.15x), serving B=64 layer
+# 7.91 vs 6.05 ms.  The r4 "exp-bound" attribution was wrong — the dense
+# kernel is broadcast/VPU-pass bound, and exp is one cheap pass.  Kept as
+# an A/B escape hatch + the measured-negative record.
+DENSE_EXP_PANEL = False
 
 
 def _gat_dense_kernel_t2(
