@@ -377,7 +377,8 @@ def lower_schedule(
     # 1/in-degree post-scale (matches primitives.gather_to_nodes MEAN, which
     # divides by the real incident-edge count)
     inv_deg = None
-    if any(p[0] in ("spmm", "spmm_grouped", "spmm_hybrid", "spmm_stream")
+    if any(p[0] in ("spmm", "spmm_grouped", "spmm_hybrid", "spmm_stream",
+                    "spmm_densefull")
            and getattr(p[3], "mean", False) for p in plans):
         import numpy as _np
         deg = _np.bincount(_np.asarray(host_graph.receivers),

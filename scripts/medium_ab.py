@@ -33,8 +33,11 @@ F = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 out = {}
 
 
-def bench(name, fn, *args, kb=2100):
-    t = time_layer_device(lambda p, g, v: fn(v), None, None, *args,
+def bench(name, fn, cap, *args, kb=2100):
+    # cap (graph/adjacency data) rides as a jit ARGUMENT — closing over
+    # multi-hundred-MB device arrays embeds them as HLO constants and the
+    # remote compiler rejects the program (ROADMAP fact 5)
+    t = time_layer_device(lambda p, g, v: fn(g, v), None, cap, *args,
                           k_small=100, k_big=kb, reps=3)
     print(f"  {name}: {t*1e3:.3f} ms", flush=True)
     return t
@@ -51,29 +54,27 @@ for dsname in (("pubmed", "flickr") if which == "both" else (which,)):
                                          jnp.bfloat16))
 
     # per-op XLA aggregation (the current pubmed pick)
-    def xla_fn(v):
-        ew = P.scatter_to_edges(v, g, "C") * g.edge_weight[:, None].astype(
+    def xla_fn(gg, v):
+        ew = P.scatter_to_edges(v, gg, "C") * gg.edge_weight[:, None].astype(
             v.dtype)
-        return P.gather_to_nodes(ew, g, ir.ADD)
-    res["xla_ms"] = bench("xla agg", jax.jit(xla_fn), x) * 1e3
+        return P.gather_to_nodes(ew, gg, ir.ADD)
+    res["xla_ms"] = bench("xla agg", xla_fn, g, x) * 1e3
 
     # full dense adjacency matmul
     if n <= 65536:
         A = jax.device_put(jnp.asarray(dense_adjacency(hg)))
-        n_pad = A.shape[0]
 
-        def dense_fn(v):
-            vp = jnp.zeros((n_pad, v.shape[1]), v.dtype).at[:n].set(v)
-            return jnp.dot(A.astype(v.dtype), vp,
+        def dense_fn(Ad, v):
+            vp = jnp.zeros((Ad.shape[1], v.shape[1]), v.dtype).at[:n].set(v)
+            return jnp.dot(Ad.astype(v.dtype), vp,
                            preferred_element_type=jnp.float32)[:n]
-        res["densefull_ms"] = bench("densefull agg", jax.jit(dense_fn),
-                                    x) * 1e3
+        res["densefull_ms"] = bench("densefull agg", dense_fn, A, x) * 1e3
 
     # production hybrid (auto-tuned split)
     hyb = D.auto_hybrid(hg, kind="spmm", feat_width=F)
     res["hybrid_ms"] = bench(
         "hybrid agg",
-        jax.jit(lambda v: D.spmm_hybrid(hyb, g, v)), x) * 1e3
+        lambda gg, v: D.spmm_hybrid(gg[0], gg[1], v), (hyb, g), x) * 1e3
 
     # flickr-class GAT through the production grouped recipe
     H, HD = 4, F
@@ -84,9 +85,9 @@ for dsname in (("pubmed", "flickr") if which == "both" else (which,)):
     a_d = jax.device_put(jax.random.normal(jax.random.key(3), (n, H),
                                            jnp.float32))
 
-    def gat_fn(v):
-        return D.gat_hybrid(hyb_g, g, v, a_s, a_d)
-    t = bench("gat hybrid", jax.jit(gat_fn), x)
+    def gat_fn(gg, v):
+        return D.gat_hybrid(gg[0], gg[1], v, a_s, a_d)
+    t = bench("gat hybrid", gat_fn, (hyb_g, g), x)
     res["gat_ms"] = t * 1e3
     res["gat_gedges"] = e / t / 1e9
     print(f"  gat rate: {res['gat_gedges']:.3f} Gedge/s", flush=True)
