@@ -56,9 +56,11 @@ class LatencyConstants:
     xla_op_const_ns: float = 2700.0
     # hybrid dense path: per dense block, A-block DMA (int8 R*C bytes) and
     # the R x C x F matmul overlap; a per-block constant covers grid +
-    # value-decode passes.  Fits the measured Cora hybrid (36 blocks,
-    # 41 us) and Reddit dense part (8.1 ms).
-    dense_block_const_ns: float = 700.0
+    # value-decode passes.  r5 refit on the Reddit dense part (9.4 ms /
+    # 24,439 256^2 int8 blocks at F=128: 385 ns/block total, DMA term
+    # 160 ns -> const ~230; the old 700 was a Cora-era fudge that
+    # over-priced the dense path 2.2x and mis-ranked hybrid at pubmed).
+    dense_block_const_ns: float = 230.0
     # GAT one-hot chain: two passes over the edge tiles (max+den, then
     # num/out) with in-kernel a_src derivation — costed as this factor on
     # the single-pass one-hot time
@@ -91,6 +93,21 @@ def _lane_groups(width: int) -> int:
     return max(-(-max(width, 1) // 128), 1)
 
 
+# Gather/segment row costs are table-RESIDENCY dependent: with the node
+# table under ~2 MB (Cora class) rows stream near 1/cycle (the r2 fit);
+# past it random rows pay HBM latency — pubmed (5 MB table) and flickr
+# (23 MB) BOTH measure ~12.6 ns/edge for the 3-op aggregation vs the
+# Cora-fit ~5.1 (scripts/medium_ab.py r5: pubmed 1.384 ms / 108k edges,
+# flickr 13.13 ms / 1.06 M edges).  One cliff factor models both.
+XLA_TABLE_RESIDENT_BYTES = 2 << 20
+XLA_NONRESIDENT_FACTOR = 2.4
+
+
+def _row_factor(stats: S.GraphStats, width: int, dtype_bytes: int) -> float:
+    table = stats.n_node * max(width, 1) * dtype_bytes
+    return XLA_NONRESIDENT_FACTOR if table > XLA_TABLE_RESIDENT_BYTES else 1.0
+
+
 def xla_op_ns(
     op: ir.Op,
     graph: ir.OpGraph,
@@ -102,10 +119,12 @@ def xla_op_ns(
     n, e = stats.n_node, stats.e_pad
     w = max(op.out_width, 1)
     if op.kind == ir.SCATTER:
-        t = c.xla_take_row_ns * e * _lane_groups(w)
+        t = (c.xla_take_row_ns * e * _lane_groups(w)
+             * _row_factor(stats, w, dtype_bytes))
         return t + c.xla_op_const_ns
     if op.kind == ir.GATHER:
-        t = c.xla_segment_row_ns * e * _lane_groups(w)
+        t = (c.xla_segment_row_ns * e * _lane_groups(w)
+             * _row_factor(stats, w, dtype_bytes))
         return t + c.xla_op_const_ns
     if op.kind == ir.APPLY_EDGE:
         reads = max(len(op.inputs), 1)
@@ -296,6 +315,7 @@ class GraphCost:
         chunks = max(-(-self.stats.e_pad // chunk), 1)
         lanes = max(-(-max(feat_width, 1) // 128), 1)
         per_edge = 1.5 * (self.c.xla_take_row_ns + self.c.xla_segment_row_ns)
+        per_edge *= _row_factor(self.stats, feat_width, dtype_bytes)
         return (per_edge * self.stats.e_pad * lanes
                 + chunks * self.c.stream_chunk_ns)
 

@@ -41,6 +41,12 @@ TILE_PALETTE = (
     S.TileConfig(512, 512, 128, S.PATH_GROUPED),  # stripe-group chunked
     S.TileConfig(512, 512, 256, S.PATH_GROUPED),
     S.TileConfig(path=S.PATH_DENSEFULL),          # full dense A (medium N)
+    S.TileConfig(1024, 1024, 512, S.PATH_HYBRID,  # production large-graph
+                 dense_block=256),                # recipe (256-grid dense)
+    S.TileConfig(2048, 1024, 128, S.PATH_HYBRID,  # medium-density (E/N~5)
+                 dense_block=256),                # recipes: big blocks,
+    S.TileConfig(2048, 2048, 128, S.PATH_HYBRID,  # small tile capacity
+                 dense_block=256),
     S.TileConfig(tile_edges=8, path=S.PATH_STREAM),     # 16k-edge chunks
     S.TileConfig(tile_edges=128, path=S.PATH_STREAM),   # 256k-edge chunks
 )

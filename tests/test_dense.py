@@ -677,3 +677,22 @@ def test_densefull_modelled_and_guarded(rng):
     cost = L.GraphCost(hg)
     t = L.block_ns(og, agg, S.TileConfig(path=S.PATH_DENSEFULL), cost)
     assert 0 < t < 1e9
+
+
+def test_spmm_densefull_mean_gather(rng):
+    """densefull under a MEAN gather (GraphSAGE aggregation): the dense
+    matmul computes the SUM; the 1/in-degree post-scale must wire up
+    (regression: zoo r5 SAGE pick crashed on a None inv_deg)."""
+    hg, g = _graphs(rng)
+    og = gta.build_op_graph("GraphSAGE", 12, 8)
+    params = init_params(og, jax.random.key(0))
+    x = jnp.asarray(rng.normal(size=(hg.n_node, 12)).astype(np.float32))
+    ref = lower(og)(params, g, x)
+    part = S.aggregation_partition(og)
+    tiles = tuple(
+        S.TileConfig(path=S.PATH_DENSEFULL) if len(b) > 1
+        else S.TileConfig(path=S.PATH_XLA) for b in part)
+    fn = lower_schedule(og, S.Schedule(blocks=part, tiles=tiles), hg)
+    out = fn(params, g, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
