@@ -172,16 +172,19 @@ for name in names:
             best_g = (t, tr, tc, et)
     _, GR, GC, ET_g = best_g
     if GROUPED_GAT:
-        GR = GC = 512
-        ET_g = 128
+        # r5 measured winner at flickr (calibrated, scripts → SUMMARY):
+        # grouped-T G4 over 1024x2048/ET128 with thr 128 — 7.38 ms /
+        # 0.134 Gedge/s vs the per-tile best 14.1 ms
+        GR, GC, ET_g = 1024, 2048, 128
+        thr_g = 128
     print(f"  gat tail geometry {GR}x{GC}/ET{ET_g}"
-          f"{' grouped/G8' if GROUPED_GAT else ''}", flush=True)
+          f"{' grouped/G4' if GROUPED_GAT else ''}", flush=True)
     hyb_g = hybrid_graph(hg, block_rows=RB, block_cols=CB, tile_edges=ET_g,
                          min_nnz=thr_g, unit_weight=True, block_layout="cr",
                          values_dtype=np.int8,
                          sparse_block_rows=GR, sparse_block_cols=GC,
                          tail_format="grouped" if GROUPED_GAT else "tiles",
-                         tail_group=8,
+                         tail_group=4,
                          # transposed dataflow: edge axis rides the 128-lane
                          # dim, so capacities must be %128
                          tile_classes=(tuple(c for c in CLASSES if c % 128 == 0)
