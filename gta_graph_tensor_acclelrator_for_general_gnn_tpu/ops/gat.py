@@ -1159,6 +1159,28 @@ def _gat_bwd_fused(tg: TiledGraph, tg_t: TiledGraph, h, a_s, a_d, den, out,
         hp = hp.at[:n, :HD].set(h.astype(dt))
         return hp.at[:n, HD:].set(a_s.astype(dt))
 
+    # transposed-dataflow packs: [feat, nodes], feature rows INTERLEAVED
+    # (feature k*H + h_ = head h_'s k-th dim) so the kernels' repeat/
+    # reshape head operations are exact (see the _tt kernel block comment)
+    if HD != H:
+        _i = np.arange(HD)
+        perm_f = (_i % H) * D + _i // H
+        inv_f = (_i % D) * H + _i // D
+    else:
+        perm_f = inv_f = np.arange(HD)
+
+    def dpackT_pad(n_pad: int):
+        dp = jnp.zeros((HD + 3 * H, n_pad), dt)
+        dp = dp.at[:HD, :n].set(gbar.astype(dt)[:, perm_f].T)
+        dp = dp.at[HD:HD + H, :n].set(a_d.astype(dt).T)
+        dp = dp.at[HD + H:HD + 2 * H, :n].set(rden.astype(dt).T)
+        return dp.at[HD + 2 * H:, :n].set(s2.astype(dt).T)
+
+    def hpackT_pad(n_pad: int):
+        hp = jnp.zeros((HD + H, n_pad), dt)
+        hp = hp.at[:HD, :n].set(h.astype(dt)[:, perm_f].T)
+        return hp.at[HD:, :n].set(a_s.astype(dt).T)
+
     def run(tgx: TiledGraph, col_panel, row_panel, kernel, out_w: int):
         R, C, ET, T = (tgx.block_rows, tgx.block_cols, tgx.tile_edges,
                        tgx.n_tiles)
@@ -1211,17 +1233,265 @@ def _gat_bwd_fused(tg: TiledGraph, tg_t: TiledGraph, h, a_s, a_d, den, out,
                 tgx.weight[t0:t1], rb0, rb1 - rb0))
         return jnp.concatenate(parts, axis=0)
 
+    def run_t(tgx: TiledGraph, col_panel, row_panel, kernel, out_w: int):
+        """Transposed-dataflow launch: panels are [width, nodes], output
+        [out_w, rows] (caller transposes)."""
+        R, C, ET, T = (tgx.block_rows, tgx.block_cols, tgx.tile_edges,
+                       tgx.n_tiles)
+        colw = col_panel.shape[0]
+        roww = row_panel.shape[0]
+        kfn = functools.partial(kernel, R=R, C=C, ET=ET, H=H, HD=HD,
+                                slope=float(slope), precision=precision)
+
+        def call(tile_rb, tile_cb, srcl, dstl, wgt, rb0, n_rb):
+            Tc = int(tile_rb.shape[0])
+            cost = pl.CostEstimate(
+                flops=2 * Tc * ET * (C + 2 * R) * (HD + 3 * H),
+                bytes_accessed=(col_panel.size + row_panel.size)
+                * col_panel.dtype.itemsize,
+                transcendentals=Tc * ET * H,
+            )
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(Tc,),
+                in_specs=[
+                    pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
+                    pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
+                    pl.BlockSpec((1, 1, ET), lambda t, rb, cb: (t, 0, 0)),
+                    pl.BlockSpec((colw, C),
+                                 lambda t, rb, cb: (0, jnp.maximum(cb[t], 0))),
+                    pl.BlockSpec((roww, R),
+                                 lambda t, rb, cb: (0, rb[t] + rb0)),
+                    pl.BlockSpec((H, 1), lambda t, rb, cb: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (out_w, R), lambda t, rb, cb: (0, rb[t])),
+                scratch_shapes=[pltpu.VMEM((out_w, R), jnp.float32)],
+            )
+            return pl.pallas_call(
+                kfn, grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((out_w, n_rb * R),
+                                               jnp.float32),
+                cost_estimate=cost, interpret=interpret,
+            )(tile_rb, tile_cb, srcl[:, None, :], dstl[:, None, :],
+              wgt[:, None, :], col_panel, row_panel, msrc.T)
+
+        if T <= max_tiles_per_call or tgx.row_first_host is None:
+            return call(tgx.tile_rb, tgx.tile_cb, tgx.src_local,
+                        tgx.dst_local, tgx.weight, 0, tgx.n_row_blocks)
+        parts = []
+        for t0, t1, rb0, rb1 in _stripe_chunks(
+                tgx.row_first_host, T, max_tiles_per_call):
+            parts.append(call(
+                tgx.tile_rb[t0:t1] - rb0, tgx.tile_cb[t0:t1],
+                tgx.src_local[t0:t1], tgx.dst_local[t0:t1],
+                tgx.weight[t0:t1], rb0, rb1 - rb0))
+        return jnp.concatenate(parts, axis=1)
+
+    def can_t(tgx: TiledGraph) -> bool:
+        # same Mosaic lane constraint as the forward transposed kernels
+        return (tgx.block_rows % 128 == 0 or tgx.n_row_blocks == 1
+                or interpret)
+
     # kernel 1 (forward tiling, rows = dst): dad
-    dad = run(tg, hpack_pad(tg.n_col_blocks * tg.block_cols),
-              dpack_pad(tg.n_row_blocks * tg.block_rows),
-              _gat_bwd_dad_kernel, H)[:n]
+    if GAT_BWD_T and can_t(tg):
+        dad = run_t(tg, hpackT_pad(tg.n_col_blocks * tg.block_cols),
+                    dpackT_pad(tg.n_row_blocks * tg.block_rows),
+                    _gat_bwd_dad_kernel_tt, H).T[:n]
+    else:
+        dad = run(tg, hpack_pad(tg.n_col_blocks * tg.block_cols),
+                  dpack_pad(tg.n_row_blocks * tg.block_rows),
+                  _gat_bwd_dad_kernel, H)[:n]
     # kernel 2 (transposed tiling, rows = src): [das ‖ dh]
-    sd = run(tg_t, dpack_pad(tg_t.n_col_blocks * tg_t.block_cols),
-             hpack_pad(tg_t.n_row_blocks * tg_t.block_rows),
-             _gat_bwd_dsrc_kernel, H + HD)[:n]
-    das = sd[:, :H]
-    dh = sd[:, H:]
+    if GAT_BWD_T and can_t(tg_t):
+        sd = run_t(tg_t, dpackT_pad(tg_t.n_col_blocks * tg_t.block_cols),
+                   hpackT_pad(tg_t.n_row_blocks * tg_t.block_rows),
+                   _gat_bwd_dsrc_kernel_tt, H + HD).T[:n]
+        das = sd[:, :H]
+        dh = sd[:, H:][:, inv_f]      # un-interleave the feature columns
+    else:
+        sd = run(tg_t, dpack_pad(tg_t.n_col_blocks * tg_t.block_cols),
+                 hpack_pad(tg_t.n_row_blocks * tg_t.block_rows),
+                 _gat_bwd_dsrc_kernel, H + HD)[:n]
+        das = sd[:, :H]
+        dh = sd[:, H:]
     return dh.astype(h.dtype), das.astype(a_s.dtype), dad.astype(a_d.dtype)
+
+
+# ---------------------------------------------------------------------------
+# TRANSPOSED-dataflow fused backward (round 5): same math as the wide
+# kernels above, in the [feat, edges] orientation the forward won with.
+#
+# The wide backward pays the narrow-lane pad tax everywhere: gather dots
+# [ET, C] @ [C, HD+3H] pad N = 140 -> 256 (45% waste), the dad scatter
+# [ET, R]^T @ [ET, H] pads N = 4 -> 128 (32x).  Transposed, every matmul
+# has N = ET (full lanes) and M = the small feature width (sublanes):
+#
+#   gsrc_t = [h ‖ a_s]^T @ oh_src^T          [HD+H, ET]
+#   gdst_t = [ḡ ‖ a_d ‖ 1/den ‖ s2]^T @ oh_dst^T   [HD+3H, ET]
+#   te     = per-head sublane reduction of ḡ_t * h_t   [H, ET]
+#   dz     = alpha (te - s2) leaky'          [H, ET]
+#   dad    += dz  @ oh_dst                   [H, R]   (contract the ET axis)
+#   das‖dh += [dz ; repeat(alpha) * ḡ_t] @ oh_row    [H+HD, R]
+#
+# Feature panels use the INTERLEAVED head-minor layout (feature i belongs
+# to head i % H) so alpha's head->feature expansion is an exact
+# pltpu.repeat (tile semantics x[i % n] — the r4 forward trick) and the
+# te head-sum is a [D, H, ET] sublane-group reduction.  Same constraint
+# as the forward transposed kernels: out blocks are [*, R], so
+# block_rows % 128 == 0 (or a single row block).
+# ---------------------------------------------------------------------------
+
+
+def _gat_bwd_dad_kernel_tt(
+    rb_ref, cb_ref,
+    src_ref, dst_ref, wgt_ref,
+    hcat_ref, dpack_ref, msrc_ref, o_ref, acc_ref,
+    *, R: int, C: int, ET: int, H: int, HD: int, slope: float, precision,
+):
+    """dad over the forward tiling, transposed dataflow: out [H, R]."""
+    D = HD // H
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    prev_rb = jnp.where(t == 0, -1, rb_ref[jnp.maximum(t - 1, 0)])
+    next_rb = jnp.where(t == T - 1, -1, rb_ref[jnp.minimum(t + 1, T - 1)])
+
+    @pl.when(rb_ref[t] != prev_rb)
+    def _reset():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(cb_ref[t] >= 0)
+    def _compute():
+        src = src_ref[0, 0, :].astype(jnp.int32)
+        dst = dst_ref[0, 0, :].astype(jnp.int32)
+        dt = hcat_ref.dtype
+
+        src_b = jax.lax.broadcast_in_dim(src, (C, ET), (1,))
+        oh_src_t = (src_b == jax.lax.broadcasted_iota(
+            jnp.int32, (C, ET), 0)).astype(dt)                # [C, ET]
+        dst_b = jax.lax.broadcast_in_dim(dst, (R, ET), (1,))
+        oh_dst_t = (dst_b == jax.lax.broadcasted_iota(
+            jnp.int32, (R, ET), 0)).astype(dt)                # [R, ET]
+
+        gsrc = jnp.dot(hcat_ref[:], oh_src_t,
+                       preferred_element_type=jnp.float32,
+                       precision=precision)                   # [HD+H, ET]
+        hs = gsrc[:HD, :]
+        a_se = gsrc[HD:, :]
+        gdst = jnp.dot(dpack_ref[:], oh_dst_t,
+                       preferred_element_type=jnp.float32,
+                       precision=precision)                   # [HD+3H, ET]
+        gbar_e = gdst[:HD, :]
+        a_de = gdst[HD:HD + H, :]
+        rden_e = gdst[HD + H:HD + 2 * H, :]
+        s2e = gdst[HD + 2 * H:, :]
+
+        def leaky(v):
+            return jnp.where(v >= 0, v, slope * v)
+
+        lraw = a_se + a_de                                    # [H, ET]
+        bound = leaky(msrc_ref[:, 0][:, None] + a_de)
+        dmat = jax.lax.broadcast_in_dim(dst, (H, ET), (1,))
+        p = jnp.where(dmat < R,
+                      jnp.exp(jnp.minimum(leaky(lraw) - bound, 60.0)), 0.0)
+        wmat = jax.lax.broadcast_in_dim(
+            wgt_ref[0, 0, :].astype(jnp.float32), (H, ET), (1,))
+        alpha = p * wmat * rden_e                             # [H, ET]
+
+        # te: per-head sublane-group reduction over the INTERLEAVED
+        # layout (feature k*H + h is head h's k-th dim)
+        te = jnp.sum((gbar_e * hs).reshape(D, H, ET), axis=0)  # [H, ET]
+
+        dl = alpha * (te - s2e)
+        dz = dl * jnp.where(lraw >= 0, 1.0, slope)            # [H, ET]
+
+        acc_ref[:] += jax.lax.dot_general(
+            dz.astype(dt), oh_dst_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)                              # [H, R]
+
+    @pl.when(next_rb != rb_ref[t])
+    def _publish():
+        o_ref[:] = acc_ref[:]
+
+
+def _gat_bwd_dsrc_kernel_tt(
+    rb_ref, cb_ref,
+    src_ref, dst_ref, wgt_ref,
+    dpack_ref, hcat_ref, msrc_ref, o_ref, acc_ref,
+    *, R: int, C: int, ET: int, H: int, HD: int, slope: float, precision,
+):
+    """[das ‖ dh] over the TRANSPOSED tiling, transposed dataflow:
+    out [H + HD, R] (rows = original senders; dh rows interleaved —
+    caller un-interleaves)."""
+    D = HD // H
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    prev_rb = jnp.where(t == 0, -1, rb_ref[jnp.maximum(t - 1, 0)])
+    next_rb = jnp.where(t == T - 1, -1, rb_ref[jnp.minimum(t + 1, T - 1)])
+
+    @pl.when(rb_ref[t] != prev_rb)
+    def _reset():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(cb_ref[t] >= 0)
+    def _compute():
+        dloc = src_ref[0, 0, :].astype(jnp.int32)   # original dst (cols)
+        sloc = dst_ref[0, 0, :].astype(jnp.int32)   # original src (rows)
+        dt = hcat_ref.dtype
+
+        col_b = jax.lax.broadcast_in_dim(dloc, (C, ET), (1,))
+        oh_col_t = (col_b == jax.lax.broadcasted_iota(
+            jnp.int32, (C, ET), 0)).astype(dt)                # [C, ET]
+        row_b = jax.lax.broadcast_in_dim(sloc, (R, ET), (1,))
+        oh_row_t = (row_b == jax.lax.broadcasted_iota(
+            jnp.int32, (R, ET), 0)).astype(dt)                # [R, ET]
+
+        gdst = jnp.dot(dpack_ref[:], oh_col_t,
+                       preferred_element_type=jnp.float32,
+                       precision=precision)                   # [HD+3H, ET]
+        gbar_e = gdst[:HD, :]
+        a_de = gdst[HD:HD + H, :]
+        rden_e = gdst[HD + H:HD + 2 * H, :]
+        s2e = gdst[HD + 2 * H:, :]
+        grow = jnp.dot(hcat_ref[:], oh_row_t,
+                       preferred_element_type=jnp.float32,
+                       precision=precision)                   # [HD+H, ET]
+        hs = grow[:HD, :]
+        a_se = grow[HD:, :]
+
+        def leaky(v):
+            return jnp.where(v >= 0, v, slope * v)
+
+        lraw = a_se + a_de
+        bound = leaky(msrc_ref[:, 0][:, None] + a_de)
+        smat = jax.lax.broadcast_in_dim(sloc, (H, ET), (1,))
+        p = jnp.where(smat < R,
+                      jnp.exp(jnp.minimum(leaky(lraw) - bound, 60.0)), 0.0)
+        wmat = jax.lax.broadcast_in_dim(
+            wgt_ref[0, 0, :].astype(jnp.float32), (H, ET), (1,))
+        alpha = p * wmat * rden_e                             # [H, ET]
+
+        te = jnp.sum((gbar_e * hs).reshape(D, H, ET), axis=0)  # [H, ET]
+        dl = alpha * (te - s2e)
+        dz = dl * jnp.where(lraw >= 0, 1.0, slope)            # [H, ET]
+
+        # alpha head->feature expansion: exact interleaved tile-repeat
+        afull = alpha if HD == H else pltpu.repeat(alpha, D, axis=0)
+        v = jnp.concatenate([dz, afull * gbar_e], axis=0).astype(dt)
+        acc_ref[:] += jax.lax.dot_general(
+            v, oh_row_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)                              # [H+HD, R]
+
+    @pl.when(next_rb != rb_ref[t])
+    def _publish():
+        o_ref[:] = acc_ref[:]
+
+
+# Transposed-backward toggle: the dispatch falls back to the wide kernels
+# when the tiling geometry violates the %128 lane constraint
+GAT_BWD_T = True
 
 
 # Fused tile-domain backward toggle (A/B escape hatch: the r3 per-head
