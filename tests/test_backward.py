@@ -321,3 +321,45 @@ def test_gat_remat_through_custom_vjp(rng):
     gref = jax.grad(loss_ref)(h, a_s, a_d)
     np.testing.assert_allclose(np.asarray(gr), np.asarray(gref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_gat_bwd_transposed_matches_wide(rng):
+    """The r5 transposed-dataflow backward kernels compute exactly the
+    wide kernels' gradients (same math, different orientation)."""
+    import numpy as np
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+        build_host_graph, tile_graph, transpose_host_graph)
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.ops import (
+        gat as gat_mod)
+    from conftest import small_graph
+
+    s, r = small_graph(rng, n=96, e=700)
+    hg = build_host_graph(s, r, 96, edge_pad_multiple=128)
+    hg_t, _ = transpose_host_graph(hg)
+    tg = tile_graph(hg, block_rows=32, block_cols=32, tile_edges=64,
+                    unit_weight=True)
+    tg_t = tile_graph(hg_t, block_rows=32, block_cols=32, tile_edges=64,
+                      unit_weight=True)
+    H, HD = 2, 8
+    h = jnp.asarray(rng.normal(size=(96, HD)).astype(np.float32))
+    a_s = jnp.asarray(rng.normal(size=(96, H)).astype(np.float32))
+    a_d = jnp.asarray(rng.normal(size=(96, H)).astype(np.float32))
+    raw = gat_mod._gat_forward(tg, h, a_s, a_d, normalize=False,
+                               interpret=True,
+                               msrc=jnp.max(a_s, 0, keepdims=True))
+    den = raw[:, HD:]
+    y = raw[:, :HD] / jnp.repeat(jnp.maximum(den, 1e-20), HD // H, 1)
+    gbar = jnp.asarray(rng.normal(size=y.shape).astype(np.float32))
+
+    outs = {}
+    for flag in (True, False):
+        old = gat_mod.GAT_BWD_T
+        gat_mod.GAT_BWD_T = flag
+        try:
+            outs[flag] = gat_mod._gat_bwd_fused(
+                tg, tg_t, h, a_s, a_d, den, y, gbar, 0.2, interpret=True)
+        finally:
+            gat_mod.GAT_BWD_T = old
+    for name, a, b in zip(("dh", "das", "dad"), outs[True], outs[False]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
