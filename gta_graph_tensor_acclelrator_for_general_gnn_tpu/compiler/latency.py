@@ -373,16 +373,22 @@ def block_ns(
         fw = graph.width_of(plan.src_op)
         return cost.onehot_ns(tc, max(2 * fw, 8), dtype_bytes)
     if kind == "pair_agg":
-        # two gather matmuls + scatter(s): 2.2x the one-hot unit, FLAT
-        # across aggregator sets (r4 on-chip fit: DGN[sum] wants 2.57,
-        # PNA[sum,max,mean] wants 1.75 — the MAX-scan surcharge is not
-        # resolvable above the ~13% run noise, so no surcharge).  The
-        # per-call ramp is added ONCE, unscaled, and the edge/node MMs the
-        # matcher distributes into u/v ((XW)[s] ≡ X[s]W) are real runtime
-        # matmuls priced like the xla MM term (no dispatch const: they
-        # fuse into the operand build).
-        t = (2.2 * cost.onehot_ns(tc, plan.width, dtype_bytes,
-                                  include_ramp=False)
+        # two gather matmuls + scatter(s), costed as a factor on the
+        # one-hot unit.  Per-aggregator-set factors (VERDICT r4 weak-5):
+        # the r4 single-run fits (DGN[sum] 2.57, PNA[sum,max,mean] 1.75)
+        # were dismissed as under the ~13% noise; the r5 MEDIAN-of-3 zoo
+        # measurements CONFIRM them (DGN -16% under the flat 2.2, PNA
+        # +16% over).  The kernel always computes sum/max/cnt in one pass
+        # (pair_aggregate_raw), so a consumer using more outputs amortises
+        # the pass better — hence the multi-aggregator factor is LOWER.
+        aggs = set(plan.gathers)
+        pf = 2.6 if aggs == {ir.ADD} else (1.8 if ir.MAX in aggs else 2.2)
+        # the per-call ramp is added ONCE, unscaled, and the edge/node MMs
+        # the matcher distributes into u/v ((XW)[s] ≡ X[s]W) are real
+        # runtime matmuls priced like the xla MM term (no dispatch const:
+        # they fuse into the operand build).
+        t = (pf * cost.onehot_ns(tc, plan.width, dtype_bytes,
+                                 include_ramp=False)
              + cost.ramp_ns(tc, plan.width))
         mxu = (c.mxu_tflops_bf16 if dtype_bytes <= 2
                else c.mxu_tflops_f32)

@@ -5,10 +5,11 @@ calibrated hardware measurements, reference C15 regression log) against the
 closed-form model and enforces:
 
 * Spearman rank correlation >= 0.9 (constants drift fails here first), and
-* argmin regret <= 1.25: the schedule the model WOULD pick measures within
-  25% of the measured-best schedule (run-to-run variance on identical
-  configs is ~13%, so exact-argmin is not a stable assertion — pick
-  quality is what decides whether compile-only picking regresses).
+* argmin regret <= 1.20 (tightened from 1.25 in r5; current values
+  1.00 / 1.17): the schedule the model WOULD pick measures within 20% of
+  the measured-best schedule (run-to-run variance on identical configs
+  is ~13%, so exact-argmin is not a stable assertion — pick quality is
+  what decides whether compile-only picking regresses).
 
 Runs entirely on CPU; measured data is the committed memo CSVs.
 """
@@ -26,6 +27,11 @@ CASES = [
      dict(network="GAT", in_width=64, out_width=16, heads=16,
           layer_tag="l3bench"),
      20),
+    # NOT asserted: the heavier GAT-Cora128 shape (HD+H=132, wide-kernel
+    # regime) ranks at spearman 0.46 / regret 1.36 against its v9 memo —
+    # a known model gap at wide attention shapes (the gat_pass_factor is
+    # fitted on the narrow transposed chain).  Recorded here so the gap
+    # is visible; fixing it needs a wide-shape refit of the pass factor.
 ]
 
 
@@ -51,7 +57,7 @@ def test_latency_model_rank_fidelity(cora, memo, gname, spec, min_rows):
     assert r["spearman"] >= 0.9, (
         f"{gname}: rank correlation {r['spearman']:.3f} < 0.9 — "
         "latency constants drifted; refit via scripts/latency_fit.py")
-    assert r["argmin_regret"] <= 1.25, (
+    assert r["argmin_regret"] <= 1.20, (
         f"{gname}: modelled pick measures {r['argmin_regret']:.2f}x the "
         "measured best")
 
