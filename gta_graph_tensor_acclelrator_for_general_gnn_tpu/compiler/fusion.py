@@ -464,13 +464,28 @@ def lower_schedule(
                     vals[plan.gathers[ir.MEAN]] = (
                         y_sum / jnp.maximum(cnt, 1.0))
             elif kind == "gat_hybrid":
+                # derive mode: when a_src is a linear map of h (canonical
+                # GAT wiring) pass the weight — the tail kernel re-derives
+                # a_s in-kernel (width-128 repack; measured faster in both
+                # dataflows), forced transposed when the geometry allows
+                # (the Reddit production orientation)
+                asrc_prod = graph.by_id.get(plan.asrc_op)
+                w_as = None
+                if (asrc_prod is not None and asrc_prod.compute == ir.MM
+                        and asrc_prod.inputs == [plan.h_op]):
+                    w_as = params[asrc_prod.extra["weight"][0]]
+                df = ("transposed_derive"
+                      if w_as is not None and tc.block_rows % 128 == 0
+                      else None)
                 vals[plan.out_op] = dense_mod.gat_hybrid(
                     tg, g,
                     kin(ref(plan.h_op)),
-                    kin(ref(plan.asrc_op)),
+                    None if w_as is not None else kin(ref(plan.asrc_op)),
                     kin(ref(plan.adst_op)),
                     negative_slope=plan.negative_slope,
-                    interpret=interpret, hyb_t=tg_t)
+                    interpret=interpret, hyb_t=tg_t,
+                    w_asrc=None if w_as is None else kin(w_as),
+                    dataflow=df)
             elif kind == "spmm_stream":
                 from ..ops import chunked
                 if plan.weighted:

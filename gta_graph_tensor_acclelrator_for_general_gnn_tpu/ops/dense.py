@@ -934,7 +934,8 @@ def _gat_reference_g(g, h, a_src, a_dst, slope, weighted: bool = True):
 
 
 def gat_hybrid(hyb, g, h_src, a_src, a_dst, *, negative_slope: float = 0.2,
-               interpret: bool = False, hyb_t=None):
+               interpret: bool = False, hyb_t=None, w_asrc=None,
+               dataflow=None):
     """Density-split GAT attention.  Both kernels accumulate raw
     [num ‖ den] partials under the SAME shift bound (global per-head max of
     a_src), so the combine is one add + divide.
@@ -946,13 +947,21 @@ def gat_hybrid(hyb, g, h_src, a_src, a_dst, *, negative_slope: float = 0.2,
     and the dense blocks through :func:`gat_dense_bwd`; both use the
     combined den/out so their per-edge shares add exactly.  Without it,
     autodiff of the full-graph XLA segment formulation (materialises
-    [E, ...] — fatal at full-batch Reddit scale)."""
+    [E, ...] — fatal at full-batch Reddit scale).
+
+    ``w_asrc`` [HD, H]: pass INSTEAD of ``a_src`` when a_src is a linear
+    map of h (the canonical GAT wiring) — the tail kernel derives a_s
+    in-kernel (the width-128 repack, measured faster in both dataflows),
+    and the VJP returns (dh, dw, dad).  ``dataflow`` forces the tail
+    orientation (e.g. "transposed_derive", the Reddit production
+    choice)."""
     from .gat import _gat_bwd_fused, _gat_forward
     from ..graph import TiledGraph as _TG
 
     H = a_dst.shape[1]
     HD = h_src.shape[1]
     D = HD // H
+    wmode = w_asrc is not None
     kernel_bwd = (
         hyb_t is not None
         and type(hyb.tiles) is _TG and type(hyb_t.tiles) is _TG
@@ -960,59 +969,94 @@ def gat_hybrid(hyb, g, h_src, a_src, a_dst, *, negative_slope: float = 0.2,
         and (hyb.dense is None or (hyb.dense.values_layout == "cr"
                                    and hyb_t.dense.values_layout == "cr")))
 
-    def raw(h, s, d):
-        msrc = jnp.max(s.astype(jnp.float32), axis=0, keepdims=True)
+    def a_s_twins(h, w):
+        """(XLA-default twin feeding msrc + the dense partial, kernel-
+        precision twin the tail logits see) — see _gat_bwd_fused doc."""
+        a_sx = jnp.dot(h, w.astype(h.dtype),
+                       preferred_element_type=jnp.float32)
+        kprec = (jax.lax.Precision.HIGHEST if h.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+        a_sk = jnp.dot(h, w.astype(h.dtype),
+                       preferred_element_type=jnp.float32,
+                       precision=kprec)
+        return a_sx, a_sk
+
+    def raw(h, sw, d):
+        if wmode:
+            s, kw = None, dict(w_asrc=sw, dataflow=dataflow)
+            sv = jnp.dot(h, sw.astype(h.dtype),
+                         preferred_element_type=jnp.float32)
+        else:
+            s, kw = sw, {}
+            sv = sw
+        msrc = jnp.max(sv.astype(jnp.float32), axis=0, keepdims=True)
         acc = _gat_forward(hyb.tiles, h, s, d,
                            negative_slope=negative_slope,
-                           interpret=interpret, normalize=False, msrc=msrc)
+                           interpret=interpret, normalize=False, msrc=msrc,
+                           **kw)
         if hyb.dense is not None:
-            accd = gat_dense_partial(hyb.dense, h, s, d, msrc,
+            accd = gat_dense_partial(hyb.dense, h, sv, d, msrc,
                                      negative_slope=negative_slope,
                                      interpret=interpret)
             acc = acc + accd[: acc.shape[0]]
         return acc
 
     @jax.custom_vjp
-    def f(h, s, d):
-        acc = raw(h, s, d)
+    def f(h, sw, d):
+        acc = raw(h, sw, d)
         num, den = acc[:, :HD], acc[:, HD:]
         return num / jnp.repeat(jnp.maximum(den, 1e-20), D, axis=1)
 
-    def fwd(h, s, d):
+    def fwd(h, sw, d):
         if not kernel_bwd:
-            return f(h, s, d), (h, s, d, None, None)
-        acc = raw(h, s, d)
+            return f(h, sw, d), (h, sw, d, None, None)
+        acc = raw(h, sw, d)
         num, den = acc[:, :HD], acc[:, HD:]
         y = num / jnp.repeat(jnp.maximum(den, 1e-20), D, axis=1)
-        return y, (h, s, d, y, den)
+        return y, (h, sw, d, y, den)
 
     def bwd(res, gbar):
-        h, s, d, y, den = res
+        h, sw, d, y, den = res
         if not kernel_bwd:
             # weighted=False: the forward kernels run strictly unit-weight
             # (hybrid attention graphs are built unit_weight=True), so the
             # backward twin must differentiate the unweighted softmax even
             # when the full graph g carries sym-norm edge weights
-            _, vjp = jax.vjp(
-                lambda h_, s_, d_: _gat_reference_g(
-                    g, h_, s_, d_, negative_slope, weighted=False),
-                h, s, d)
+            def ref_fn(h_, sw_, d_):
+                sv = (jnp.dot(h_.astype(jnp.float32),
+                              sw_.astype(jnp.float32)) if wmode else sw_)
+                return _gat_reference_g(g, h_, sv, d_, negative_slope,
+                                        weighted=False)
+            _, vjp = jax.vjp(ref_fn, h, sw, d)
             return vjp(gbar.astype(jnp.float32))
+        if wmode:
+            a_sx, a_sk = a_s_twins(h, sw)
+            s_tail, s_bound = a_sk, a_sx
+            s_dense = a_sx
+        else:
+            s_tail, s_bound = sw, None
+            s_dense = sw
         dh, das, dad = _gat_bwd_fused(
-            hyb.tiles, hyb_t.tiles, h, s, d, den, y, gbar,
-            negative_slope, interpret)
+            hyb.tiles, hyb_t.tiles, h, s_tail, d, den, y, gbar,
+            negative_slope, interpret, a_s_bound=s_bound)
         if hyb.dense is not None:
             dhd, dasd, dadd = gat_dense_bwd(
-                hyb.dense, hyb_t.dense, h, s, d, den, y, gbar,
+                hyb.dense, hyb_t.dense, h, s_dense, d, den, y, gbar,
                 negative_slope=negative_slope, interpret=interpret)
             dh = (dh.astype(jnp.float32) + dhd.astype(jnp.float32)).astype(
                 h.dtype)
             das = das.astype(jnp.float32) + dasd
             dad = dad.astype(jnp.float32) + dadd
-        return dh, das.astype(s.dtype), dad.astype(d.dtype)
+        if wmode:
+            das32 = das.astype(jnp.float32)
+            dh = (dh.astype(jnp.float32)
+                  + jnp.dot(das32, sw.astype(jnp.float32).T)).astype(h.dtype)
+            dw = jnp.dot(h.astype(jnp.float32).T, das32).astype(sw.dtype)
+            return dh, dw, dad.astype(d.dtype)
+        return dh, das.astype(sw.dtype), dad.astype(d.dtype)
 
     f.defvjp(fwd, bwd)
-    return f(h_src, a_src, a_dst)
+    return f(h_src, w_asrc if wmode else a_src, a_dst)
 
 
 # ---------------------------------------------------------------------------

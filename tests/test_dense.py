@@ -696,3 +696,35 @@ def test_spmm_densefull_mean_gather(rng):
     out = fn(params, g, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_gat_hybrid_wmode_kernel_backward(rng):
+    """gat_hybrid derive mode (w_asrc instead of a_src values): forward
+    parity + (dh, dw, dad) against autodiff of the XLA oracle."""
+    hg, g = _graphs(rng, n=96, e=900)
+    hyb, hyb_t = _hyb_pair(hg, block_rows=32, block_cols=32, tile_edges=64,
+                           min_nnz=105)
+    H, HD = 2, 8
+    h = jnp.asarray(rng.normal(size=(hg.n_node, HD)).astype(np.float32))
+    w = jnp.asarray((0.3 * rng.normal(size=(HD, H))).astype(np.float32))
+    a_d = jnp.asarray(rng.normal(size=(hg.n_node, H)).astype(np.float32))
+
+    out = D.gat_hybrid(hyb, g, h, None, a_d, interpret=True, hyb_t=hyb_t,
+                       w_asrc=w)
+    ref = D._gat_reference_g(g, h, h @ w, a_d, 0.2, weighted=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss_k(hh, ww, dd):
+        return jnp.sum(D.gat_hybrid(hyb, g, hh, None, dd, interpret=True,
+                                    hyb_t=hyb_t, w_asrc=ww) ** 2)
+
+    def loss_r(hh, ww, dd):
+        return jnp.sum(D._gat_reference_g(g, hh, hh @ ww, dd, 0.2,
+                                          weighted=False) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(h, w, a_d)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(h, w, a_d)
+    for name, k, r in zip(("dh", "dw", "dad"), gk, gr):
+        np.testing.assert_allclose(np.asarray(k), np.asarray(r),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
