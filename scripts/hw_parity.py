@@ -120,6 +120,21 @@ check("gat_hybrid_bwd_dh/f32", gk_h, gr_h, 1e-4)
 check("gat_hybrid_bwd_das/f32", gk_s, gr_s, 1e-4)
 check("gat_hybrid_bwd_dad/f32", gk_d, gr_d, 1e-4)
 
+# derive (w_asrc) mode: in-kernel a_src + transposed tail + (dh, dw, dad)
+w_hb = jax.device_put(
+    jax.random.normal(jax.random.key(31), (F, H), jnp.float32) * 0.3)
+gw_h, gw_w, gw_d = jax.jit(jax.grad(
+    lambda hh, ww, dd: jnp.sum(D.gat_hybrid(
+        hyb_bk, gu, hh, None, dd, hyb_t=hyb_bk_t, w_asrc=ww) ** 2),
+    argnums=(0, 1, 2)))(x, w_hb, a_d)
+gwr_h, gwr_w, gwr_d = jax.jit(jax.grad(
+    lambda hh, ww, dd: jnp.sum(D._gat_reference_g(
+        gu, hh, jnp.dot(hh, ww), dd, 0.2, weighted=False) ** 2),
+    argnums=(0, 1, 2)))(x, w_hb, a_d)
+check("gat_hybrid_wmode_dh/f32", gw_h, gwr_h, 1e-4)
+check("gat_hybrid_wmode_dw/f32", gw_w, gwr_w, 1e-4)
+check("gat_hybrid_wmode_dad/f32", gw_d, gwr_d, 1e-4)
+
 sd_ref = jax.jit(lambda: (P.scatter_to_edges(a_s, g, "C")
                           + P.scatter_to_edges(a_d, g, "R"))
                  * g.edge_mask[:, None].astype(jnp.float32))()
