@@ -969,23 +969,22 @@ def gat_hybrid(hyb, g, h_src, a_src, a_dst, *, negative_slope: float = 0.2,
         and (hyb.dense is None or (hyb.dense.values_layout == "cr"
                                    and hyb_t.dense.values_layout == "cr")))
 
-    def a_s_twins(h, w):
-        """(XLA-default twin feeding msrc + the dense partial, kernel-
-        precision twin the tail logits see) — see _gat_bwd_fused doc."""
-        a_sx = jnp.dot(h, w.astype(h.dtype),
-                       preferred_element_type=jnp.float32)
+    def a_s_kernel(h, w):
+        """a_src at the KERNEL's precision — used for msrc, the dense
+        partial AND the backward recompute, so every consumer sees the
+        same logits the tail's in-kernel derive produces (unlike
+        _gat_vjp's wmode, which inherits a DEFAULT-precision msrc from
+        _gat_forward and needs the two-twin dance)."""
         kprec = (jax.lax.Precision.HIGHEST if h.dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
-        a_sk = jnp.dot(h, w.astype(h.dtype),
+        return jnp.dot(h, w.astype(h.dtype),
                        preferred_element_type=jnp.float32,
                        precision=kprec)
-        return a_sx, a_sk
 
     def raw(h, sw, d):
         if wmode:
             s, kw = None, dict(w_asrc=sw, dataflow=dataflow)
-            sv = jnp.dot(h, sw.astype(h.dtype),
-                         preferred_element_type=jnp.float32)
+            sv = a_s_kernel(h, sw)
         else:
             s, kw = sw, {}
             sv = sw
@@ -1030,9 +1029,8 @@ def gat_hybrid(hyb, g, h_src, a_src, a_dst, *, negative_slope: float = 0.2,
             _, vjp = jax.vjp(ref_fn, h, sw, d)
             return vjp(gbar.astype(jnp.float32))
         if wmode:
-            a_sx, a_sk = a_s_twins(h, sw)
-            s_tail, s_bound = a_sk, a_sx
-            s_dense = a_sx
+            s_tail = s_dense = a_s_kernel(h, sw)
+            s_bound = None          # one precision everywhere: no twins
         else:
             s_tail, s_bound = sw, None
             s_dense = sw
@@ -1048,10 +1046,16 @@ def gat_hybrid(hyb, g, h_src, a_src, a_dst, *, negative_slope: float = 0.2,
             das = das.astype(jnp.float32) + dasd
             dad = dad.astype(jnp.float32) + dadd
         if wmode:
+            # kernel precision on the chain-rule dots: a DEFAULT f32 dot
+            # rounds through bf16 on TPU (measured 2e-3 parity loss)
+            kprec = (jax.lax.Precision.HIGHEST if h.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
             das32 = das.astype(jnp.float32)
             dh = (dh.astype(jnp.float32)
-                  + jnp.dot(das32, sw.astype(jnp.float32).T)).astype(h.dtype)
-            dw = jnp.dot(h.astype(jnp.float32).T, das32).astype(sw.dtype)
+                  + jnp.dot(das32, sw.astype(jnp.float32).T,
+                            precision=kprec)).astype(h.dtype)
+            dw = jnp.dot(h.astype(jnp.float32).T, das32,
+                         precision=kprec).astype(sw.dtype)
             return dh, dw, dad.astype(d.dtype)
         return dh, das.astype(sw.dtype), dad.astype(d.dtype)
 

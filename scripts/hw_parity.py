@@ -127,9 +127,14 @@ gw_h, gw_w, gw_d = jax.jit(jax.grad(
     lambda hh, ww, dd: jnp.sum(D.gat_hybrid(
         hyb_bk, gu, hh, None, dd, hyb_t=hyb_bk_t, w_asrc=ww) ** 2),
     argnums=(0, 1, 2)))(x, w_hb, a_d)
+# HIGHEST-precision a_src in the oracle: the kernel derives a_src at
+# HIGHEST for f32, while a bare jnp.dot rounds through bf16 on TPU —
+# comparing against the DEFAULT oracle measures logit-rounding noise
+# (exp-amplified to ~0.4 max-rel), not kernel error
 gwr_h, gwr_w, gwr_d = jax.jit(jax.grad(
     lambda hh, ww, dd: jnp.sum(D._gat_reference_g(
-        gu, hh, jnp.dot(hh, ww), dd, 0.2, weighted=False) ** 2),
+        gu, hh, jnp.dot(hh, ww, precision=jax.lax.Precision.HIGHEST),
+        dd, 0.2, weighted=False) ** 2),
     argnums=(0, 1, 2)))(x, w_hb, a_d)
 check("gat_hybrid_wmode_dh/f32", gw_h, gwr_h, 1e-4)
 check("gat_hybrid_wmode_dw/f32", gw_w, gwr_w, 1e-4)
