@@ -52,9 +52,11 @@ def main(argv=None):
                    help="tune each layer of the real model stack and write "
                         "a per-layer schedule JSON (run/train --schedule)")
     p.add_argument("--compiled", action="store_true",
-                   help="run: use the compile-only min-modelled-latency "
-                        "schedule pick (compiler/latency.py) when no "
-                        "--schedule file is given")
+                   help="run/train: use the compile-only min-modelled-"
+                        "latency schedule pick (compiler/latency.py) when "
+                        "no --schedule file is given; train additionally "
+                        "builds the transposed tilings so gradients run "
+                        "the kernel backwards")
     p.add_argument("--schedule", default=None,
                    help="path to a tuned schedule JSON (results/best_*.json) "
                         "to execute with (run/train)")
@@ -168,11 +170,33 @@ def main(argv=None):
         sched = load_schedule()
         if sched is not None and not isinstance(sched, list):
             sched = [sched] * args.layers
+        model_ = None
+        if sched is None and args.compiled:
+            # compile-only pick per layer; training flows through the
+            # kernels' custom VJPs (hybrid kernel backward etc.).  The
+            # transposed tilings for the kernel backward ride on
+            # build_transpose below.  The picked-for model (incl. the
+            # --reorder trans variant) is passed through so block ids
+            # match the trained layers.
+            from .compiler.latency import min_latency_schedule
+            from .models.zoo import build_model
+            model_ = build_model(args.network, ds.x.shape[1], ds.n_class,
+                                 hidden=args.hidden, n_layers=args.layers,
+                                 heads=args.heads, reorder=args.reorder)
+            sched = []
+            w = ds.x.shape[1]
+            for gph in model_.layers:
+                sc, _ = min_latency_schedule(gph, ds.host_graph,
+                                             feat_width=w)
+                sched.append(sc)
+                w = max(op.out_width for op in gph.ops
+                        if op.op_id in gph.outputs)
+            out["schedule"] = [s.key() for s in sched]
         state, res = train_node_classifier(
             ds, args.network, hidden=args.hidden, n_layers=args.layers,
             heads=args.heads, epochs=args.epochs, lr=args.lr,
-            compute_dtype=dtype, seed=args.seed,
-            schedules=sched)
+            compute_dtype=dtype, seed=args.seed, model=model_,
+            schedules=sched, build_transpose=bool(args.compiled))
         if args.ckpt:
             from .utils.checkpoint import save_state
             out["ckpt_step"] = save_state(args.ckpt, state)
