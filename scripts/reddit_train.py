@@ -55,7 +55,12 @@ else:
     print(f"build+reorder {time.time()-t0:.0f}s E={hg.n_edge}", flush=True)
 
 heads = 4 if NET == "GAT" else None
+# GCN uses the TRANS (transform-first) variant — the reference's own
+# isReorder: aggregating at F=128 instead of the 602-wide input.  The
+# r5 trace showed the 602-wide layer-1 aggregation alone was 591 ms of
+# the 844 ms step.  (GAT projects first by construction.)
 model = build_model(NET, F_IN, N_CLASS, hidden=HIDDEN, n_layers=2,
+                    reorder=(NET == "GCN"),
                     **({"heads": heads} if heads else {}))
 
 PATH = sys.argv[3] if len(sys.argv) > 3 else "hybrid"
