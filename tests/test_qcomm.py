@@ -107,3 +107,37 @@ def test_sharded_train_step_quantized_halo():
         losses[quant] = float(loss)
     assert np.isfinite(losses[True])
     assert abs(losses[True] - losses[False]) < 0.05 * abs(losses[False]) + 1e-3, losses
+
+
+def test_remote_table_2d_quantized_close():
+    """The hierarchical (host x chip) exchange with int8 payloads stays
+    within quantization tolerance of the exact remote table."""
+    import gta_graph_tensor_acclelrator_for_general_gnn_tpu as gta
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu import parallel
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.parallel.mesh2d \
+        import remote_table_2d
+
+    devs = jax.devices()[:8]
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.array(devs).reshape(2, 4), ("host", "chip"))
+    ds = gta.load_dataset("tiny")
+    part_host = parallel.partition_graph_2d(ds.host_graph, 2, 4)
+    part = parallel.shard_part(part_host, mesh, axis=("host", "chip"))
+    from jax.sharding import NamedSharding
+    x = jax.device_put(
+        jnp.asarray(parallel.pad_nodes(ds.x.astype(np.float32), part_host)),
+        NamedSharding(mesh, P(("host", "chip"), None)))
+
+    def run(quant):
+        def local(sh, xl):
+            return remote_table_2d(xl, sh, "host", "chip", quantize=quant)
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(P(("host", "chip")), P(("host", "chip"), None)),
+            out_specs=P(None), check_vma=False)(part, x)
+
+    exact = np.asarray(run(False))
+    quant = np.asarray(run(True))
+    err = np.max(np.abs(quant - exact))
+    assert err <= 0.01 * np.max(np.abs(exact)) + 1e-6, err
