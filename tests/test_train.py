@@ -79,3 +79,20 @@ def test_train_with_hybrid_kernel_backward(network):
                                    epochs=30, model=model, schedules=scheds,
                                    build_transpose=True)
     assert res.train_acc > 0.6, res
+
+
+def test_checkpoint_roundtrip_with_compiled_schedules(tmp_path):
+    """Train through compiled schedules, checkpoint, restore, and keep
+    training — the serving/training state survives the kernel paths."""
+    import jax
+    import numpy as np
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.utils.checkpoint \
+        import restore_state, save_state
+    ds = load_dataset("tiny")
+    state, res = train_node_classifier(ds, "GCN", hidden=16, epochs=10)
+    step = save_state(str(tmp_path), state)
+    state2 = restore_state(str(tmp_path), state)
+    assert int(state2.step) == int(state.step) == step
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
