@@ -728,3 +728,49 @@ def test_gat_hybrid_wmode_kernel_backward(rng):
     for name, k, r in zip(("dh", "dw", "dad"), gk, gr):
         np.testing.assert_allclose(np.asarray(k), np.asarray(r),
                                    rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_batch_host_graph_alignment(rng):
+    """batch_host_graph: per-copy node ranges are stride-aligned, edges
+    replicate exactly, and pad_batch_features matches the layout."""
+    from gta_graph_tensor_acclelrator_for_general_gnn_tpu.graph import (
+        batch_host_graph, pad_batch_features)
+    s, r = small_graph(rng, n=50, e=200)
+    hg = build_host_graph(s, r, 50, edge_pad_multiple=128,
+                          symmetric_norm=True)
+    B = 4
+    bhg = batch_host_graph(hg, B)
+    stride = 1024                      # round_up(50, 1024)
+    assert bhg.n_node == B * stride
+    assert bhg.n_edge == B * hg.n_edge
+    ne = hg.n_edge
+    for b in range(B):
+        sl = slice(b * ne, (b + 1) * ne)
+        np.testing.assert_array_equal(
+            np.sort(bhg.senders[sl] - b * stride),
+            np.sort(hg.senders[:ne]))
+        np.testing.assert_array_equal(
+            np.sort(bhg.receivers[sl] - b * stride),
+            np.sort(hg.receivers[:ne]))
+    # per-copy weight mass preserved
+    np.testing.assert_allclose(
+        bhg.edge_weight[: B * ne].sum(),
+        B * hg.edge_weight[: ne].sum(), rtol=1e-5)
+    x = rng.normal(size=(B, 50, 8)).astype(np.float32)
+    xp = pad_batch_features(x, B, 50)
+    assert xp.shape == (B * stride, 8)
+    np.testing.assert_array_equal(xp[stride: stride + 50], x[1])
+    assert np.all(xp[50: stride] == 0)
+
+
+def test_hybrid_threshold_budget_raise(rng):
+    """hybrid_threshold raises the FLOP-balance threshold until the dense
+    value store fits the byte budget."""
+    hg, _ = _graphs(rng, n=96, e=900)
+    base = D.hybrid_threshold(hg, "spmm", dense_rows=32, dense_cols=32,
+                              budget=1 << 30)
+    tight = D.hybrid_threshold(hg, "spmm", dense_rows=32, dense_cols=32,
+                               budget=32 * 32 * 2)   # room for ~2 blocks
+    assert tight >= base
+    nnz = block_nnz(hg, 32, 32).reshape(-1)
+    assert (nnz >= tight).sum() <= 2
